@@ -1,0 +1,256 @@
+"""Typed configuration tree.
+
+Replaces the reference's three uncoordinated config layers (bash env vars in
+run_llama.sh:31-39, argparse in vq_pred.py:23-61, and attributes stapled onto
+the HF AutoConfig in vq_pred.py:232-258) with one frozen dataclass tree.
+
+All defaults mirror the reference's published run configuration
+(run_llama.sh:4-29, vq_pred.py:253-257).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Literal, Optional
+
+
+Metric = Literal["euc", "ip"]
+Policy = Literal["original", "pq_search", "h2o", "no_drop_lb", "sparq_f"]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of a llama-family decoder (covers Llama-2/3.1 and Mistral)."""
+
+    name: str = "tiny"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    # Llama-3.1 rope scaling (config.json "rope_scaling" with rope_type=llama3)
+    rope_scaling_factor: Optional[float] = None
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 32768
+    dtype: str = "bfloat16"
+
+    @property
+    def num_groups(self) -> int:
+        """GQA group size (q heads per kv head)."""
+        return self.num_heads // self.num_kv_heads
+
+    @staticmethod
+    def from_hf_config(d: dict, name: str = "hf") -> "ModelConfig":
+        """Build from a HuggingFace config.json dict (mistral/llama families)."""
+        rs = d.get("rope_scaling") or {}
+        is_llama3_rs = rs.get("rope_type", rs.get("type")) == "llama3"
+        head_dim = d.get("head_dim") or d["hidden_size"] // d["num_attention_heads"]
+        return ModelConfig(
+            name=name,
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_layers=d["num_hidden_layers"],
+            num_heads=d["num_attention_heads"],
+            num_kv_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+            head_dim=head_dim,
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            rope_scaling_factor=rs.get("factor") if is_llama3_rs else None,
+            rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
+            rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
+            rope_original_max_position=rs.get("original_max_position_embeddings", 8192),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            max_position_embeddings=d.get("max_position_embeddings", 32768),
+        )
+
+
+@dataclass(frozen=True)
+class PQConfig:
+    """Product-quantization scheme knobs.
+
+    Mirrors SUBVEC/SUBBITS/METRIC env vars + --max_iter of the reference
+    (run_llama.sh:14-20, pq_search.py:69-79).
+    """
+
+    n_subvec_per_head: int = 2        # SUBVEC; must divide head_dim
+    n_subbits: int = 6                # SUBBITS; centroids = 2**n_subbits
+    metric: Metric = "euc"            # METRIC (euc | ip via ip2l2 lift)
+    kmeans_iters: int = 8             # MAX_ITER (reference: 0 = adaptive 3..300)
+    kmeans_seed: int = 4321           # RANDOM_SEED (run_llama.sh:33)
+    adaptive_iters: bool = False      # pick iters from a profile table at runtime
+
+    def __post_init__(self):
+        if self.n_subvec_per_head not in (1, 2, 4, 8, 16):
+            # pq_search.py:104-105
+            raise ValueError("PQ subvec must be in {1,2,4,8,16}")
+
+    @property
+    def n_centroids(self) -> int:
+        return 2 ** self.n_subbits
+
+
+@dataclass(frozen=True)
+class BudgetConfig:
+    """Token-budget arithmetic knobs (run_llama.sh:9-13, vq_pred.py:31-37)."""
+
+    compress_ratio: float = 0.2       # COMPRESS: fraction of ctx in the budget
+    recent_ratio: float = 0.5         # RECENT_RATIO: recent share of the budget
+    sink_size: int = 32               # SINK_SIZE: attention-sink tokens kept
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Memory-hierarchy knobs.
+
+    The reference's GPU cache geometry (vq_pred.py:255-257): 4096-token GPU
+    cache in 128-token blocks, top-32 blocks refreshed per step, LFU policy.
+    On TPU the default tier keeps all retrievable KV in HBM; the host tier
+    (offload=True) keeps full KV in host memory with an HBM block cache
+    managed by the native LFU library.
+    """
+
+    offload: bool = False             # host-offload tier for >HBM contexts
+    block_size: int = 128             # cache_block_size
+    hbm_cache_tokens: int = 4096      # global_cache_size
+    cache_topk_blocks: int = 32       # cache_topk
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Decode-loop and padding knobs."""
+
+    max_seq_len: int = 33000          # vq_pred.py:254 (mistral preset)
+    prefill_bucket: int = 1024        # pad prompts up to a multiple of this
+    max_new_tokens: int = 512         # static decode-state reservation
+    policy: Policy = "pq_search"
+    gqa: bool = True                  # GQA-aware score reduction (run_llama.sh:18)
+    # sparq knobs (vq_pred.py:47, 50)
+    sparq_topr: int = 32
+    sparq_mean_v_trick: bool = False
+    # h2o / no_drop_lb knobs (vq_pred.py:32, 42)
+    important_ratio: float = 0.5
+    score_func: str = "sum"
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh shape. data*tensor must equal the device count in use."""
+
+    data: int = 1
+    tensor: int = 1
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    pq: PQConfig = field(default_factory=PQConfig)
+    budget: BudgetConfig = field(default_factory=BudgetConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "EngineConfig":
+        d = json.loads(s)
+        return EngineConfig(
+            model=ModelConfig(**d.get("model", {})),
+            pq=PQConfig(**d.get("pq", {})),
+            budget=BudgetConfig(**d.get("budget", {})),
+            cache=CacheConfig(**d.get("cache", {})),
+            runtime=RuntimeConfig(**d.get("runtime", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+        )
+
+    def config_str_list(self) -> list[str]:
+        """Experiment-naming strings, feature parity with vq_pred.py:360-406."""
+        p = self.runtime.policy
+        if p == "original":
+            return ["original"]
+        if p == "pq_search":
+            return [
+                f"budget_{self.budget.compress_ratio}",
+                f"rec_{self.budget.recent_ratio}",
+                f"sink_{self.budget.sink_size}",
+                f"mode_{p}",
+                f"gqa_{self.runtime.gqa}",
+                f"subvec_{self.pq.n_subvec_per_head}",
+                f"subbit_{self.pq.n_subbits}",
+                f"max_iter_{0 if self.pq.adaptive_iters else self.pq.kmeans_iters}",
+            ]
+        if p == "sparq_f":
+            return [
+                f"budget_{self.budget.compress_ratio}",
+                f"rec_{self.budget.recent_ratio}",
+                f"sink_{self.budget.sink_size}",
+                f"mode_{p}",
+                f"gqa_{self.runtime.gqa}",
+                f"topr_{self.runtime.sparq_topr}",
+                f"mean_v_trick_{self.runtime.sparq_mean_v_trick}",
+            ]
+        return [
+            f"budget_{self.budget.compress_ratio}",
+            f"topk_{self.runtime.important_ratio}",
+            f"rec_{self.budget.recent_ratio}",
+            f"sink_{self.budget.sink_size}",
+            f"mode_{p}",
+            f"score_{self.runtime.score_func}",
+            f"gqa_{self.runtime.gqa}",
+        ]
+
+
+# ---------------------------------------------------------------------------
+# Model presets matching the reference's supported checkpoints (README.md:36-37,
+# config/model2path.json).
+
+MISTRAL_7B = ModelConfig(
+    name="mistral-7b-Instruct-32k",
+    vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+    num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+    rope_theta=1000000.0, max_position_embeddings=32768,
+)
+
+LLAMA2_7B = ModelConfig(
+    name="llama2-7b-chat-4k",
+    vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+    num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+    rope_theta=10000.0, max_position_embeddings=4096,
+)
+
+LLAMA31_8B = ModelConfig(
+    name="llama-3.1",
+    vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+    num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+    rope_theta=500000.0, rope_scaling_factor=8.0,
+    rope_low_freq_factor=1.0, rope_high_freq_factor=4.0,
+    rope_original_max_position=8192, max_position_embeddings=131072,
+)
+
+MODEL_PRESETS = {
+    "mistral-7b-Instruct-32k": MISTRAL_7B,
+    "llama2-7b-chat-4k": LLAMA2_7B,
+    "llama-3.1": LLAMA31_8B,
+}
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """Small GQA config for tests (CPU-runnable, HF-comparable)."""
+    base = dict(
+        name="tiny", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        rope_theta=10000.0, max_position_embeddings=512,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)

@@ -1,0 +1,352 @@
+"""Pure, jittable product-quantization math.
+
+This is the TPU-native replacement for the reference's CPU clustering backend
+(multi_core_compressor_v2.py): instead of 48 host cores running sklearn Lloyd
+k-means in 16 spawned processes fed through shared memory, codebooks are
+trained on-chip with batched Lloyd iterations — the distance and update steps
+are matmuls that run on the MXU, vectorized over all (kv_head × subvec) groups
+at once. At ~0.5 GFLOP per iteration per layer this is negligible next to the
+prefill attention itself, so "overlap clustering with prefill" becomes simply
+"fuse clustering into the prefill computation".
+
+Conventions:
+  G = n_groups = num_kv_heads * n_subvec_per_head   (independent PQ subspaces)
+  N = number of points (padded, static)             (non-sink tokens)
+  d = subvector dim = head_dim // n_subvec_per_head
+  C = number of centroids = 2 ** n_subbits
+
+All functions are batch-free; vmap for a batch dimension.
+
+Reference semantics mirrored here:
+  * k-means init: centroid indices drawn once and shared across all groups and
+    layers (multi_core_compressor_v2.py:136-139).
+  * "euc" metric: cluster keys in L2; at decode, score candidates by
+    q·centroid lookup (pq_search.py:316-322) — an inner-product approximation
+    of the attention logits.
+  * "ip" metric: MIPS→L2 lift (ip2l2): keys get an extra column
+    sqrt(phi − ‖x‖²) with phi = max ‖x‖² per group
+    (multi_core_compressor_v2.py:15-19), queries get a zero column appended
+    (pq_search.py:456-458); candidates are ranked by ascending lifted L2
+    distance (pq_search.py:407-417).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# MIPS → L2 lift
+
+def ip2l2_lift(
+    xb: jax.Array, valid_len: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Lift points for inner-product search via L2 k-means.
+
+    xb: [G, N, d] → ([G, N, d+1], phi [G, 1, 1]). Points at index >=
+    valid_len are excluded from the per-group max-norm phi.
+    """
+    norms = jnp.sum(xb.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    if valid_len is not None:
+        n = xb.shape[-2]
+        valid = (jnp.arange(n)[None, :, None] < valid_len)
+        phi = jnp.max(jnp.where(valid, norms, 0.0), axis=-2, keepdims=True)
+    else:
+        phi = jnp.max(norms, axis=-2, keepdims=True)
+    extracol = jnp.sqrt(jnp.maximum(phi - norms, 0.0))
+    return jnp.concatenate([xb.astype(jnp.float32), extracol], axis=-1), phi
+
+
+def ip2l2_lift_with_phi(x: jax.Array, phi: jax.Array) -> jax.Array:
+    """Lift new points with a fixed phi (pq_search.py:169-174). x: [G, M, d]."""
+    norms = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    extracol = jnp.sqrt(jnp.maximum(phi - norms, 0.0))
+    return jnp.concatenate([x.astype(jnp.float32), extracol], axis=-1)
+
+
+def lift_query(q: jax.Array) -> jax.Array:
+    """Append a zero column to queries for ip2l2 search (pq_search.py:456-458).
+
+    q: [..., d] → [..., d+1]
+    """
+    return jnp.concatenate([q, jnp.zeros_like(q[..., :1])], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Batched Lloyd k-means
+
+class KMeansResult(NamedTuple):
+    centroids: jax.Array   # [G, C, d] float32
+    codes: jax.Array       # [G, N] int32 — final assignment of every point
+
+
+def _assign_chunked(x, w, centroids, chunk: int):
+    """Assign each point to its nearest centroid and accumulate per-cluster
+    sums/counts, scanning over N in chunks to bound the [G, chunk, C] distance
+    tensor. x: [G, N, d] f32, w: [G, N] f32 (0/1), centroids: [G, C, d].
+
+    Returns (codes [G, N] i32, sums [G, C, d], counts [G, C],
+    point_dist [G, N] — each point's distance-to-assigned-centroid offset by
+    ||x||², sufficient for farthest-point ranking).
+    """
+    G, N, d = x.shape
+    C = centroids.shape[1]
+    n_chunks = N // chunk
+    xc = x.reshape(G, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+    wc = w.reshape(G, n_chunks, chunk).transpose(1, 0, 2)
+    cent_sq = jnp.sum(centroids ** 2, axis=-1)  # [G, C]
+
+    def body(carry, inp):
+        sums, counts = carry
+        xb, wb = inp  # [G, chunk, d], [G, chunk]
+        # ||x - c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; ||x||^2 constant in argmin
+        dots = jnp.einsum("gnd,gcd->gnc", xb, centroids,
+                          preferred_element_type=jnp.float32)
+        dist = cent_sq[:, None, :] - 2.0 * dots
+        codes_b = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # [G, chunk]
+        pdist_b = (jnp.min(dist, axis=-1)
+                   + jnp.sum(xb * xb, axis=-1))  # true ||x-c||², >= 0
+        onehot = jax.nn.one_hot(codes_b, C, dtype=jnp.float32) * wb[..., None]
+        sums = sums + jnp.einsum("gnc,gnd->gcd", onehot, xb,
+                                 preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=1)
+        return (sums, counts), (codes_b, pdist_b)
+
+    init = (jnp.zeros((G, C, d), jnp.float32), jnp.zeros((G, C), jnp.float32))
+    (sums, counts), (codes, pdist) = jax.lax.scan(body, init, (xc, wc))
+    codes = codes.transpose(1, 0, 2).reshape(G, N)
+    pdist = pdist.transpose(1, 0, 2).reshape(G, N)
+    return codes, sums, counts, pdist
+
+
+def _kmeanspp_init(x, valid_len, n_clusters, key, pool: int = 4096):
+    """k-means++ (D² sampling) initialization over a bounded candidate pool.
+
+    The reference initializes with a plain random point subset shared across
+    groups (multi_core_compressor_v2.py:136-139), which regularly lands two
+    seeds in one natural cluster and none in another — Lloyd then converges
+    to merged/split clusters. D² seeding avoids that for ~1 Lloyd iteration's
+    worth of FLOPs. Deterministic given `key`; per-group independent.
+
+    x: [G, N, d] f32 → centroids [G, C, d].
+    """
+    G, N, d = x.shape
+    P = min(N, pool)
+    kperm, kpick = jax.random.split(key)
+    pool_idx = jax.random.permutation(kperm, N)[:P] % jnp.maximum(valid_len, 1)
+    xp = jnp.take(x, pool_idx, axis=1)              # [G, P, d]
+    # pool entries may collide after the fold; dedup not needed — D² weight
+    # of a duplicate is 0 once one copy is chosen.
+    first = jnp.take(x, pool_idx[:1], axis=1)       # [G, 1, d]
+
+    def step(carry, key_i):
+        min_d2, = carry
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(key_i, (G, P), minval=1e-12, maxval=1.0)))
+        # Gumbel-max sample ∝ min_d2
+        logit = jnp.where(min_d2 > 0, jnp.log(jnp.maximum(min_d2, 1e-30)), -jnp.inf)
+        pick = jnp.argmax(logit + g, axis=-1)       # [G]
+        c = jnp.take_along_axis(xp, pick[:, None, None], axis=1)  # [G, 1, d]
+        d2 = jnp.sum((xp - c) ** 2, axis=-1)
+        return (jnp.minimum(min_d2, d2),), c[:, 0]
+
+    min_d2_0 = jnp.sum((xp - first) ** 2, axis=-1)
+    keys = jax.random.split(kpick, n_clusters - 1)
+    (_,), rest = jax.lax.scan(step, (min_d2_0,), keys)
+    return jnp.concatenate([first, rest.transpose(1, 0, 2)], axis=1)
+
+
+def kmeans(
+    x: jax.Array,
+    n_clusters: int,
+    iters: int,
+    *,
+    seed: int = 4321,
+    valid_len: Optional[jax.Array] = None,
+    chunk: int = 4096,
+    init: str = "kmeans++",
+) -> KMeansResult:
+    """Batched Lloyd k-means over G independent groups.
+
+    x: [G, N, d]. N is static; points at index >= valid_len (traced scalar)
+    are excluded from training. init="kmeans++" (default) does per-group D²
+    seeding; init="random" mirrors the reference's shared random point subset
+    (multi_core_compressor_v2.py:130-139). Runs exactly `iters` Lloyd
+    iterations (static); empty clusters are relocated to the current
+    farthest-from-centroid points (sklearn's strategy).
+    """
+    G, N, d = x.shape
+    x = x.astype(jnp.float32)
+    if valid_len is None:
+        valid_len = jnp.asarray(N, jnp.int32)
+    valid_len = jnp.asarray(valid_len, jnp.int32)
+
+    chunk = min(chunk, N)
+    Npad = _round_up(N, chunk)
+    if Npad != N:
+        x = jnp.pad(x, ((0, 0), (0, Npad - N), (0, 0)))
+    w = (jnp.arange(Npad, dtype=jnp.int32)[None, :] < valid_len).astype(jnp.float32)
+    w = jnp.broadcast_to(w, (G, Npad))
+
+    key = jax.random.PRNGKey(seed)
+    if init == "kmeans++":
+        centroids0 = _kmeanspp_init(x, valid_len, n_clusters, key)
+    else:
+        perm = jax.random.permutation(key, Npad)[:n_clusters]
+        init_idx = perm % jnp.maximum(valid_len, 1)
+        centroids0 = jnp.take(x, init_idx, axis=1)  # [G, C, d]
+
+    def body(_, centroids):
+        _, sums, counts, pdist = _assign_chunked(x, w, centroids, chunk)
+        new = sums / jnp.maximum(counts, 1.0)[..., None]
+        # Empty-cluster relocation, sklearn-style: the e-th empty cluster
+        # (by cluster index) is relocated to the e-th farthest valid point.
+        empty = counts <= 0.0  # [G, C]
+        far_val, far_idx = jax.lax.top_k(
+            jnp.where(w > 0, pdist, -1.0), n_clusters)  # [G, C]
+        rank = jnp.cumsum(empty.astype(jnp.int32), axis=-1) - 1  # [G, C]
+        rank = jnp.clip(rank, 0, n_clusters - 1)
+        reloc_idx = jnp.take_along_axis(far_idx, rank, axis=-1)  # [G, C]
+        reloc = jnp.take_along_axis(x, reloc_idx[..., None], axis=1)  # [G,C,d]
+        return jnp.where(empty[..., None], reloc, new)
+
+    centroids = jax.lax.fori_loop(0, iters, body, centroids0)
+    codes, _, _, _ = _assign_chunked(x, w, centroids, chunk)
+    return KMeansResult(centroids=centroids, codes=codes)
+
+
+def pq_encode(x: jax.Array, centroids: jax.Array) -> jax.Array:
+    """Nearest-centroid encoding (pq_search.py:201-212 predict_index).
+
+    x: [G, M, d], centroids: [G, C, d] → codes [G, M] int32.
+    """
+    x = x.astype(jnp.float32)
+    cent_sq = jnp.sum(centroids ** 2, axis=-1)
+    dots = jnp.einsum("gmd,gcd->gmc", x, centroids,
+                      preferred_element_type=jnp.float32)
+    dist = cent_sq[:, None, :] - 2.0 * dots
+    return jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# ADC (asymmetric distance computation) scoring
+
+def adc_lut_euc(q: jax.Array, centroids: jax.Array) -> jax.Array:
+    """Inner-product lookup table for the "euc" metric.
+
+    q: [H, S, d] per-q-head subvectors; centroids: [H_kv, S, C, d] —
+    broadcast over the GQA group. Returns LUT [H, S, C] f32 where
+    LUT[h,s,c] = q[h,s]·centroids[kv(h),s,c]  (pq_search.py:316).
+    """
+    H = q.shape[0]
+    H_kv = centroids.shape[0]
+    group = H // H_kv
+    cent = jnp.repeat(centroids, group, axis=0)  # [H, S, C, d]
+    return jnp.einsum("hsd,hscd->hsc", q.astype(jnp.float32),
+                      cent.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+
+def adc_lut_ip(q_lifted: jax.Array, centroids: jax.Array) -> jax.Array:
+    """Squared-L2 lookup table for the ip2l2 metric (pq_search.py:408).
+
+    q_lifted: [H, S, d+1]; centroids: [H_kv, S, C, d+1] → LUT [H, S, C].
+    """
+    H = q_lifted.shape[0]
+    H_kv = centroids.shape[0]
+    group = H // H_kv
+    cent = jnp.repeat(centroids, group, axis=0)
+    diff_sq = jnp.sum((q_lifted[:, :, None, :].astype(jnp.float32)
+                       - cent.astype(jnp.float32)) ** 2, axis=-1)
+    return diff_sq
+
+
+def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """Gather+sum the LUT by PQ codes.
+
+    lut: [H, S, C]; codes: [H_kv, S, T] int32 (broadcast over the GQA group).
+    Returns scores [H, T] f32: scores[h,t] = Σ_s lut[h,s,codes[kv(h),s,t]]
+    (pq_search.py:317: gather + sum over subvectors).
+    """
+    H, S, C = lut.shape
+    H_kv = codes.shape[0]
+    group = H // H_kv
+    # [H_kv, group, S, C] gathered at [H_kv, 1, S, T] → [H_kv, group, S, T]
+    lut_g = lut.reshape(H_kv, group, S, C)
+    gathered = jnp.take_along_axis(
+        lut_g, codes[:, None, :, :].astype(jnp.int32), axis=-1)
+    return jnp.sum(gathered, axis=2).reshape(H, -1)
+
+
+def mips_topk(
+    scores: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    *,
+    group: int,
+    head_dim: int,
+    metric: str = "euc",
+) -> tuple[jax.Array, jax.Array]:
+    """GQA-reduced top-k candidate selection (pq_search.py:318-322, 416-417).
+
+    scores: [H, T] raw per-q-head ADC scores; positions >= n_valid are padding.
+    euc: softmax(scores/√head_dim) per q-head, summed over each GQA group,
+    take largest k. ip: sum the (distance) scores over the group, take
+    *smallest* k. Returns (topk_idx [H_kv, k] i32, group_scores [H_kv, T]).
+    """
+    H, T = scores.shape
+    H_kv = H // group
+    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+    if metric == "euc":
+        masked = jnp.where(valid, scores / jnp.sqrt(float(head_dim)), -jnp.inf)
+        probs = jax.nn.softmax(masked, axis=-1)
+        probs = jnp.where(valid, probs, 0.0)
+        g = jnp.sum(probs.reshape(H_kv, group, T), axis=1)
+        sel = jnp.where(valid, g, -jnp.inf)
+        _, idx = jax.lax.top_k(sel, k)
+        return idx.astype(jnp.int32), g
+    elif metric == "ip":
+        g = jnp.sum(scores.reshape(H_kv, group, T), axis=1)
+        sel = jnp.where(valid, -g, -jnp.inf)  # smallest distance first
+        _, idx = jax.lax.top_k(sel, k)
+        return idx.astype(jnp.int32), g
+    raise ValueError(f"unknown metric {metric}")
+
+
+# ---------------------------------------------------------------------------
+# Convenience: full exact-vs-PQ recall oracle (retrieval quality test)
+
+def exact_topk(q: jax.Array, keys: jax.Array, n_valid: jax.Array, k: int,
+               *, group: int) -> jax.Array:
+    """Exact per-q-head attention-logit top-k over candidates, matching the
+    recall oracle of the reference (retrieval_based_compressor.py:19-29:
+    real_weight = q @ K^T, largest-k per q head, no softmax/group reduction).
+
+    q: [H, d]; keys: [H_kv, T, d] → idx [H, k].
+    """
+    H, d = q.shape
+    H_kv, T, _ = keys.shape
+    keys_rep = jnp.repeat(keys, group, axis=0)  # [H, T, d]
+    logits = jnp.einsum("hd,htd->ht", q.astype(jnp.float32),
+                        keys_rep.astype(jnp.float32))
+    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+    masked = jnp.where(valid, logits, -jnp.inf)
+    _, idx = jax.lax.top_k(masked, k)
+    return idx.astype(jnp.int32)
+
+
+def topk_recall(pq_idx: jax.Array, exact_idx: jax.Array, *, group: int) -> jax.Array:
+    """Fraction of exact top-k recovered by the PQ top-k
+    (retrieval_based_compressor.py:32-52). pq_idx [H_kv, k] is broadcast over
+    the GQA group and intersected with exact_idx [H, k] per q head."""
+    pq_rep = jnp.repeat(pq_idx, group, axis=0)  # [H, k]
+    eq = exact_idx[:, :, None] == pq_rep[:, None, :]
+    hits = jnp.sum(jnp.any(eq, axis=-1))
+    return hits / exact_idx.size

@@ -1,0 +1,202 @@
+"""Attention operators, XLA-only implementations.
+
+These are the portable reference implementations: numerically exact,
+CPU-runnable, and the correctness baseline that the Pallas TPU kernels in
+``ops/flash_attention.py`` are tested against. The chunked prefill here is an
+online-softmax ("memory-efficient") attention — the same math as the vendored
+flash-attn wheel the reference calls for all dense attention
+(pq_search.py:251-256) — expressed as nested lax scans (q-blocks × k-blocks)
+that XLA fuses; peak memory is O(block²) per head instead of O(T²).
+
+Shapes: q [H, Tq, D], k/v [H_kv, Tk, D] (no batch dim; vmap for batching).
+GQA expansion (the reference's repeat(), retrieval_based_compressor.py:6-10)
+is done by reshaping q into [H_kv, group, ...] so no key/value copy is made.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite sentinel: keeps fully-masked rows NaN-free
+
+
+def dense_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    q_offset: int | jax.Array = 0,
+    valid_len: Optional[jax.Array] = None,
+    valid_lo: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Materialized-scores attention; O(Tq·Tk) memory. Test oracle and the
+    small-window decode path. q [H, Tq, D], k/v [H_kv, Tk, D].
+
+    q_offset: absolute position of q[0] minus that of k[0] (for causal
+    masking of a decode suffix against a longer key set).
+    valid_len: keys at index >= valid_len are masked out.
+    valid_lo: keys at index < valid_lo are masked out (left-pad region).
+    """
+    H, Tq, D = q.shape
+    H_kv, Tk, _ = k.shape
+    group = H // H_kv
+    scale = scale if scale is not None else 1.0 / (D ** 0.5)
+
+    qg = q.reshape(H_kv, group, Tq, D).astype(jnp.float32)
+    logits = jnp.einsum("hgqd,hkd->hgqk", qg, k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+
+    mask = jnp.ones((Tq, Tk), dtype=bool)
+    if causal:
+        qpos = jnp.arange(Tq)[:, None] + q_offset
+        kpos = jnp.arange(Tk)[None, :]
+        mask = mask & (kpos <= qpos)
+    if valid_len is not None:
+        mask = mask & (jnp.arange(Tk)[None, :] < valid_len)
+    if valid_lo is not None:
+        mask = mask & (jnp.arange(Tk)[None, :] >= valid_lo)
+    logits = jnp.where(mask[None, None], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("hgqk,hkd->hgqd", probs, v.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(H, Tq, D).astype(q.dtype)
+
+
+@partial(jax.jit, static_argnames=("causal", "block", "with_scores"))
+def chunked_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid_len: Optional[jax.Array] = None,
+    valid_lo: Optional[jax.Array] = None,
+    *,
+    causal: bool = True,
+    block: int = 512,
+    with_scores: bool = False,
+) -> tuple[jax.Array, Optional[jax.Array]]:
+    """Online-softmax attention with q-block × k-block tiling.
+
+    Memory-efficient prefill attention; optionally also emits per-key
+    aggregated attention scores F[h, t] = Σ_q softmax_prob(q, t) — the column
+    sums produced by the reference's Triton flash-attn-with-score kernel with
+    score_func="sum" (flash_attn_with_score.py:59-104), which feed the
+    H2O-style policies.
+
+    q [H, T, D], k/v [H_kv, T, D] with identical T (self-attention prefill).
+    Returns (out [H, T, D], scores [H, T] f32 or None).
+    """
+    H, T, D = q.shape
+    H_kv = k.shape[0]
+    group = H // H_kv
+    scale = 1.0 / (D ** 0.5)
+
+    if valid_len is None:
+        valid_len = jnp.asarray(T, jnp.int32)
+    valid_len = jnp.asarray(valid_len, jnp.int32)
+    valid_lo = (jnp.zeros((), jnp.int32) if valid_lo is None
+                else jnp.asarray(valid_lo, jnp.int32))
+
+    Tpad = (T + block - 1) // block * block
+    if Tpad != T:
+        q = jnp.pad(q, ((0, 0), (0, Tpad - T), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, Tpad - T), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Tpad - T), (0, 0)))
+    nb = Tpad // block
+
+    qb = (q.reshape(H_kv, group, nb, block, D)
+          .transpose(2, 0, 1, 3, 4).astype(jnp.float32) * scale)
+    kb = k.reshape(H_kv, nb, block, D).transpose(1, 0, 2, 3).astype(jnp.float32)
+    vb = v.reshape(H_kv, nb, block, D).transpose(1, 0, 2, 3).astype(jnp.float32)
+    blk_ids = jnp.arange(nb, dtype=jnp.int32)
+    offs = jnp.arange(block, dtype=jnp.int32)
+
+    def logits_block(q_i, k_j, i, j):
+        lg = jnp.einsum("hgqd,hkd->hgqk", q_i, k_j,
+                        preferred_element_type=jnp.float32)
+        qpos = i * block + offs
+        kpos = j * block + offs
+        mask = (kpos[None, :] < valid_len) & (kpos[None, :] >= valid_lo)
+        if causal:
+            mask = mask & (kpos[None, :] <= qpos[:, None])
+        return jnp.where(mask[None, None], lg, NEG_INF)
+
+    def q_block_pass(F_acc, q_inp):
+        i, q_i = q_inp
+
+        def kv_step(carry, k_inp):
+            m, l, acc = carry
+            j, k_j, v_j = k_inp
+            lg = logits_block(q_i, k_j, i, j)
+            m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
+            p = jnp.exp(lg - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1)
+            acc_new = acc * corr[..., None] + jnp.einsum(
+                "hgqk,hkd->hgqd", p, v_j, preferred_element_type=jnp.float32)
+            return (m_new, l_new, acc_new), None
+
+        m0 = jnp.full((H_kv, group, block), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((H_kv, group, block), jnp.float32)
+        a0 = jnp.zeros((H_kv, group, block, D), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(kv_step, (m0, l0, a0), (blk_ids, kb, vb))
+        out_i = acc / jnp.maximum(l, 1e-30)[..., None]
+
+        if with_scores:
+            # Second sweep with final (m, l): normalized probability column
+            # sums per key — the two-stage structure of the reference kernel
+            # (flash_attn_with_score.py:158-262 + :59-104).
+            qp = i * block + offs
+            qvalid = ((qp < valid_len) & (qp >= valid_lo)).astype(jnp.float32)
+
+            def score_step(F_run, k_inp):
+                j, k_j = k_inp
+                lg = logits_block(q_i, k_j, i, j)
+                p = jnp.exp(lg - m[..., None]) / jnp.maximum(l, 1e-30)[..., None]
+                col = jnp.einsum("hgqk,q->hgk", p, qvalid)
+                prev = jax.lax.dynamic_slice(
+                    F_run, (0, 0, j * block), (H_kv, group, block))
+                return jax.lax.dynamic_update_slice(
+                    F_run, prev + col, (0, 0, j * block)), None
+
+            F_acc, _ = jax.lax.scan(score_step, F_acc, (blk_ids, kb))
+        return F_acc, out_i
+
+    F0 = jnp.zeros((H_kv, group, Tpad), jnp.float32)
+    F, outs = jax.lax.scan(q_block_pass, F0, (blk_ids, qb))
+    out = (outs.transpose(1, 2, 0, 3, 4)
+           .reshape(H, Tpad, D)[:, :T].astype(q.dtype))
+    scores = F.reshape(H, Tpad)[:, :T] if with_scores else None
+    return out, scores
+
+
+def decode_window_attention(
+    q: jax.Array,
+    k_win: jax.Array,
+    v_win: jax.Array,
+    win_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Single-step attention over the assembled [sink|local|topk|new] window
+    (pq_search.py:336-341). q [H, 1, D]; k/v_win [H_kv, W, D];
+    win_mask [H_kv, W] bool (True = attend). The window is small (≈ budget),
+    so materialized softmax is the right shape for the VPU/MXU."""
+    H, _, D = q.shape
+    H_kv, W, _ = k_win.shape
+    group = H // H_kv
+    scale = 1.0 / (D ** 0.5)
+
+    qg = q.reshape(H_kv, group, D).astype(jnp.float32)
+    logits = jnp.einsum("hgd,hwd->hgw", qg, k_win.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    if win_mask is not None:
+        logits = jnp.where(win_mask[:, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("hgw,hwd->hgd", probs, v_win.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(H, 1, D).astype(q.dtype)

@@ -1,0 +1,66 @@
+"""`original` policy: full dense attention over an uncompressed KV cache.
+
+The reference's "original" compressor branch (mistral_patch.py:86-103) —
+flash attention over the whole history. Serves as the quality ceiling and the
+latency baseline that PQCache is measured against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core.budget import Budget
+from pqcache_tpu.ops.attention_xla import (
+    chunked_attention, decode_window_attention)
+from pqcache_tpu.policies.base import register_policy
+from pqcache_tpu.runtime.state import DenseState, make_dense_state
+
+
+@register_policy("original")
+class OriginalPolicy:
+    def __init__(self, cfg: EngineConfig, budget: Budget):
+        self.cfg = cfg
+        self.budget = budget
+        self.max_len = budget.prefill_len + budget.max_new_tokens
+
+    def init_state(self, dtype=jnp.bfloat16) -> DenseState:
+        return make_dense_state(self.cfg, self.max_len, dtype=dtype)
+
+    def prefill_attn(self, layer_state, q, k, v, pad_len, true_len):
+        P = q.shape[1]
+        out, _ = chunked_attention(q, k, v, valid_lo=pad_len, causal=True)
+        # left-pad garbage keys must not be attended later: zero-length mask
+        # handled via `start`; cache layout keeps prompt positions as-is.
+        k_cache = jax.lax.dynamic_update_slice(
+            layer_state.k_cache, k.astype(layer_state.k_cache.dtype), (0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            layer_state.v_cache, v.astype(layer_state.v_cache.dtype), (0, 0, 0))
+        new = layer_state.replace(
+            k_cache=k_cache, v_cache=v_cache,
+            length=jnp.asarray(P, jnp.int32), start=pad_len.astype(jnp.int32),
+            pos=true_len.astype(jnp.int32))
+        return out, new
+
+    def decode_attn(self, layer_state, q, k_new, v_new, shared):
+        length = shared["length"]
+        start = shared["start"]
+        k_cache = jax.lax.dynamic_update_slice(
+            layer_state.k_cache, k_new.astype(layer_state.k_cache.dtype),
+            (0, length, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            layer_state.v_cache, v_new.astype(layer_state.v_cache.dtype),
+            (0, length, 0))
+        T = k_cache.shape[1]
+        kpos = jnp.arange(T, dtype=jnp.int32)
+        valid = (kpos >= start) & (kpos <= length)
+        mask = jnp.broadcast_to(valid[None, :], (k_cache.shape[0], T))
+        out = decode_window_attention(q, k_cache, v_cache, mask)
+        return out, layer_state.replace(k_cache=k_cache, v_cache=v_cache)
+
+    def shared_pre(self, state: DenseState):
+        return {"length": state.length, "start": state.start}
+
+    def shared_post(self, state: DenseState, shared):
+        return state.replace(length=state.length + 1, pos=state.pos + 1)

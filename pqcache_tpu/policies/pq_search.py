@@ -1,0 +1,180 @@
+"""`pq_search` policy — the PQCache scheme, TPU-native.
+
+Prefill (reference: pq_search.py:214-263):
+  dense flash attention over the prompt, then per-layer PQ codebook training
+  over the non-sink keys. Where the reference ships keys to pinned CPU memory
+  and clusters on 48 host cores asynchronously
+  (multi_core_compressor_v2.py:89-199), we run batched Lloyd k-means on the
+  MXU inside the same jitted prefill step — at <1% of the prefill FLOPs the
+  "overlap" problem the reference solves with process pools, shared memory
+  and interprocess CUDA events disappears.
+
+Decode (reference: pq_search.py:265-360):
+  ADC lookup-table scores over all candidate codes, GQA-group-softmax-sum
+  reduction, top-k MIPS, gather of exactly those KV pairs, then attention
+  over [sink | local | top-k | new]. All candidates are HBM-resident here —
+  PQ codes are 21× smaller than the keys they index (2×6 bits vs 128×16
+  bits per token-head), so the HBM cost of keeping full KV + codes on-chip is
+  what the reference paid in CPU RAM + PCIe traffic.
+
+State layout: see runtime/state.py. The local-window ring buffer + eviction
+machinery of cache_manager.py:212-228 reduces to a sliding slice because
+generated tokens are appended to the same ordered tail that prefill tokens
+occupy; new tokens are PQ-encoded at append time (equivalent to the
+reference's boundary-crossing predict_index_gpu, pq_search.py:346-354).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core import pq
+from pqcache_tpu.core.budget import Budget
+from pqcache_tpu.ops.attention_xla import chunked_attention, decode_window_attention
+from pqcache_tpu.policies.base import register_policy
+from pqcache_tpu.runtime.state import PQState, make_pq_state
+
+
+@register_policy("pq_search")
+class PQSearchPolicy:
+    def __init__(self, cfg: EngineConfig, budget: Budget):
+        self.cfg = cfg
+        self.budget = budget
+        m = cfg.model
+        self.S = cfg.pq.n_subvec_per_head
+        self.C = cfg.pq.n_centroids
+        self.d_sub = m.head_dim // self.S
+        self.metric = cfg.pq.metric
+        self.group = m.num_groups
+        self.H_kv = m.num_kv_heads
+        self.D = m.head_dim
+
+    # -- helpers ----------------------------------------------------------
+
+    def _to_groups(self, x: jax.Array) -> jax.Array:
+        """[H_kv, T, D] → [H_kv*S, T, d_sub] subvector groups."""
+        H_kv, T, _ = x.shape
+        return (x.reshape(H_kv, T, self.S, self.d_sub)
+                .transpose(0, 2, 1, 3)
+                .reshape(H_kv * self.S, T, self.d_sub))
+
+    # -- prefill ----------------------------------------------------------
+
+    def init_state(self, dtype=jnp.bfloat16) -> PQState:
+        return make_pq_state(self.cfg, self.budget, dtype=dtype)
+
+    def prefill_attn(self, layer_state: PQState, q, k, v, pad_len, true_len):
+        b = self.budget
+        P = q.shape[1]
+        out, _ = chunked_attention(q, k, v, valid_lo=pad_len, causal=True)
+
+        # Left-padded prompt → roll so real tokens start at index 0; the
+        # rolled-around garbage lands after the valid region where n_cand /
+        # valid_len masks already hide it.
+        shift = -pad_len.astype(jnp.int32)
+        k_r = jnp.roll(k, shift, axis=1)
+        v_r = jnp.roll(v, shift, axis=1)
+        k_sink, v_sink = k_r[:, :b.sink], v_r[:, :b.sink]
+        k_tail_src, v_tail_src = k_r[:, b.sink:], v_r[:, b.sink:]  # [H_kv, P-sink, D]
+        n_valid_tail = (true_len - b.sink).astype(jnp.int32)
+
+        # Codebook training over non-sink keys (pq_search.py:240-249).
+        xb = self._to_groups(k_tail_src)  # [G, P-sink, d_sub]
+        if self.metric == "ip":
+            xb, phi = pq.ip2l2_lift(xb, n_valid_tail)
+        else:
+            phi = jnp.zeros((self.H_kv * self.S, 1, 1), jnp.float32)
+        res = pq.kmeans(xb, self.C, iters=self.cfg.pq.kmeans_iters,
+                        seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail)
+        centroids = res.centroids.reshape(
+            self.H_kv, self.S, self.C, xb.shape[-1])
+        codes_src = res.codes.reshape(self.H_kv, self.S, P - b.sink)
+
+        tdtype = layer_state.k_tail.dtype
+        k_tail = jax.lax.dynamic_update_slice(
+            layer_state.k_tail, k_tail_src.astype(tdtype), (0, 0, 0))
+        v_tail = jax.lax.dynamic_update_slice(
+            layer_state.v_tail, v_tail_src.astype(tdtype), (0, 0, 0))
+        codes = jax.lax.dynamic_update_slice(
+            layer_state.codes, codes_src, (0, 0, 0))
+
+        new = layer_state.replace(
+            k_sink=k_sink.astype(tdtype), v_sink=v_sink.astype(tdtype),
+            k_tail=k_tail, v_tail=v_tail, codes=codes,
+            centroids=centroids, phi=phi,
+            n_cand=jnp.maximum(n_valid_tail - b.local, 0),
+            pos=true_len.astype(jnp.int32))
+        return out, new
+
+    # -- decode -----------------------------------------------------------
+
+    def decode_attn(self, layer_state: PQState, q, k_new, v_new, shared):
+        b = self.budget
+        n_cand = shared["n_cand"]
+        H = q.shape[0]
+
+        # ADC scoring (pq_search.py:307-322 / :397-417)
+        q_sub = q.reshape(H, self.S, self.d_sub)
+        if self.metric == "euc":
+            lut = pq.adc_lut_euc(q_sub, layer_state.centroids)
+        else:
+            lut = pq.adc_lut_ip(pq.lift_query(q_sub), layer_state.centroids)
+        scores = pq.adc_gather_scores(lut, layer_state.codes)  # [H, N_tail]
+        topk_idx, _ = pq.mips_topk(
+            scores, n_cand, b.topk, group=self.group, head_dim=self.D,
+            metric=self.metric)  # [H_kv, topk]
+
+        # Gather retrieved KV (the reference's
+        # fetch_and_concat_kv_w_cache, cache_manager.py:299-428 — here a
+        # single HBM gather, no hit/miss split, no PCIe staging).
+        k_top = jnp.take_along_axis(
+            layer_state.k_tail, topk_idx[:, :, None], axis=1)
+        v_top = jnp.take_along_axis(
+            layer_state.v_tail, topk_idx[:, :, None], axis=1)
+
+        # Local window = sliding slice of the tail.
+        k_local = jax.lax.dynamic_slice(
+            layer_state.k_tail, (0, n_cand, 0), (self.H_kv, b.local, self.D))
+        v_local = jax.lax.dynamic_slice(
+            layer_state.v_tail, (0, n_cand, 0), (self.H_kv, b.local, self.D))
+
+        dt = layer_state.k_tail.dtype
+        k_win = jnp.concatenate(
+            [layer_state.k_sink, k_local, k_top, k_new.astype(dt)], axis=1)
+        v_win = jnp.concatenate(
+            [layer_state.v_sink, v_local, v_top, v_new.astype(dt)], axis=1)
+
+        ones = lambda n: jnp.ones((self.H_kv, n), bool)
+        win_mask = jnp.concatenate(
+            [ones(b.sink), ones(b.local), topk_idx < n_cand, ones(1)], axis=1)
+        out = decode_window_attention(q, k_win, v_win, win_mask)
+
+        # Append + encode the new token (pq_search.py:343-354, collapsed:
+        # encode at append time instead of at local-window exit).
+        slot = n_cand + b.local
+        k_tail = jax.lax.dynamic_update_slice(
+            layer_state.k_tail, k_new.astype(dt), (0, slot, 0))
+        v_tail = jax.lax.dynamic_update_slice(
+            layer_state.v_tail, v_new.astype(dt), (0, slot, 0))
+        x_new = self._to_groups(k_new)  # [G, 1, d_sub]
+        if self.metric == "ip":
+            x_new = pq.ip2l2_lift_with_phi(x_new, layer_state.phi)
+        cent_flat = layer_state.centroids.reshape(
+            self.H_kv * self.S, self.C, -1)
+        new_codes = pq.pq_encode(x_new, cent_flat).reshape(self.H_kv, self.S, 1)
+        codes = jax.lax.dynamic_update_slice(
+            layer_state.codes, new_codes, (0, 0, slot))
+
+        new = layer_state.replace(k_tail=k_tail, v_tail=v_tail, codes=codes)
+        return out, new
+
+    def shared_pre(self, state: PQState):
+        return {"n_cand": state.n_cand}
+
+    def shared_post(self, state: PQState, shared):
+        # One token appended per step: the oldest local token becomes a
+        # retrieval candidate (the reference's add_new_token ring advance,
+        # cache_manager.py:224-226).
+        return state.replace(n_cand=state.n_cand + 1, pos=state.pos + 1)

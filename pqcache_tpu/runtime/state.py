@@ -1,0 +1,109 @@
+"""Sequence-state pytrees: the TPU-native replacement for the reference's KV
+memory hierarchy (cache_manager.py) and PQ bookkeeping (pq_search.py fields).
+
+Layout rationale
+----------------
+The reference scatters one sequence's state across: per-layer pinned CPU
+key/value buffers (cache_manager.py:89-100), a GPU block cache (:119-120), a
+GPU compute buffer (:174-177), python-side codebook/code tensors
+(pq_search.py:163-164), and ring-buffer counters (:179-180). Here the same
+information is ONE pytree of fixed-shape arrays, stacked over layers so the
+whole decoder step is a single `lax.scan`:
+
+  * ``k_sink/v_sink``: the first `sink` prompt tokens, kept verbatim.
+  * ``k_tail/v_tail``: every non-sink token in sequence order — prefill
+    tokens first, generated tokens appended. Because generated tokens are
+    appended in order, the reference's local-window ring buffer + eviction
+    copy (cache_manager.py:212-228) degenerates to a *sliding slice*:
+    retrieval candidates are ``tail[:n_cand]`` and the local window is
+    ``tail[n_cand : n_cand + local]``. Eviction = incrementing ``n_cand``.
+  * ``codes``: PQ codes aligned with ``k_tail`` (the reference's reserved
+    shared code buffer, multi_core_compressor_v2.py:47-51). New tokens are
+    encoded at append time instead of at window-exit time
+    (pq_search.py:346-354) — same codes, simpler control flow.
+  * ``n_cand``: ONE scalar for all layers (the reference likewise advances
+    its counters only on layer 0, cache_manager.py:224-226).
+
+All shapes are static; prompts are left-padded to a bucket length and tail
+arrays are rolled so padding lands *after* the valid region, where the
+existing ``n_cand`` masks hide it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core.budget import Budget
+
+
+@struct.dataclass
+class PQState:
+    """Stacked-over-layers PQ retrieval state for one sequence."""
+
+    k_sink: jax.Array     # [L, H_kv, sink, D]
+    v_sink: jax.Array     # [L, H_kv, sink, D]
+    k_tail: jax.Array     # [L, H_kv, N_tail, D]
+    v_tail: jax.Array     # [L, H_kv, N_tail, D]
+    codes: jax.Array      # [L, H_kv, S, N_tail] int32
+    centroids: jax.Array  # [L, H_kv, S, C, d_lift] f32 (d_lift = d_sub (+1 for ip))
+    phi: jax.Array        # [L, H_kv * S, 1, 1] f32 — ip2l2 lift constant (euc: zeros)
+    n_cand: jax.Array     # i32 scalar: valid retrieval candidates in tail
+    pos: jax.Array        # i32 scalar: absolute position of the next token
+    # Tokens present in the tail are always n_cand + budget.local (candidates
+    # + local window); no separate counter is kept.
+
+
+@struct.dataclass
+class DenseState:
+    """Plain KV cache for the `original` policy (and the score-based
+    policies, which keep full KV and mask — baseline_compressor.py:205-294)."""
+
+    k_cache: jax.Array    # [L, H_kv, T_max, D]
+    v_cache: jax.Array    # [L, H_kv, T_max, D]
+    length: jax.Array     # i32 scalar: tokens written (== next write slot)
+    start: jax.Array      # i32 scalar: first valid slot (left-pad offset)
+    pos: jax.Array        # i32 scalar: absolute position of the next token
+    scores: Optional[jax.Array] = None  # [L, H_kv, T_max] accumulated (h2o)
+    mask: Optional[jax.Array] = None    # [L, H_kv, T_max] bool keep-mask (h2o)
+
+
+def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16) -> PQState:
+    m = cfg.model
+    S = cfg.pq.n_subvec_per_head
+    C = cfg.pq.n_centroids
+    d_sub = m.head_dim // S
+    d_lift = d_sub + (1 if cfg.pq.metric == "ip" else 0)
+    L, H_kv, D = m.num_layers, m.num_kv_heads, m.head_dim
+    N_tail = budget.n_tail_max
+    z = lambda *s: jnp.zeros(s, dtype)
+    return PQState(
+        k_sink=z(L, H_kv, budget.sink, D),
+        v_sink=z(L, H_kv, budget.sink, D),
+        k_tail=z(L, H_kv, N_tail, D),
+        v_tail=z(L, H_kv, N_tail, D),
+        codes=jnp.zeros((L, H_kv, S, N_tail), jnp.int32),
+        centroids=jnp.zeros((L, H_kv, S, C, d_lift), jnp.float32),
+        phi=jnp.zeros((L, H_kv * S, 1, 1), jnp.float32),
+        n_cand=jnp.zeros((), jnp.int32),
+        pos=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_dense_state(cfg: EngineConfig, max_len: int, *, with_scores: bool = False,
+                     dtype=jnp.bfloat16) -> DenseState:
+    m = cfg.model
+    L, H_kv, D = m.num_layers, m.num_kv_heads, m.head_dim
+    return DenseState(
+        k_cache=jnp.zeros((L, H_kv, max_len, D), dtype),
+        v_cache=jnp.zeros((L, H_kv, max_len, D), dtype),
+        length=jnp.zeros((), jnp.int32),
+        start=jnp.zeros((), jnp.int32),
+        pos=jnp.zeros((), jnp.int32),
+        scores=jnp.zeros((L, H_kv, max_len), jnp.float32) if with_scores else None,
+        mask=jnp.ones((L, H_kv, max_len), bool) if with_scores else None,
+    )

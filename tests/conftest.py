@@ -1,0 +1,29 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The reference has no test suite (SURVEY.md §4); we use JAX host-device
+simulation so PQ math, kernels (interpret mode), and multi-chip shardings are
+all exercised in CI without TPU hardware.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize registers the TPU-tunnel backend in every
+# interpreter when this is set; tests must run on the virtual CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon sitecustomize's register() overrides jax_platforms to "axon,cpu"
+# at interpreter start; point it back at the virtual CPU mesh before any
+# backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()
