@@ -1,0 +1,236 @@
+"""From-scratch llama-family decoder (covers Llama-2 / Llama-3.1 / Mistral).
+
+The reference integrates by monkey-patching HuggingFace transformers
+(mistral_patch.py / llama31_patch.py / llama_patch.py — one ~570-line patch
+file per model family). Here the decoder is ~200 lines of pure JAX, written
+once: all three families share the computation graph (RMSNorm → GQA
+attention with RoPE → SwiGLU MLP) and differ only in ModelConfig numbers
+(rope theta/scaling, head counts, vocab).
+
+TPU-first choices:
+  * parameters are stacked over layers ([L, ...]) and the decoder is a
+    single lax.scan — one compiled layer body instead of L inlined layers.
+  * attention policies (policies/) plug in at the attention site; their
+    per-layer state rides the same scan.
+  * the MLP runs in token chunks to bound activation memory — the
+    reference's 32 000-token chunked LN/MLP (mistral_patch.py:246-279) — and
+    the LM head is applied to the last position only (mistral_patch.py:546).
+  * matmuls stay in bf16 for the MXU; normalization and softmax in f32.
+
+Weight layout matches HF safetensors transposed to [in, out] so x @ W runs
+without per-call transposes. RoPE uses HF's rotate-half convention so HF
+checkpoints load unmodified.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import ModelConfig
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    """Random parameters with the exact pytree layout the loader produces."""
+    k = iter(jax.random.split(key, 16))
+    E, H, Hkv, D, I, L, V = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                             cfg.head_dim, cfg.intermediate_size,
+                             cfg.num_layers, cfg.vocab_size)
+    s = 0.02
+    n = lambda kk, *shape: (jax.random.normal(kk, shape, jnp.float32) * s).astype(dtype)
+    params = {
+        "embed": n(next(k), V, E),
+        "final_norm": jnp.ones((E,), dtype),
+        "layers": {
+            "ln1": jnp.ones((L, E), dtype),
+            "ln2": jnp.ones((L, E), dtype),
+            "wq": n(next(k), L, E, H * D),
+            "wk": n(next(k), L, E, Hkv * D),
+            "wv": n(next(k), L, E, Hkv * D),
+            "wo": n(next(k), L, H * D, E),
+            "gate": n(next(k), L, E, I),
+            "up": n(next(k), L, E, I),
+            "down": n(next(k), L, I, E),
+        },
+    }
+    params["lm_head"] = (params["embed"].T if cfg.tie_word_embeddings
+                         else n(next(k), E, V))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Primitive blocks
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_inv_freq(cfg: ModelConfig) -> jax.Array:
+    """Base inverse frequencies, with Llama-3.1 rope scaling when configured
+    (HF modeling_rope_utils _compute_llama3_parameters)."""
+    D = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D))
+    if cfg.rope_scaling_factor is not None:
+        factor = cfg.rope_scaling_factor
+        lo = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+        hi = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+        wavelen = 2.0 * jnp.pi / inv
+        smooth = (cfg.rope_original_max_position / wavelen
+                  - cfg.rope_low_freq_factor) / (
+                      cfg.rope_high_freq_factor - cfg.rope_low_freq_factor)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = (1.0 - smooth) * inv / factor + smooth * inv
+        inv = jnp.where(wavelen > lo, inv / factor,
+                        jnp.where(wavelen < hi, inv, scaled))
+    return inv
+
+
+def rope_cos_sin(cfg: ModelConfig, positions: jax.Array):
+    """positions [T] i32 → (cos, sin) [T, D/2] f32."""
+    inv = rope_inv_freq(cfg)
+    ang = positions.astype(jnp.float32)[:, None] * inv[None, :]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF rotate-half convention. x [Hx, T, D]; cos/sin [T, D/2]."""
+    D = x.shape[-1]
+    x1, x2 = x[..., : D // 2], x[..., D // 2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1).astype(x.dtype)
+
+
+def mlp(lp: dict, x: jax.Array, chunk: int = 4096) -> jax.Array:
+    """SwiGLU MLP, token-chunked to bound the [T, I] activations — the
+    reference's chunked-MLP memory bound (mistral_patch.py:246-279)."""
+    T = x.shape[0]
+
+    def one(xc):
+        g = jax.nn.silu(xc @ lp["gate"])
+        return (g * (xc @ lp["up"])) @ lp["down"]
+
+    if T <= chunk or T % chunk != 0:
+        return one(x)
+    xc = x.reshape(T // chunk, chunk, -1)
+    return jax.lax.map(one, xc).reshape(T, -1)
+
+
+# ---------------------------------------------------------------------------
+# Decoder steps (scan over layers; policy plugs in at the attention site)
+
+def _split_layer_mask(state: Any, L: int):
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    mask = [getattr(l, "ndim", 0) > 0 and l.shape[0] == L for l in leaves]
+    return leaves, treedef, mask
+
+
+def _layer_xs(leaves, mask):
+    return [l if m else None for l, m in zip(leaves, mask)]
+
+
+def _merge_layer(xs_leaves, scalar_leaves, mask, treedef):
+    merged = [x if m else s
+              for x, s, m in zip(xs_leaves, scalar_leaves, mask)]
+    return jax.tree_util.tree_unflatten(treedef, merged)
+
+
+def _qkv(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
+    T = h_norm.shape[0]
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = (h_norm @ lp["wq"]).reshape(T, H, D).transpose(1, 0, 2)
+    k = (h_norm @ lp["wk"]).reshape(T, Hkv, D).transpose(1, 0, 2)
+    v = (h_norm @ lp["wv"]).reshape(T, Hkv, D).transpose(1, 0, 2)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
+def _layer_fwd(cfg: ModelConfig, lp: dict, hidden, attn_fn, cos, sin):
+    """One decoder layer; attn_fn(q, k, v) -> (attn_out, layer_state_out)."""
+    T = hidden.shape[0]
+    h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+    q, k, v = _qkv(cfg, lp, h_norm, cos, sin)
+    attn, ls_out = attn_fn(q, k, v)
+    attn = attn.transpose(1, 0, 2).reshape(T, cfg.num_heads * cfg.head_dim)
+    hidden = hidden + attn @ lp["wo"]
+    h_norm2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
+    hidden = hidden + mlp(lp, h_norm2)
+    return hidden, ls_out
+
+
+def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
+            tokens: jax.Array, pad_len: jax.Array, true_len: jax.Array
+            ) -> Tuple[jax.Array, Any]:
+    """Process a LEFT-padded prompt. tokens [P] i32; positions [0, pad_len)
+    are padding. Returns (last-token logits [V], updated state)."""
+    P = tokens.shape[0]
+    L = cfg.num_layers
+    pad_len = jnp.asarray(pad_len, jnp.int32)
+    true_len = jnp.asarray(true_len, jnp.int32)
+
+    hidden = jnp.take(params["embed"], tokens, axis=0)
+    positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_len, 0)
+    cos, sin = rope_cos_sin(cfg, positions)
+
+    leaves, treedef, mask = _split_layer_mask(state, L)
+    xs_state = _layer_xs(leaves, mask)
+    scalars = leaves
+
+    def body(hidden, xs):
+        lp, ls_leaves = xs
+        layer_state = _merge_layer(ls_leaves, scalars, mask, treedef)
+        attn_fn = lambda q, k, v: policy.prefill_attn(
+            layer_state, q, k, v, pad_len, true_len)
+        hidden, ls_out = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
+        out_leaves = jax.tree_util.tree_flatten(ls_out)[0]
+        return hidden, out_leaves
+
+    hidden, ys = jax.lax.scan(body, hidden, (params["layers"], xs_state))
+    # layer leaves come back stacked [L, ...]; scalar leaves stacked [L]
+    # carry identical per-layer values — take layer 0's.
+    new_leaves = [y if m else jax.tree_util.tree_map(lambda a: a[0], y)
+                  for y, m in zip(ys, mask)]
+    new_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    last = rms_norm(hidden[P - 1:P], params["final_norm"], cfg.rms_norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    return logits, new_state
+
+
+def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
+                token: jax.Array, pos: jax.Array) -> Tuple[jax.Array, Any]:
+    """One greedy-decode step. token i32 scalar; pos = absolute position.
+    Returns (logits [V], updated state)."""
+    L = cfg.num_layers
+    hidden = jnp.take(params["embed"], token[None], axis=0)  # [1, E]
+    cos, sin = rope_cos_sin(cfg, pos[None].astype(jnp.int32))
+
+    shared = policy.shared_pre(state)
+    leaves, treedef, mask = _split_layer_mask(state, L)
+    xs_state = _layer_xs(leaves, mask)
+    scalars = leaves
+
+    def body(hidden, xs):
+        lp, ls_leaves = xs
+        layer_state = _merge_layer(ls_leaves, scalars, mask, treedef)
+        attn_fn = lambda q, k, v: policy.decode_attn(
+            layer_state, q, k, v, shared)
+        hidden, ls_out = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
+        out_leaves = jax.tree_util.tree_flatten(ls_out)[0]
+        return hidden, out_leaves
+
+    hidden, ys = jax.lax.scan(body, hidden, (params["layers"], xs_state))
+    new_leaves = [y if m else jax.tree_util.tree_map(lambda a: a[0], y)
+                  for y, m in zip(ys, mask)]
+    new_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    new_state = policy.shared_post(new_state, shared)
+
+    last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    return logits, new_state

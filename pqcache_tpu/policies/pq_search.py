@@ -90,7 +90,8 @@ class PQSearchPolicy:
                         seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail)
         centroids = res.centroids.reshape(
             self.H_kv, self.S, self.C, xb.shape[-1])
-        codes_src = res.codes.reshape(self.H_kv, self.S, P - b.sink)
+        codes_src = res.codes.reshape(
+            self.H_kv, self.S, P - b.sink).astype(layer_state.codes.dtype)
 
         tdtype = layer_state.k_tail.dtype
         k_tail = jax.lax.dynamic_update_slice(
@@ -163,7 +164,8 @@ class PQSearchPolicy:
             x_new = pq.ip2l2_lift_with_phi(x_new, layer_state.phi)
         cent_flat = layer_state.centroids.reshape(
             self.H_kv * self.S, self.C, -1)
-        new_codes = pq.pq_encode(x_new, cent_flat).reshape(self.H_kv, self.S, 1)
+        new_codes = pq.pq_encode(x_new, cent_flat).reshape(
+            self.H_kv, self.S, 1).astype(layer_state.codes.dtype)
         codes = jax.lax.dynamic_update_slice(
             layer_state.codes, new_codes, (0, 0, slot))
 

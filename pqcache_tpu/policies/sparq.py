@@ -45,7 +45,7 @@ class SparqPolicy:
         self.max_len = budget.prefill_len + budget.max_new_tokens
         m = cfg.model
         self.H_kv, self.group, self.D = m.num_kv_heads, m.num_groups, m.head_dim
-        self.r = cfg.runtime.sparq_topr
+        self.r = min(cfg.runtime.sparq_topr, m.head_dim)
         self.mean_v_trick = cfg.runtime.sparq_mean_v_trick
         # sparq.py:63-64: budget_size = ctx * compress, local = budget * rec
         self.k_budget = int(budget.prefill_len * cfg.budget.compress_ratio)

@@ -1,0 +1,149 @@
+"""Generation engine: bucketed prefill + jitted greedy decode loop.
+
+Replaces the reference's HF `model.generate` driver (vq_pred.py:166-185,
+greedy, batch 1) with an engine that:
+
+  * left-pads prompts to a bucket length so each (bucket, config) pair
+    compiles exactly once (the reference re-runs eager torch per prompt);
+  * jits one fused decode step (all layers + policy retrieval + sampling)
+    with donated state so HBM buffers update in place;
+  * falls back to the `original` policy when the PQ budgets are degenerate
+    for a short prompt — the reference's code_book-is-None dense fallback
+    (pq_search.py:271-273).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core.budget import Budget, compute_budget, pq_is_applicable
+from pqcache_tpu.models import llama
+from pqcache_tpu.policies.base import get_policy
+
+
+def bucket_length(n: int, bucket: int, minimum: int = 128) -> int:
+    b = max(minimum, ((n + bucket - 1) // bucket) * bucket)
+    return b
+
+
+@dataclass
+class GenerateResult:
+    tokens: list            # generated token ids (ints)
+    prefill_seconds: float  # wall time of the prefill call (compile excluded
+                            # on repeat calls with the same bucket)
+    decode_seconds: float   # wall time of the decode loop
+    policy_name: str
+
+
+class Engine:
+    """Single-sequence generation engine (batch via outer vmap later)."""
+
+    def __init__(self, cfg: EngineConfig, params: dict,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.dtype = dtype
+        self._prefill_cache = {}
+        self._decode_cache = {}
+
+    # -- jit caches --------------------------------------------------------
+
+    def _fns(self, P: int, max_new: int, policy_name: str):
+        key = (P, max_new, policy_name)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+        cfg = self.cfg
+        budget = compute_budget(cfg.budget, P, max_new)
+        eff = (cfg if policy_name == cfg.runtime.policy
+               else _with_policy(cfg, policy_name))
+        policy = get_policy(eff, budget)
+
+        def prefill_fn(params, state, tokens, pad_len, true_len):
+            return llama.prefill(cfg.model, params, policy, state,
+                                 tokens, pad_len, true_len)
+
+        def decode_fn(params, state, token, pos):
+            return llama.decode_step(cfg.model, params, policy, state,
+                                     token, pos)
+
+        prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,))
+        decode_jit = jax.jit(decode_fn, donate_argnums=(1,))
+        out = (policy, budget, prefill_jit, decode_jit)
+        self._prefill_cache[key] = out
+        return out
+
+    def pick_policy(self, true_len: int, P: int) -> str:
+        """Host-side policy selection incl. the short-prompt dense fallback."""
+        name = self.cfg.runtime.policy
+        if name != "pq_search":
+            return name
+        b = compute_budget(self.cfg.budget, P, self.cfg.runtime.max_new_tokens)
+        # budgets are sized from the bucket P but validity depends on the
+        # true length (candidates live in [0, true_len - sink - local)).
+        runtime_cand = true_len - b.sink - b.local
+        if (not pq_is_applicable(b, self.cfg.pq.n_centroids)
+                or runtime_cand < max(b.topk, 1)):
+            return "original"
+        return name
+
+    # -- public API --------------------------------------------------------
+
+    def generate(self, prompt_ids, max_new_tokens: Optional[int] = None,
+                 eos_ids=(), collect_timing: bool = False) -> GenerateResult:
+        import time
+
+        cfg = self.cfg
+        max_new = max_new_tokens or cfg.runtime.max_new_tokens
+        ids = np.asarray(prompt_ids, np.int32)
+        true_len = int(ids.shape[0])
+        P = bucket_length(true_len, cfg.runtime.prefill_bucket)
+        P = min(P, cfg.runtime.max_seq_len)
+        if true_len > P:  # middle truncation is the harness's job
+            raise ValueError(f"prompt {true_len} exceeds max_seq_len {P}")
+
+        policy_name = self.pick_policy(true_len, P)
+        policy, budget, prefill_jit, decode_jit = self._fns(
+            P, max_new, policy_name)
+
+        pad = P - true_len
+        tokens = np.zeros((P,), np.int32)
+        tokens[pad:] = ids
+        state = policy.init_state(self.dtype)
+
+        t0 = time.perf_counter()
+        logits, state = prefill_jit(
+            self.params, state, jnp.asarray(tokens),
+            jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
+        next_tok = int(jnp.argmax(logits))
+        t1 = time.perf_counter()
+
+        out_tokens = [next_tok]
+        pos = true_len
+        for _ in range(max_new - 1):
+            if next_tok in eos_ids:
+                break
+            logits, state = decode_jit(
+                self.params, state, jnp.asarray(next_tok, jnp.int32),
+                jnp.asarray(pos, jnp.int32))
+            next_tok = int(jnp.argmax(logits))
+            out_tokens.append(next_tok)
+            pos += 1
+        jax.block_until_ready(logits)
+        t2 = time.perf_counter()
+
+        return GenerateResult(tokens=out_tokens, prefill_seconds=t1 - t0,
+                              decode_seconds=t2 - t1,
+                              policy_name=policy_name)
+
+
+def _with_policy(cfg: EngineConfig, name: str) -> EngineConfig:
+    import dataclasses
+    return dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, policy=name))

@@ -49,7 +49,7 @@ class PQState:
     v_sink: jax.Array     # [L, H_kv, sink, D]
     k_tail: jax.Array     # [L, H_kv, N_tail, D]
     v_tail: jax.Array     # [L, H_kv, N_tail, D]
-    codes: jax.Array      # [L, H_kv, S, N_tail] int32
+    codes: jax.Array      # [L, H_kv, S, N_tail] int8 (C <= 256 centroids)
     centroids: jax.Array  # [L, H_kv, S, C, d_lift] f32 (d_lift = d_sub (+1 for ip))
     phi: jax.Array        # [L, H_kv * S, 1, 1] f32 — ip2l2 lift constant (euc: zeros)
     n_cand: jax.Array     # i32 scalar: valid retrieval candidates in tail
@@ -86,7 +86,7 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16) -> PQSt
         v_sink=z(L, H_kv, budget.sink, D),
         k_tail=z(L, H_kv, N_tail, D),
         v_tail=z(L, H_kv, N_tail, D),
-        codes=jnp.zeros((L, H_kv, S, N_tail), jnp.int32),
+        codes=jnp.zeros((L, H_kv, S, N_tail), jnp.int8),
         centroids=jnp.zeros((L, H_kv, S, C, d_lift), jnp.float32),
         phi=jnp.zeros((L, H_kv * S, 1, 1), jnp.float32),
         n_cand=jnp.zeros((), jnp.int32),
