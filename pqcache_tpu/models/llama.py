@@ -234,3 +234,28 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
     last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
     return logits, new_state
+
+
+def decode_loop(cfg: ModelConfig, params: dict, policy, state: Any,
+                token: jax.Array, pos: jax.Array, n_steps: int
+                ) -> Tuple[jax.Array, Any]:
+    """Greedy-decode n_steps tokens in ONE device program (scan over steps,
+    each step scanning over layers). This replaces the reference's
+    one-token-per-host-roundtrip HF generate loop — on TPU the whole
+    generation runs on-device and only the final token ids come back.
+
+    Returns (tokens [n_steps] i32 — token fed at step 0 is `token`, output
+    starts with its successor... precisely: tokens[i] is the model's output
+    after consuming the (i-1)-th output, with tokens[-1] unconsumed).
+    """
+
+    def body(carry, _):
+        tok, p, st = carry
+        logits, st = decode_step(cfg, params, policy, st, tok, p)
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        return (nxt, p + 1, st), nxt
+
+    (_, _, state), toks = jax.lax.scan(
+        body, (token.astype(jnp.int32), pos.astype(jnp.int32), state),
+        None, length=n_steps)
+    return toks, state

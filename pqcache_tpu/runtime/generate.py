@@ -66,15 +66,17 @@ class Engine:
         policy = get_policy(eff, budget)
 
         def prefill_fn(params, state, tokens, pad_len, true_len):
-            return llama.prefill(cfg.model, params, policy, state,
-                                 tokens, pad_len, true_len)
+            logits, st = llama.prefill(cfg.model, params, policy, state,
+                                       tokens, pad_len, true_len)
+            return jnp.argmax(logits).astype(jnp.int32), st
 
-        def decode_fn(params, state, token, pos):
-            return llama.decode_step(cfg.model, params, policy, state,
-                                     token, pos)
+        def decode_fn(params, state, token, pos, n_steps):
+            return llama.decode_loop(cfg.model, params, policy, state,
+                                     token, pos, n_steps)
 
         prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,))
-        decode_jit = jax.jit(decode_fn, donate_argnums=(1,))
+        decode_jit = jax.jit(decode_fn, donate_argnums=(1,),
+                             static_argnums=(4,))
         out = (policy, budget, prefill_jit, decode_jit)
         self._prefill_cache[key] = out
         return out
@@ -118,24 +120,37 @@ class Engine:
         state = policy.init_state(self.dtype)
 
         t0 = time.perf_counter()
-        logits, state = prefill_jit(
+        first_tok, state = prefill_jit(
             self.params, state, jnp.asarray(tokens),
             jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
-        next_tok = int(jnp.argmax(logits))
+        next_tok = int(first_tok)
         t1 = time.perf_counter()
 
+        # Decode runs fully on-device in fused chunks (lax.scan over steps):
+        # no EOS → one chunk of exactly max_new-1; with EOS, fixed-size
+        # chunks so we can stop between device calls (a tunnel/PCIe round
+        # trip per chunk instead of per token).
         out_tokens = [next_tok]
         pos = true_len
-        for _ in range(max_new - 1):
-            if next_tok in eos_ids:
-                break
-            logits, state = decode_jit(
+        remaining = max_new - 1
+        # fixed chunk size → one compiled loop program; the tail chunk may
+        # overshoot max_new and is trimmed below
+        chunk = remaining if not eos_ids else min(32, max(remaining, 1))
+        stop = next_tok in eos_ids
+        while remaining > 0 and not stop and chunk > 0:
+            toks, state = decode_jit(
                 self.params, state, jnp.asarray(next_tok, jnp.int32),
-                jnp.asarray(pos, jnp.int32))
-            next_tok = int(jnp.argmax(logits))
-            out_tokens.append(next_tok)
-            pos += 1
-        jax.block_until_ready(logits)
+                jnp.asarray(pos, jnp.int32), chunk)
+            toks = np.asarray(toks).tolist()
+            pos += chunk
+            remaining -= chunk
+            for t in toks:
+                out_tokens.append(int(t))
+                if int(t) in eos_ids:
+                    stop = True
+                    break
+            next_tok = out_tokens[-1]
+        out_tokens = out_tokens[:max_new]
         t2 = time.perf_counter()
 
         return GenerateResult(tokens=out_tokens, prefill_seconds=t1 - t0,
