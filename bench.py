@@ -24,6 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pqcache_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
                                     PQConfig, RuntimeConfig)
     from pqcache_tpu.models import llama

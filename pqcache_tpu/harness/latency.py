@@ -1,0 +1,82 @@
+"""Latency harness: TTFT / TT2T / steady per-token decode across context
+lengths — the reference's test_latency.py:74-141 protocol, adapted to the
+fused-decode engine (per-token time is measured from an on-device 28-step
+loop, matching the reference's (elapsed-TT2T)/28 estimator at :114-136).
+
+Usage: python -m pqcache_tpu.harness.latency [--ctx 4096 8192 ...]
+Emits one JSON line per (ctx, policy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run(args) -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
+                                    PQConfig, RuntimeConfig)
+    from pqcache_tpu.models import llama
+    from pqcache_tpu.runtime.generate import Engine
+
+    model = ModelConfig(
+        name=f"llama31-{args.layers}L",
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=args.layers, num_heads=32, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, rope_scaling_factor=8.0,
+        max_position_embeddings=131072)
+    params = llama.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    rows = []
+    for policy in args.policies:
+        for ctx in args.ctx:
+            cfg = EngineConfig(
+                model=model,
+                pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+                budget=BudgetConfig(compress_ratio=args.compress,
+                                    recent_ratio=0.5, sink_size=32),
+                runtime=RuntimeConfig(policy=policy, prefill_bucket=1024,
+                                      max_new_tokens=32,
+                                      max_seq_len=max(args.ctx) + 2048),
+            )
+            eng = Engine(cfg, params)
+            ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
+
+            # TTFT: prefill + first token (rep 0 also compiles; re-measure)
+            eng.generate(ids, max_new_tokens=2)
+            r1 = eng.generate(ids, max_new_tokens=1)
+            ttft = r1.prefill_seconds
+            r2 = eng.generate(ids, max_new_tokens=2)
+            tt2t = r2.decode_seconds
+            r30 = eng.generate(ids, max_new_tokens=30)
+            per_token = (r30.decode_seconds) / max(len(r30.tokens) - 1, 1)
+            row = {"policy": policy, "ctx": ctx, "ttft_s": round(ttft, 4),
+                   "tt2t_s": round(tt2t, 4),
+                   "per_token_ms": round(per_token * 1e3, 3),
+                   "decode_tok_s": round(1.0 / per_token, 2)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            del eng
+    return rows
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ctx", type=int, nargs="*",
+                   default=[4096, 8192, 16384, 24576])
+    p.add_argument("--layers", type=int, default=8)
+    p.add_argument("--compress", type=float, default=0.2)
+    p.add_argument("--policies", nargs="*",
+                   default=["pq_search", "original"])
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    run(parse_args())

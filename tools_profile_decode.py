@@ -1,0 +1,73 @@
+"""Scratch profiler: per-policy fused-decode step time on the live device.
+
+Usage: python tools_profile_decode.py [policy ...]   (default: both)
+Env: CTX (4096), LAYERS (2), STEPS (8)
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pqcache_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
+                                PQConfig, RuntimeConfig)
+from pqcache_tpu.core.budget import compute_budget
+from pqcache_tpu.models import llama
+from pqcache_tpu.policies.base import get_policy
+
+CTX = int(os.environ.get("CTX", "4096"))
+LAYERS = int(os.environ.get("LAYERS", "2"))
+STEPS = int(os.environ.get("STEPS", "8"))
+
+model = ModelConfig(
+    name=f"prof{LAYERS}L", vocab_size=128256, hidden_size=4096,
+    intermediate_size=14336, num_layers=LAYERS, num_heads=32, num_kv_heads=8,
+    head_dim=128, rope_theta=500000.0, rope_scaling_factor=8.0,
+    max_position_embeddings=131072)
+params = llama.init_params(model, jax.random.PRNGKey(0))
+
+
+def run(name):
+    cfg = EngineConfig(
+        model=model,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+        budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
+        runtime=RuntimeConfig(policy=name, prefill_bucket=1024,
+                              max_new_tokens=64, max_seq_len=CTX * 2))
+    budget = compute_budget(cfg.budget, CTX, 64)
+    policy = get_policy(cfg, budget)
+    st = policy.init_state(jnp.bfloat16)
+    if name == "pq_search":
+        st = st.replace(n_cand=jnp.asarray(budget.n_cand_init, jnp.int32),
+                        pos=jnp.asarray(CTX, jnp.int32))
+    elif hasattr(st, "length"):
+        st = st.replace(length=jnp.asarray(CTX, jnp.int32),
+                        pos=jnp.asarray(CTX, jnp.int32))
+
+    f = jax.jit(lambda p, s, t, pos: llama.decode_loop(
+        model, p, policy, s, t, pos, STEPS))
+    t0 = time.perf_counter()
+    toks, st = f(params, st, jnp.asarray(3, jnp.int32),
+                 jnp.asarray(CTX, jnp.int32))
+    np.asarray(toks)
+    print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s", flush=True)
+    for rep in range(3):
+        t0 = time.perf_counter()
+        toks, st = f(params, st, jnp.asarray(3, jnp.int32),
+                     jnp.asarray(CTX + STEPS * (rep + 1), jnp.int32))
+        np.asarray(toks)
+        dt = (time.perf_counter() - t0) / STEPS * 1e3
+        print(f"{name}: {dt:.2f} ms/step", flush=True)
+
+
+for nm in (sys.argv[1:] or ["original", "pq_search"]):
+    run(nm)
