@@ -63,8 +63,9 @@ def main():
     results = {}
     for policy in ("pq_search", "original"):
         eng = make_engine(policy)
-        # warm-up generation compiles prefill+decode; second run is timed
-        eng.generate(ids, max_new_tokens=4)
+        # warm-up compiles the prefill and the SAME-chunk decode loop that
+        # the timed run uses (chunk size is part of the compiled program)
+        eng.generate(ids, max_new_tokens=gen)
         res = eng.generate(ids, max_new_tokens=gen)
         assert res.policy_name == policy, res.policy_name
         steps = max(len(res.tokens) - 1, 1)

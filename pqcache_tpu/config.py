@@ -134,6 +134,7 @@ class RuntimeConfig:
     max_new_tokens: int = 512         # static decode-state reservation
     policy: Policy = "pq_search"
     gqa: bool = True                  # GQA-aware score reduction (run_llama.sh:18)
+    kernels: str = "auto"             # "auto" | "pallas" | "xla"
     # sparq knobs (vq_pred.py:47, 50)
     sparq_topr: int = 32
     sparq_mean_v_trick: bool = False

@@ -49,8 +49,9 @@ def run(args) -> list[dict]:
             eng = Engine(cfg, params)
             ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
 
-            # TTFT: prefill + first token (rep 0 also compiles; re-measure)
+            # warm-up compiles prefill + both decode-chunk programs
             eng.generate(ids, max_new_tokens=2)
+            eng.generate(ids, max_new_tokens=30)
             r1 = eng.generate(ids, max_new_tokens=1)
             ttft = r1.prefill_seconds
             r2 = eng.generate(ids, max_new_tokens=2)

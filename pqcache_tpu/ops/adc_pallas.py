@@ -1,0 +1,92 @@
+"""Pallas TPU kernel for ADC (asymmetric distance) score computation.
+
+The decode hot path must score every candidate token from its PQ codes:
+    scores[h, g, t] = sum_s LUT[h, g, s, codes[h, s, t]]
+(pq_search.py:316-317: qk_table gather + subvector sum). XLA lowers the
+code-indexed gather to a scalarized gather (~250M elem/s on TPU) — at 32k
+candidates × 8 layers that alone is tens of ms per token.
+
+This kernel reformulates the gather as an MXU matmul: for each candidate
+block, build the one-hot code matrix [S*C, BT] on the VPU with a single
+vectorized compare against an iota, then compute
+    scores_block[g, t] = LUT_flat[g, S*C] @ onehot[S*C, t].
+The LUT (a few KB) stays in VMEM across the block sweep; codes stream from
+HBM at 1 byte/token/subvec — the kernel is bandwidth-optimal in the code
+store, which is 64× smaller than the keys it summarizes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _adc_kernel(lut_ref, codes_ref, out_ref, *, n_subvec):
+    # lut_ref: [1, g, S*C] f32 (subvec-major flat); codes_ref: [1, S, BT]
+    # int8; out_ref: [1, g, BT] f32. Mosaic can't shape-cast across lanes,
+    # so the one-hot is built per-subvec and stacked along sublanes.
+    SC = lut_ref.shape[-1]
+    S = n_subvec
+    C = SC // S
+    BT = codes_ref.shape[-1]
+    codes = codes_ref[0].astype(jnp.int32)              # [S, BT]
+    cent_ids = jax.lax.broadcasted_iota(jnp.int32, (C, BT), 0)
+    parts = [(codes[s:s + 1, :] == cent_ids).astype(jnp.float32)
+             for s in range(S)]
+    onehot = jnp.concatenate(parts, axis=0)             # [S*C, BT]
+    out_ref[0] = jnp.dot(lut_ref[0], onehot,
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def adc_scores_pallas(
+    lut: jax.Array,
+    codes: jax.Array,
+    *,
+    block_t: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """lut: [H_kv, g, S, C] f32; codes: [H_kv, S, T] int8/int32.
+
+    Returns scores [H_kv, g, T] f32. T is padded internally to a block
+    multiple; padded scores are garbage and must be masked by the caller
+    (the candidate-count mask already does).
+    """
+    H_kv, g, S, C = lut.shape
+    T = codes.shape[-1]
+    bt = min(block_t, _round_up(T, 128))
+    Tp = _round_up(T, bt)
+    if Tp != T:
+        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Tp - T)))
+    lut_flat = lut.astype(jnp.float32).reshape(H_kv, g, S * C)
+
+    out = pl.pallas_call(
+        functools.partial(_adc_kernel, n_subvec=S),
+        grid=(H_kv, Tp // bt),
+        in_specs=[
+            pl.BlockSpec((1, g, S * C), lambda h, t: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, bt), lambda h, t: (h, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, bt), lambda h, t: (h, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H_kv, g, Tp), jnp.float32),
+        interpret=interpret,
+    )(lut_flat, codes)
+    return out[:, :, :T]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def adc_scores_xla(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """Reference XLA implementation (same contract)."""
+    gathered = jnp.take_along_axis(
+        lut, codes[:, None, :, :].astype(jnp.int32), axis=-1)
+    return jnp.sum(gathered, axis=2)

@@ -1,0 +1,41 @@
+"""Kernel dispatch: Pallas TPU kernels on TPU, XLA fallbacks elsewhere.
+
+The XLA implementations are the correctness references (CPU-runnable and
+used by the test suite); the Pallas kernels are the production TPU path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from pqcache_tpu.ops.attention_xla import chunked_attention
+from pqcache_tpu.ops.flash_attention import flash_attention
+
+
+def use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def dense_prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pad_len,
+    *,
+    with_scores: bool = False,
+    use_pallas: Optional[bool] = None,
+):
+    """Causal self-attention over a left-padded prompt.
+
+    Returns (out [H, T, D], scores [H, T] | None). The score-emitting
+    variant runs via XLA until the Pallas score sweep lands.
+    """
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    D = q.shape[-1]
+    if with_scores or not use_pallas or D % 128 != 0:
+        return chunked_attention(q, k, v, valid_lo=pad_len, causal=True,
+                                 with_scores=with_scores)
+    return flash_attention(q, k, v, valid_lo=pad_len, causal=True), None

@@ -1,0 +1,154 @@
+"""Pallas TPU flash attention (prefill path).
+
+Replaces the vendored flash-attn CUDA wheel the reference calls for dense
+prefill attention (pq_search.py:251-256) and the XLA online-softmax fallback
+in ops/attention_xla.py. Standard FlashAttention-2 structure: grid
+(head, q_block, k_block) with the k dimension innermost; the (m, l, acc)
+online-softmax carry lives in VMEM scratch across k-steps; causal blocks
+above the diagonal are skipped entirely (half the FLOPs the XLA fallback
+spends). GQA reads K/V blocks directly for the query head's kv group — no
+repeated-KV materialization.
+
+Left-padded prompts are handled by two prefetched scalars (valid_lo,
+valid_len) that mask key positions outside the real token range.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, scale, block_q, block_k, causal):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+    valid_lo = scalars_ref[0]
+    valid_hi = scalars_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # causal: the whole block is masked when its first key position exceeds
+    # the last query position
+    reachable = True
+    if causal:
+        reachable = (j * block_k) <= (i * block_q + block_q - 1)
+
+    @pl.when(reachable)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32) * scale         # [BQ, D]
+        k = k_ref[0].astype(jnp.float32)                 # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [BQ, BK]
+
+        kpos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = (kpos >= valid_lo) & (kpos < valid_hi)
+        if causal:
+            qpos = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = mask & (kpos <= qpos)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]                            # [BQ, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32)                 # [BK, D]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid_lo: jax.Array | int = 0,
+    valid_len: jax.Array | None = None,
+    *,
+    causal: bool = True,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """q [H, T, D], k/v [H_kv, T, D] → out [H, T, D] (q.dtype).
+
+    Key positions outside [valid_lo, valid_len) are masked (left-padded
+    prompt support). T is padded internally to a block multiple.
+    """
+    H, T, D = q.shape
+    H_kv = k.shape[0]
+    group = H // H_kv
+    scale = 1.0 / (D ** 0.5)
+
+    bq = min(block_q, _round_up(T, 128))
+    bk = min(block_k, _round_up(T, 128))
+    Tp = _round_up(T, max(bq, bk))
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    if valid_len is None:
+        valid_len = T
+    scalars = jnp.asarray(
+        [valid_lo, valid_len], jnp.int32)
+
+    grid = (H, Tp // bq, Tp // bk)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, block_q=bq, block_k=bk, causal=causal)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            # with scalar prefetch, index maps receive the scalar ref as a
+            # trailing argument
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda h, i, j, s: (h, i, 0)),
+                pl.BlockSpec((1, bk, D),
+                             lambda h, i, j, s: (h // group, j, 0)),
+                pl.BlockSpec((1, bk, D),
+                             lambda h, i, j, s: (h // group, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D), lambda h, i, j, s: (h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, Tp, D), q.dtype),
+        interpret=interpret,
+    )(scalars, q, k, v)
+    return out[:, :T]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m

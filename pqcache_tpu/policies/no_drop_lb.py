@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import NEG_INF, chunked_attention
+from pqcache_tpu.ops.attention_xla import NEG_INF
+from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import DenseState, make_dense_state
 
@@ -40,7 +41,7 @@ class NoDropLBPolicy:
 
     def prefill_attn(self, layer_state, q, k, v, pad_len, true_len):
         P = q.shape[1]
-        out, _ = chunked_attention(q, k, v, valid_lo=pad_len, causal=True)
+        out, _ = dense_prefill_attention(q, k, v, pad_len)
         k_cache = jax.lax.dynamic_update_slice(
             layer_state.k_cache, k.astype(layer_state.k_cache.dtype), (0, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(

@@ -12,8 +12,8 @@ import jax.numpy as jnp
 
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import (
-    chunked_attention, decode_window_attention)
+from pqcache_tpu.ops.attention_xla import decode_window_attention
+from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import DenseState, make_dense_state
 
@@ -30,7 +30,7 @@ class OriginalPolicy:
 
     def prefill_attn(self, layer_state, q, k, v, pad_len, true_len):
         P = q.shape[1]
-        out, _ = chunked_attention(q, k, v, valid_lo=pad_len, causal=True)
+        out, _ = dense_prefill_attention(q, k, v, pad_len)
         # left-pad garbage keys must not be attended later: zero-length mask
         # handled via `start`; cache layout keeps prompt positions as-is.
         k_cache = jax.lax.dynamic_update_slice(

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core import pq
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import chunked_attention, decode_window_attention
+from pqcache_tpu.ops.attention_xla import decode_window_attention
+from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import PQState, make_pq_state
 
@@ -50,6 +51,9 @@ class PQSearchPolicy:
         self.group = m.num_groups
         self.H_kv = m.num_kv_heads
         self.D = m.head_dim
+        mode = cfg.runtime.kernels
+        self.use_pallas = (jax.default_backend() == "tpu"
+                           if mode == "auto" else mode == "pallas")
 
     # -- helpers ----------------------------------------------------------
 
@@ -68,7 +72,7 @@ class PQSearchPolicy:
     def prefill_attn(self, layer_state: PQState, q, k, v, pad_len, true_len):
         b = self.budget
         P = q.shape[1]
-        out, _ = chunked_attention(q, k, v, valid_lo=pad_len, causal=True)
+        out, _ = dense_prefill_attention(q, k, v, pad_len)
 
         # Left-padded prompt → roll so real tokens start at index 0; the
         # rolled-around garbage lands after the valid region where n_cand /
@@ -122,7 +126,13 @@ class PQSearchPolicy:
             lut = pq.adc_lut_euc(q_sub, layer_state.centroids)
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), layer_state.centroids)
-        scores = pq.adc_gather_scores(lut, layer_state.codes)  # [H, N_tail]
+        if self.use_pallas:
+            from pqcache_tpu.ops.adc_pallas import adc_scores_pallas
+            lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
+            scores = adc_scores_pallas(lut4, layer_state.codes)
+            scores = scores.reshape(H, -1)  # [H, N_tail]
+        else:
+            scores = pq.adc_gather_scores(lut, layer_state.codes)  # [H, N_tail]
         topk_idx, _ = pq.mips_topk(
             scores, n_cand, b.topk, group=self.group, head_dim=self.D,
             metric=self.metric)  # [H_kv, topk]

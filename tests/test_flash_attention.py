@@ -1,0 +1,59 @@
+"""Pallas flash attention vs the dense oracle (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pqcache_tpu.ops.attention_xla import dense_attention
+from pqcache_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.5)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("T,bq,bk", [(256, 128, 128), (384, 128, 256)])
+    def test_causal_matches_dense(self, T, bq, bk):
+        rng = np.random.default_rng(0)
+        H, H_kv, D = 4, 2, 128
+        q, k, v = _rand(rng, H, T, D), _rand(rng, H_kv, T, D), _rand(rng, H_kv, T, D)
+        ref = dense_attention(q, k, v, causal=True)
+        out = flash_attention(q, k, v, block_q=bq, block_k=bk,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_left_pad_mask(self):
+        rng = np.random.default_rng(1)
+        H, H_kv, D, T, pad = 2, 1, 128, 256, 100
+        q, k, v = _rand(rng, H, T, D), _rand(rng, H_kv, T, D), _rand(rng, H_kv, T, D)
+        ref = dense_attention(q[:, pad:], k[:, pad:], v[:, pad:], causal=True)
+        out = flash_attention(q, k, v, valid_lo=pad, block_q=128,
+                              block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[:, pad:]), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_valid_len_mask(self):
+        rng = np.random.default_rng(2)
+        H, H_kv, D, T, n = 2, 2, 128, 256, 200
+        q, k, v = _rand(rng, H, T, D), _rand(rng, H_kv, T, D), _rand(rng, H_kv, T, D)
+        ref = dense_attention(q[:, :n], k[:, :n], v[:, :n], causal=True)
+        out = flash_attention(q, k, v, valid_len=n, block_q=128,
+                              block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[:, :n]), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_bf16_io(self):
+        rng = np.random.default_rng(3)
+        H, H_kv, D, T = 4, 2, 128, 256
+        q = _rand(rng, H, T, D).astype(jnp.bfloat16)
+        k = _rand(rng, H_kv, T, D).astype(jnp.bfloat16)
+        v = _rand(rng, H_kv, T, D).astype(jnp.bfloat16)
+        ref = dense_attention(q, k, v, causal=True)
+        out = flash_attention(q, k, v, block_q=128, block_k=128,
+                              interpret=True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.05)
