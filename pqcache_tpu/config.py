@@ -88,6 +88,7 @@ class PQConfig:
     kmeans_iters: int = 8             # MAX_ITER (reference: 0 = adaptive 3..300)
     kmeans_seed: int = 4321           # RANDOM_SEED (run_llama.sh:33)
     adaptive_iters: bool = False      # pick iters from a profile table at runtime
+    approx_topk: bool = True          # TPU approx_max_k (recall 0.98) vs sort
 
     def __post_init__(self):
         if self.n_subvec_per_head not in (1, 2, 4, 8, 16):

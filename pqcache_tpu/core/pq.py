@@ -293,6 +293,7 @@ def mips_topk(
     group: int,
     head_dim: int,
     metric: str = "euc",
+    approx: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """GQA-reduced top-k candidate selection (pq_search.py:318-322, 416-417).
 
@@ -304,19 +305,26 @@ def mips_topk(
     H, T = scores.shape
     H_kv = H // group
     valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+
+    def pick(sel):
+        # sort-based exact top-k is O(T log T) per head on TPU; the
+        # TPU-optimized approx_max_k (recall ≥ 0.98 of an already
+        # approximate PQ ranking) is the production path.
+        if approx:
+            _, idx = jax.lax.approx_max_k(sel, k, recall_target=0.98)
+        else:
+            _, idx = jax.lax.top_k(sel, k)
+        return idx.astype(jnp.int32)
+
     if metric == "euc":
         masked = jnp.where(valid, scores / jnp.sqrt(float(head_dim)), -jnp.inf)
         probs = jax.nn.softmax(masked, axis=-1)
         probs = jnp.where(valid, probs, 0.0)
         g = jnp.sum(probs.reshape(H_kv, group, T), axis=1)
-        sel = jnp.where(valid, g, -jnp.inf)
-        _, idx = jax.lax.top_k(sel, k)
-        return idx.astype(jnp.int32), g
+        return pick(jnp.where(valid, g, -jnp.inf)), g
     elif metric == "ip":
         g = jnp.sum(scores.reshape(H_kv, group, T), axis=1)
-        sel = jnp.where(valid, -g, -jnp.inf)  # smallest distance first
-        _, idx = jax.lax.top_k(sel, k)
-        return idx.astype(jnp.int32), g
+        return pick(jnp.where(valid, -g, -jnp.inf)), g
     raise ValueError(f"unknown metric {metric}")
 
 

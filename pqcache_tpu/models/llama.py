@@ -125,22 +125,13 @@ def mlp(lp: dict, x: jax.Array, chunk: int = 4096) -> jax.Array:
 
 # ---------------------------------------------------------------------------
 # Decoder steps (scan over layers; policy plugs in at the attention site)
-
-def _split_layer_mask(state: Any, L: int):
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    mask = [getattr(l, "ndim", 0) > 0 and l.shape[0] == L for l in leaves]
-    return leaves, treedef, mask
-
-
-def _layer_xs(leaves, mask):
-    return [l if m else None for l, m in zip(leaves, mask)]
-
-
-def _merge_layer(xs_leaves, scalar_leaves, mask, treedef):
-    merged = [x if m else s
-              for x, s, m in zip(xs_leaves, scalar_leaves, mask)]
-    return jax.tree_util.tree_unflatten(treedef, merged)
-
+#
+# The whole policy state (arrays stacked over layers) rides the layer scan
+# CARRY; each layer body reads the slices it needs (gathers / dynamic
+# slices indexed by the layer id from xs) and writes back with
+# dynamic_update_slice. Carry-threading lets XLA keep the big KV/code
+# buffers in place — passing per-layer state through scan xs/ys instead
+# would copy every buffer once per token.
 
 def _qkv(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
     T = h_norm.shape[0]
@@ -178,25 +169,17 @@ def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
     positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_len, 0)
     cos, sin = rope_cos_sin(cfg, positions)
 
-    leaves, treedef, mask = _split_layer_mask(state, L)
-    xs_state = _layer_xs(leaves, mask)
-    scalars = leaves
-
-    def body(hidden, xs):
-        lp, ls_leaves = xs
-        layer_state = _merge_layer(ls_leaves, scalars, mask, treedef)
+    def body(carry, xs):
+        hidden, state = carry
+        lp, idx = xs
         attn_fn = lambda q, k, v: policy.prefill_attn(
-            layer_state, q, k, v, pad_len, true_len)
-        hidden, ls_out = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
-        out_leaves = jax.tree_util.tree_flatten(ls_out)[0]
-        return hidden, out_leaves
+            state, idx, q, k, v, pad_len, true_len)
+        hidden, state = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
+        return (hidden, state), None
 
-    hidden, ys = jax.lax.scan(body, hidden, (params["layers"], xs_state))
-    # layer leaves come back stacked [L, ...]; scalar leaves stacked [L]
-    # carry identical per-layer values — take layer 0's.
-    new_leaves = [y if m else jax.tree_util.tree_map(lambda a: a[0], y)
-                  for y, m in zip(ys, mask)]
-    new_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    (hidden, new_state), _ = jax.lax.scan(
+        body, (hidden, state),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)))
 
     last = rms_norm(hidden[P - 1:P], params["final_norm"], cfg.rms_norm_eps)
     logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
@@ -212,23 +195,18 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
     cos, sin = rope_cos_sin(cfg, pos[None].astype(jnp.int32))
 
     shared = policy.shared_pre(state)
-    leaves, treedef, mask = _split_layer_mask(state, L)
-    xs_state = _layer_xs(leaves, mask)
-    scalars = leaves
 
-    def body(hidden, xs):
-        lp, ls_leaves = xs
-        layer_state = _merge_layer(ls_leaves, scalars, mask, treedef)
+    def body(carry, xs):
+        hidden, state = carry
+        lp, idx = xs
         attn_fn = lambda q, k, v: policy.decode_attn(
-            layer_state, q, k, v, shared)
-        hidden, ls_out = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
-        out_leaves = jax.tree_util.tree_flatten(ls_out)[0]
-        return hidden, out_leaves
+            state, idx, q, k, v, shared)
+        hidden, state = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
+        return (hidden, state), None
 
-    hidden, ys = jax.lax.scan(body, hidden, (params["layers"], xs_state))
-    new_leaves = [y if m else jax.tree_util.tree_map(lambda a: a[0], y)
-                  for y, m in zip(ys, mask)]
-    new_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    (hidden, new_state), _ = jax.lax.scan(
+        body, (hidden, state),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)))
     new_state = policy.shared_post(new_state, shared)
 
     last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)

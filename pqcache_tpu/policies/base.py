@@ -36,21 +36,25 @@ class AttentionPolicy(Protocol):
         """Allocate the stacked (over layers) state pytree for one sequence."""
 
     def prefill_attn(
-        self, layer_state: Any, q: jax.Array, k: jax.Array, v: jax.Array,
-        pad_len: jax.Array, true_len: jax.Array,
+        self, state: Any, layer_idx: jax.Array, q: jax.Array, k: jax.Array,
+        v: jax.Array, pad_len: jax.Array, true_len: jax.Array,
     ) -> Tuple[jax.Array, Any]:
-        """Full-prompt attention + state build for one layer.
+        """Full-prompt attention + state build for layer `layer_idx`.
 
-        The prompt is LEFT-padded: positions [0, pad_len) are garbage,
-        [pad_len, P) are real. Returns (attn_out [H, P, D], layer_state).
+        `state` is the FULL stacked state, threaded through the model's
+        layer-scan carry; implementations write their layer's slice with
+        dynamic_update_slice so XLA keeps the buffers in place. The prompt
+        is LEFT-padded: positions [0, pad_len) are garbage, [pad_len, P)
+        are real. Returns (attn_out [H, P, D], state).
         """
 
     def decode_attn(
-        self, layer_state: Any, q: jax.Array, k_new: jax.Array,
-        v_new: jax.Array, shared: Any,
+        self, state: Any, layer_idx: jax.Array, q: jax.Array,
+        k_new: jax.Array, v_new: jax.Array, shared: Any,
     ) -> Tuple[jax.Array, Any]:
-        """One-token attention for one layer. `shared` carries cross-layer
-        scalars (e.g. n_cand). Returns (out [H, 1, D], layer_state)."""
+        """One-token attention for layer `layer_idx` over the full stacked
+        state (indexed reads: gathers/dynamic slices only). `shared` carries
+        cross-layer scalars (e.g. n_cand). Returns (out [H, 1, D], state)."""
 
     def shared_pre(self, state: Any) -> Any:
         """Extract cross-layer scalars before the decode layer scan."""

@@ -56,43 +56,44 @@ class H2OPolicy:
         keep_mid = keep_mid & mid[None, :]
         return valid[None, :] & (~mid[None, :] | keep_mid)
 
-    def prefill_attn(self, layer_state, q, k, v, pad_len, true_len):
+    def prefill_attn(self, state, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
         out, F = chunked_attention(q, k, v, valid_lo=pad_len, causal=True,
                                    with_scores=True)
         # GQA reduction of per-q-head column sums → per-kv-head accumulated
         # scores (baseline_compressor.py:169-171).
         scores = jnp.sum(F.reshape(self.H_kv, self.group, P), axis=1)
-        k_cache = jax.lax.dynamic_update_slice(
-            layer_state.k_cache, k.astype(layer_state.k_cache.dtype), (0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            layer_state.v_cache, v.astype(layer_state.v_cache.dtype), (0, 0, 0))
-        T = layer_state.k_cache.shape[1]
+        T = state.k_cache.shape[2]
         scores_full = jnp.zeros((self.H_kv, T), jnp.float32).at[:, :P].set(scores)
         mask = self._build_mask(scores_full, pad_len.astype(jnp.int32),
                                 jnp.asarray(P - 1, jnp.int32))
         # zero scores outside the kept set (baseline_compressor.py:146-149)
         scores_full = jnp.where(mask, scores_full, 0.0)
-        new = layer_state.replace(
-            k_cache=k_cache, v_cache=v_cache, scores=scores_full, mask=mask,
+        dt = state.k_cache.dtype
+        up = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val[None], (idx,) + (0,) * val.ndim)
+        new = state.replace(
+            k_cache=up(state.k_cache, k.astype(dt)),
+            v_cache=up(state.v_cache, v.astype(dt)),
+            scores=up(state.scores, scores_full), mask=up(state.mask, mask),
             length=jnp.asarray(P, jnp.int32), start=pad_len.astype(jnp.int32),
             pos=true_len.astype(jnp.int32))
         return out, new
 
-    def decode_attn(self, layer_state, q, k_new, v_new, shared):
+    def decode_attn(self, state, idx, q, k_new, v_new, shared):
         length, start = shared["length"], shared["start"]
-        k_cache = jax.lax.dynamic_update_slice(
-            layer_state.k_cache, k_new.astype(layer_state.k_cache.dtype),
-            (0, length, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            layer_state.v_cache, v_new.astype(layer_state.v_cache.dtype),
-            (0, length, 0))
+        dt = state.k_cache.dtype
+        full_k = jax.lax.dynamic_update_slice(
+            state.k_cache, k_new.astype(dt)[None], (idx, 0, length, 0))
+        full_v = jax.lax.dynamic_update_slice(
+            state.v_cache, v_new.astype(dt)[None], (idx, 0, length, 0))
+        k_cache, v_cache = full_k[idx], full_v[idx]
         T = k_cache.shape[1]
         H = q.shape[0]
         kpos = jnp.arange(T, dtype=jnp.int32)
 
         # the new token is always attendable (mask length+1 in the reference)
-        keep = layer_state.mask | (kpos[None, :] == length)
+        keep = state.mask[idx] | (kpos[None, :] == length)
         qg = q.reshape(self.H_kv, self.group, self.D).astype(jnp.float32)
         logits = jnp.einsum("hgd,htd->hgt", qg, k_cache.astype(jnp.float32),
                             preferred_element_type=jnp.float32) / jnp.sqrt(
@@ -104,11 +105,14 @@ class H2OPolicy:
         out = out.reshape(H, 1, self.D).astype(q.dtype)
 
         # accumulate scores and rebuild the mask (baseline_compressor.py:155-198)
-        scores = layer_state.scores + jnp.sum(w, axis=1)
+        scores = state.scores[idx] + jnp.sum(w, axis=1)
         mask = self._build_mask(scores, start, length)
         scores = jnp.where(mask, scores, 0.0)
-        new = layer_state.replace(k_cache=k_cache, v_cache=v_cache,
-                                  scores=scores, mask=mask)
+        up = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val[None], (idx,) + (0,) * val.ndim)
+        new = state.replace(k_cache=full_k, v_cache=full_v,
+                            scores=up(state.scores, scores),
+                            mask=up(state.mask, mask))
         return out, new
 
     def shared_pre(self, state: DenseState):

@@ -39,27 +39,27 @@ class NoDropLBPolicy:
     def init_state(self, dtype=jnp.bfloat16) -> DenseState:
         return make_dense_state(self.cfg, self.max_len, dtype=dtype)
 
-    def prefill_attn(self, layer_state, q, k, v, pad_len, true_len):
+    def prefill_attn(self, state, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
         out, _ = dense_prefill_attention(q, k, v, pad_len)
-        k_cache = jax.lax.dynamic_update_slice(
-            layer_state.k_cache, k.astype(layer_state.k_cache.dtype), (0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            layer_state.v_cache, v.astype(layer_state.v_cache.dtype), (0, 0, 0))
-        new = layer_state.replace(
-            k_cache=k_cache, v_cache=v_cache,
+        dt = state.k_cache.dtype
+        new = state.replace(
+            k_cache=jax.lax.dynamic_update_slice(
+                state.k_cache, k.astype(dt)[None], (idx, 0, 0, 0)),
+            v_cache=jax.lax.dynamic_update_slice(
+                state.v_cache, v.astype(dt)[None], (idx, 0, 0, 0)),
             length=jnp.asarray(P, jnp.int32), start=pad_len.astype(jnp.int32),
             pos=true_len.astype(jnp.int32))
         return out, new
 
-    def decode_attn(self, layer_state, q, k_new, v_new, shared):
+    def decode_attn(self, state, idx, q, k_new, v_new, shared):
         length, start = shared["length"], shared["start"]
-        k_cache = jax.lax.dynamic_update_slice(
-            layer_state.k_cache, k_new.astype(layer_state.k_cache.dtype),
-            (0, length, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            layer_state.v_cache, v_new.astype(layer_state.v_cache.dtype),
-            (0, length, 0))
+        dt = state.k_cache.dtype
+        full_k = jax.lax.dynamic_update_slice(
+            state.k_cache, k_new.astype(dt)[None], (idx, 0, length, 0))
+        full_v = jax.lax.dynamic_update_slice(
+            state.v_cache, v_new.astype(dt)[None], (idx, 0, length, 0))
+        k_cache, v_cache = full_k[idx], full_v[idx]
         T = k_cache.shape[1]
         H = q.shape[0]
 
@@ -92,7 +92,7 @@ class NoDropLBPolicy:
         out = jnp.einsum("hgt,htd->hgd", w, v_cache.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
         out = out.reshape(H, 1, self.D).astype(q.dtype)
-        return out, layer_state.replace(k_cache=k_cache, v_cache=v_cache)
+        return out, state.replace(k_cache=full_k, v_cache=full_v)
 
     def shared_pre(self, state: DenseState):
         return {"length": state.length, "start": state.start}

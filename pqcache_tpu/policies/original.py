@@ -28,36 +28,32 @@ class OriginalPolicy:
     def init_state(self, dtype=jnp.bfloat16) -> DenseState:
         return make_dense_state(self.cfg, self.max_len, dtype=dtype)
 
-    def prefill_attn(self, layer_state, q, k, v, pad_len, true_len):
+    def prefill_attn(self, state: DenseState, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
         out, _ = dense_prefill_attention(q, k, v, pad_len)
-        # left-pad garbage keys must not be attended later: zero-length mask
-        # handled via `start`; cache layout keeps prompt positions as-is.
-        k_cache = jax.lax.dynamic_update_slice(
-            layer_state.k_cache, k.astype(layer_state.k_cache.dtype), (0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            layer_state.v_cache, v.astype(layer_state.v_cache.dtype), (0, 0, 0))
-        new = layer_state.replace(
-            k_cache=k_cache, v_cache=v_cache,
+        dt = state.k_cache.dtype
+        new = state.replace(
+            k_cache=jax.lax.dynamic_update_slice(
+                state.k_cache, k.astype(dt)[None], (idx, 0, 0, 0)),
+            v_cache=jax.lax.dynamic_update_slice(
+                state.v_cache, v.astype(dt)[None], (idx, 0, 0, 0)),
             length=jnp.asarray(P, jnp.int32), start=pad_len.astype(jnp.int32),
             pos=true_len.astype(jnp.int32))
         return out, new
 
-    def decode_attn(self, layer_state, q, k_new, v_new, shared):
-        length = shared["length"]
-        start = shared["start"]
+    def decode_attn(self, state: DenseState, idx, q, k_new, v_new, shared):
+        length, start = shared["length"], shared["start"]
+        dt = state.k_cache.dtype
         k_cache = jax.lax.dynamic_update_slice(
-            layer_state.k_cache, k_new.astype(layer_state.k_cache.dtype),
-            (0, length, 0))
+            state.k_cache, k_new.astype(dt)[None], (idx, 0, length, 0))
         v_cache = jax.lax.dynamic_update_slice(
-            layer_state.v_cache, v_new.astype(layer_state.v_cache.dtype),
-            (0, length, 0))
-        T = k_cache.shape[1]
+            state.v_cache, v_new.astype(dt)[None], (idx, 0, length, 0))
+        T = k_cache.shape[2]
         kpos = jnp.arange(T, dtype=jnp.int32)
         valid = (kpos >= start) & (kpos <= length)
-        mask = jnp.broadcast_to(valid[None, :], (k_cache.shape[0], T))
-        out = decode_window_attention(q, k_cache, v_cache, mask)
-        return out, layer_state.replace(k_cache=k_cache, v_cache=v_cache)
+        mask = jnp.broadcast_to(valid[None, :], (k_cache.shape[1], T))
+        out = decode_window_attention(q, k_cache[idx], v_cache[idx], mask)
+        return out, state.replace(k_cache=k_cache, v_cache=v_cache)
 
     def shared_pre(self, state: DenseState):
         return {"length": state.length, "start": state.start}

@@ -54,6 +54,7 @@ class PQSearchPolicy:
         mode = cfg.runtime.kernels
         self.use_pallas = (jax.default_backend() == "tpu"
                            if mode == "auto" else mode == "pallas")
+        self.approx_topk = cfg.pq.approx_topk
 
     # -- helpers ----------------------------------------------------------
 
@@ -69,7 +70,9 @@ class PQSearchPolicy:
     def init_state(self, dtype=jnp.bfloat16) -> PQState:
         return make_pq_state(self.cfg, self.budget, dtype=dtype)
 
-    def prefill_attn(self, layer_state: PQState, q, k, v, pad_len, true_len):
+    def prefill_attn(self, state: PQState, idx, q, k, v, pad_len, true_len):
+        """Prefill for layer `idx`; `state` is the full stacked state, riding
+        the model's layer-scan carry (writes land at [idx] in place)."""
         b = self.budget
         P = q.shape[1]
         out, _ = dense_prefill_attention(q, k, v, pad_len)
@@ -95,67 +98,72 @@ class PQSearchPolicy:
         centroids = res.centroids.reshape(
             self.H_kv, self.S, self.C, xb.shape[-1])
         codes_src = res.codes.reshape(
-            self.H_kv, self.S, P - b.sink).astype(layer_state.codes.dtype)
+            self.H_kv, self.S, P - b.sink).astype(state.codes.dtype)
 
-        tdtype = layer_state.k_tail.dtype
-        k_tail = jax.lax.dynamic_update_slice(
-            layer_state.k_tail, k_tail_src.astype(tdtype), (0, 0, 0))
-        v_tail = jax.lax.dynamic_update_slice(
-            layer_state.v_tail, v_tail_src.astype(tdtype), (0, 0, 0))
-        codes = jax.lax.dynamic_update_slice(
-            layer_state.codes, codes_src, (0, 0, 0))
-
-        new = layer_state.replace(
-            k_sink=k_sink.astype(tdtype), v_sink=v_sink.astype(tdtype),
-            k_tail=k_tail, v_tail=v_tail, codes=codes,
-            centroids=centroids, phi=phi,
+        dt = state.k_tail.dtype
+        up = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val[None], (idx,) + (0,) * val.ndim)
+        new = state.replace(
+            k_sink=up(state.k_sink, k_sink.astype(dt)),
+            v_sink=up(state.v_sink, v_sink.astype(dt)),
+            k_tail=up(state.k_tail, k_tail_src.astype(dt)),
+            v_tail=up(state.v_tail, v_tail_src.astype(dt)),
+            codes=up(state.codes, codes_src),
+            centroids=up(state.centroids, centroids),
+            phi=up(state.phi, phi),
             n_cand=jnp.maximum(n_valid_tail - b.local, 0),
             pos=true_len.astype(jnp.int32))
         return out, new
 
     # -- decode -----------------------------------------------------------
 
-    def decode_attn(self, layer_state: PQState, q, k_new, v_new, shared):
+    def decode_attn(self, state: PQState, idx, q, k_new, v_new, shared):
         b = self.budget
         n_cand = shared["n_cand"]
         H = q.shape[0]
+        heads = jnp.arange(self.H_kv)
+
+        # Per-layer small state (centroids/LUT inputs/sinks are KBs; the big
+        # tail/code buffers are only touched by gathers and slices below).
+        centroids = state.centroids[idx]       # [H_kv, S, C, d_lift]
+        codes = state.codes[idx]               # [H_kv, S, N_tail]
+        k_sink, v_sink = state.k_sink[idx], state.v_sink[idx]
 
         # ADC scoring (pq_search.py:307-322 / :397-417)
         q_sub = q.reshape(H, self.S, self.d_sub)
         if self.metric == "euc":
-            lut = pq.adc_lut_euc(q_sub, layer_state.centroids)
+            lut = pq.adc_lut_euc(q_sub, centroids)
         else:
-            lut = pq.adc_lut_ip(pq.lift_query(q_sub), layer_state.centroids)
+            lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
         if self.use_pallas:
             from pqcache_tpu.ops.adc_pallas import adc_scores_pallas
             lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
-            scores = adc_scores_pallas(lut4, layer_state.codes)
-            scores = scores.reshape(H, -1)  # [H, N_tail]
+            scores = adc_scores_pallas(lut4, codes).reshape(H, -1)
         else:
-            scores = pq.adc_gather_scores(lut, layer_state.codes)  # [H, N_tail]
+            scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
         topk_idx, _ = pq.mips_topk(
             scores, n_cand, b.topk, group=self.group, head_dim=self.D,
-            metric=self.metric)  # [H_kv, topk]
+            metric=self.metric, approx=self.approx_topk)  # [H_kv, topk]
 
-        # Gather retrieved KV (the reference's
-        # fetch_and_concat_kv_w_cache, cache_manager.py:299-428 — here a
-        # single HBM gather, no hit/miss split, no PCIe staging).
-        k_top = jnp.take_along_axis(
-            layer_state.k_tail, topk_idx[:, :, None], axis=1)
-        v_top = jnp.take_along_axis(
-            layer_state.v_tail, topk_idx[:, :, None], axis=1)
+        # Gather retrieved KV straight out of the stacked tail (the
+        # reference's fetch_and_concat_kv_w_cache, cache_manager.py:299-428
+        # — here one HBM gather, no hit/miss split, no PCIe staging). The
+        # [idx, head, token] advanced index reads only the selected rows.
+        k_top = state.k_tail[idx, heads[:, None], topk_idx]
+        v_top = state.v_tail[idx, heads[:, None], topk_idx]
 
         # Local window = sliding slice of the tail.
+        size = (1, self.H_kv, b.local, self.D)
         k_local = jax.lax.dynamic_slice(
-            layer_state.k_tail, (0, n_cand, 0), (self.H_kv, b.local, self.D))
+            state.k_tail, (idx, 0, n_cand, 0), size)[0]
         v_local = jax.lax.dynamic_slice(
-            layer_state.v_tail, (0, n_cand, 0), (self.H_kv, b.local, self.D))
+            state.v_tail, (idx, 0, n_cand, 0), size)[0]
 
-        dt = layer_state.k_tail.dtype
+        dt = state.k_tail.dtype
         k_win = jnp.concatenate(
-            [layer_state.k_sink, k_local, k_top, k_new.astype(dt)], axis=1)
+            [k_sink, k_local, k_top, k_new.astype(dt)], axis=1)
         v_win = jnp.concatenate(
-            [layer_state.v_sink, v_local, v_top, v_new.astype(dt)], axis=1)
+            [v_sink, v_local, v_top, v_new.astype(dt)], axis=1)
 
         ones = lambda n: jnp.ones((self.H_kv, n), bool)
         win_mask = jnp.concatenate(
@@ -165,21 +173,20 @@ class PQSearchPolicy:
         # Append + encode the new token (pq_search.py:343-354, collapsed:
         # encode at append time instead of at local-window exit).
         slot = n_cand + b.local
-        k_tail = jax.lax.dynamic_update_slice(
-            layer_state.k_tail, k_new.astype(dt), (0, slot, 0))
-        v_tail = jax.lax.dynamic_update_slice(
-            layer_state.v_tail, v_new.astype(dt), (0, slot, 0))
         x_new = self._to_groups(k_new)  # [G, 1, d_sub]
         if self.metric == "ip":
-            x_new = pq.ip2l2_lift_with_phi(x_new, layer_state.phi)
-        cent_flat = layer_state.centroids.reshape(
-            self.H_kv * self.S, self.C, -1)
+            x_new = pq.ip2l2_lift_with_phi(x_new, state.phi[idx])
+        cent_flat = centroids.reshape(self.H_kv * self.S, self.C, -1)
         new_codes = pq.pq_encode(x_new, cent_flat).reshape(
-            self.H_kv, self.S, 1).astype(layer_state.codes.dtype)
-        codes = jax.lax.dynamic_update_slice(
-            layer_state.codes, new_codes, (0, 0, slot))
+            self.H_kv, self.S, 1).astype(state.codes.dtype)
 
-        new = layer_state.replace(k_tail=k_tail, v_tail=v_tail, codes=codes)
+        new = state.replace(
+            k_tail=jax.lax.dynamic_update_slice(
+                state.k_tail, k_new.astype(dt)[None], (idx, 0, slot, 0)),
+            v_tail=jax.lax.dynamic_update_slice(
+                state.v_tail, v_new.astype(dt)[None], (idx, 0, slot, 0)),
+            codes=jax.lax.dynamic_update_slice(
+                state.codes, new_codes[None], (idx, 0, 0, slot)))
         return out, new
 
     def shared_pre(self, state: PQState):

@@ -59,14 +59,13 @@ class SparqPolicy:
             dense=dense,
             mean_v=jnp.zeros((L, self.H_kv, 1, self.D), jnp.float32))
 
-    def prefill_attn(self, layer_state: SparqState, q, k, v, pad_len, true_len):
+    def prefill_attn(self, state: SparqState, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
         out, _ = dense_prefill_attention(q, k, v, pad_len)
-        d = layer_state.dense
-        k_cache = jax.lax.dynamic_update_slice(
-            d.k_cache, k.astype(d.k_cache.dtype), (0, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            d.v_cache, v.astype(d.v_cache.dtype), (0, 0, 0))
+        d = state.dense
+        dt = d.k_cache.dtype
+        up = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val[None], (idx,) + (0,) * val.ndim)
         # running mean over valid values (sparq.py:61)
         kpos = jnp.arange(P, dtype=jnp.int32)
         valid = (kpos >= pad_len)[None, :, None]
@@ -74,18 +73,22 @@ class SparqPolicy:
         mean_v = (jnp.sum(jnp.where(valid, v.astype(jnp.float32), 0.0),
                           axis=1, keepdims=True) / cnt)
         dense = d.replace(
-            k_cache=k_cache, v_cache=v_cache,
+            k_cache=up(d.k_cache, k.astype(dt)),
+            v_cache=up(d.v_cache, v.astype(dt)),
             length=jnp.asarray(P, jnp.int32), start=pad_len.astype(jnp.int32),
             pos=true_len.astype(jnp.int32))
-        return out, layer_state.replace(dense=dense, mean_v=mean_v)
+        return out, state.replace(dense=dense,
+                                  mean_v=up(state.mean_v, mean_v))
 
-    def decode_attn(self, layer_state: SparqState, q, k_new, v_new, shared):
+    def decode_attn(self, state: SparqState, idx, q, k_new, v_new, shared):
         length, start = shared["length"], shared["start"]
-        d = layer_state.dense
-        k_cache = jax.lax.dynamic_update_slice(
-            d.k_cache, k_new.astype(d.k_cache.dtype), (0, length, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            d.v_cache, v_new.astype(d.v_cache.dtype), (0, length, 0))
+        d = state.dense
+        dt = d.k_cache.dtype
+        full_k = jax.lax.dynamic_update_slice(
+            d.k_cache, k_new.astype(dt)[None], (idx, 0, length, 0))
+        full_v = jax.lax.dynamic_update_slice(
+            d.v_cache, v_new.astype(dt)[None], (idx, 0, length, 0))
+        k_cache, v_cache = full_k[idx], full_v[idx]
         T = k_cache.shape[1]
         H = q.shape[0]
         kpos = jnp.arange(T, dtype=jnp.int32)
@@ -133,7 +136,7 @@ class SparqPolicy:
 
         # 4. mean-value reallocation (ann_attention.py:315-330)
         n_real = (length + 1 - start).astype(jnp.float32)
-        mean_v = (layer_state.mean_v * (n_real - 1)
+        mean_v = (state.mean_v[idx] * (n_real - 1)
                   + v_new.astype(jnp.float32)) / n_real
         if self.mean_v_trick:
             norm_all = jax.nn.softmax(approx, axis=-1)  # [H_kv, g, T]
@@ -144,8 +147,10 @@ class SparqPolicy:
                    + (1.0 - kv_weight[..., None]) * mean_v)
 
         out = out.reshape(H, 1, self.D).astype(q.dtype)
-        dense = d.replace(k_cache=k_cache, v_cache=v_cache)
-        return out, layer_state.replace(dense=dense, mean_v=mean_v)
+        dense = d.replace(k_cache=full_k, v_cache=full_v)
+        mean_up = jax.lax.dynamic_update_slice(
+            state.mean_v, mean_v[None], (idx, 0, 0, 0))
+        return out, state.replace(dense=dense, mean_v=mean_up)
 
     def shared_pre(self, state: SparqState):
         return {"length": state.dense.length, "start": state.dense.start}
