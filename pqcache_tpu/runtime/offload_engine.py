@@ -1,0 +1,294 @@
+"""Offload-tier PQ engine: KV in host RAM, decode driven layer-at-a-time.
+
+For contexts whose KV exceeds per-chip HBM, this engine mirrors the
+reference's execution shape (pq_search.py decode path): per layer, the
+device computes ADC scores over the HBM-resident PQ codes and the top-k
+indices; the host fetches exactly those KV rows through the LFU-managed
+block cache (runtime/host_offload.py); the device then runs windowed
+attention and the rest of the layer. The local window and sink stay in HBM
+(a ring buffer, cache_manager.py:212-228), and each step's evicted local
+token is appended to the host store with its PQ code.
+
+The within-HBM path (policies/pq_search.py + runtime/generate.py) is the
+fast path; this tier trades per-token host round trips for unbounded
+context, exactly as the reference trades PCIe traffic for GPU memory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core import pq
+from pqcache_tpu.core.budget import Budget, compute_budget
+from pqcache_tpu.models import llama
+from pqcache_tpu.ops.attention_xla import decode_window_attention
+from pqcache_tpu.ops.dispatch import dense_prefill_attention
+from pqcache_tpu.runtime.host_offload import HostKVStore
+
+
+@struct.dataclass
+class OffloadPQState:
+    k_sink: jax.Array    # [L, H_kv, sink, D]
+    v_sink: jax.Array
+    k_local: jax.Array   # [L, H_kv, local, D] ring buffer
+    v_local: jax.Array
+    codes: jax.Array     # [L, H_kv, S, N_cand_max] int8
+    centroids: jax.Array  # [L, H_kv, S, C, d_lift]
+    phi: jax.Array
+    n_cand: jax.Array
+    ring_ptr: jax.Array
+    pos: jax.Array
+
+
+class OffloadEngine:
+    """Single-sequence pq_search generation with host-offloaded KV."""
+
+    def __init__(self, cfg: EngineConfig, params: dict, dtype=jnp.bfloat16):
+        assert cfg.runtime.policy == "pq_search"
+        self.cfg = cfg
+        self.params = params
+        self.dtype = dtype
+        m = cfg.model
+        self.S = cfg.pq.n_subvec_per_head
+        self.C = cfg.pq.n_centroids
+        self.d_sub = m.head_dim // self.S
+        self.metric = cfg.pq.metric
+
+    def _budget(self, P: int, max_new: int) -> Budget:
+        return compute_budget(self.cfg.budget, P, max_new)
+
+    def _init_state(self, b: Budget) -> OffloadPQState:
+        m = self.cfg.model
+        L, H_kv, D = m.num_layers, m.num_kv_heads, m.head_dim
+        d_lift = self.d_sub + (1 if self.metric == "ip" else 0)
+        z = lambda *s: jnp.zeros(s, self.dtype)
+        return OffloadPQState(
+            k_sink=z(L, H_kv, b.sink, D), v_sink=z(L, H_kv, b.sink, D),
+            k_local=z(L, H_kv, b.local, D), v_local=z(L, H_kv, b.local, D),
+            codes=jnp.zeros((L, H_kv, self.S, b.n_tail_max), jnp.int8),
+            centroids=jnp.zeros((L, H_kv, self.S, self.C, d_lift),
+                                jnp.float32),
+            phi=jnp.zeros((L, H_kv * self.S, 1, 1), jnp.float32),
+            n_cand=jnp.zeros((), jnp.int32),
+            ring_ptr=jnp.zeros((), jnp.int32),
+            pos=jnp.zeros((), jnp.int32))
+
+    # -- jitted per-layer programs ---------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _prefill_layer(self, lp, state, idx, hidden, cos, sin, pad_len,
+                       true_len):
+        cfg = self.cfg.model
+        b = self.budget
+        P = hidden.shape[0]
+        h_norm = llama.rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = llama._qkv(cfg, lp, h_norm, cos, sin)
+        out, _ = dense_prefill_attention(q, k, v, pad_len)
+
+        shift = -pad_len.astype(jnp.int32)
+        k_r, v_r = jnp.roll(k, shift, axis=1), jnp.roll(v, shift, axis=1)
+        k_tail, v_tail = k_r[:, b.sink:], v_r[:, b.sink:]
+        n_valid_tail = (true_len - b.sink).astype(jnp.int32)
+
+        xb = self._to_groups(k_tail)
+        if self.metric == "ip":
+            xb, phi = pq.ip2l2_lift(xb, n_valid_tail)
+        else:
+            phi = jnp.zeros_like(state.phi[0])
+        res = pq.kmeans(xb, self.C, iters=self.cfg.pq.kmeans_iters,
+                        seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail)
+        centroids = res.centroids.reshape(
+            cfg.num_kv_heads, self.S, self.C, xb.shape[-1])
+        codes_src = res.codes.reshape(
+            cfg.num_kv_heads, self.S, P - b.sink).astype(jnp.int8)
+
+        # local ring holds the most recent `local` real tokens, in order
+        start_local = n_valid_tail - b.local
+        k_local = jax.lax.dynamic_slice(
+            k_tail, (0, start_local, 0),
+            (cfg.num_kv_heads, b.local, cfg.head_dim))
+        v_local = jax.lax.dynamic_slice(
+            v_tail, (0, start_local, 0),
+            (cfg.num_kv_heads, b.local, cfg.head_dim))
+
+        up = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val[None].astype(buf.dtype), (idx,) + (0,) * val.ndim)
+        state = state.replace(
+            k_sink=up(state.k_sink, k_r[:, :b.sink]),
+            v_sink=up(state.v_sink, v_r[:, :b.sink]),
+            k_local=up(state.k_local, k_local),
+            v_local=up(state.v_local, v_local),
+            codes=jax.lax.dynamic_update_slice(
+                state.codes, codes_src[None], (idx, 0, 0, 0)),
+            centroids=up(state.centroids, centroids),
+            phi=up(state.phi, phi),
+            n_cand=jnp.maximum(n_valid_tail - b.local, 0),
+            ring_ptr=jnp.zeros((), jnp.int32),
+            pos=true_len.astype(jnp.int32))
+
+        attn = out.transpose(1, 0, 2).reshape(P, -1)
+        hidden = hidden + attn @ lp["wo"]
+        h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
+        hidden = hidden + llama.mlp(lp, h2)
+        return hidden, state, k_tail, v_tail
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode_part_a(self, lp, state, idx, hidden, cos, sin):
+        cfg = self.cfg.model
+        b = self.budget
+        h_norm = llama.rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+        q, k_new, v_new = llama._qkv(cfg, lp, h_norm, cos, sin)
+        H = q.shape[0]
+        centroids = state.centroids[idx]
+        codes = state.codes[idx]
+        q_sub = q.reshape(H, self.S, self.d_sub)
+        if self.metric == "euc":
+            lut = pq.adc_lut_euc(q_sub, centroids)
+        else:
+            lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
+        scores = pq.adc_gather_scores(lut, codes)
+        topk_idx, _ = pq.mips_topk(
+            scores, state.n_cand, b.topk, group=cfg.num_groups,
+            head_dim=cfg.head_dim, metric=self.metric,
+            approx=self.cfg.pq.approx_topk)
+        return q, k_new, v_new, topk_idx
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _decode_part_b(self, lp, state, idx, hidden, q, k_new, v_new,
+                       k_top, v_top, topk_idx):
+        cfg = self.cfg.model
+        b = self.budget
+        H_kv, D = cfg.num_kv_heads, cfg.head_dim
+        dt = state.k_local.dtype
+        n_cand = state.n_cand
+        k_win = jnp.concatenate(
+            [state.k_sink[idx], state.k_local[idx], k_top.astype(dt),
+             k_new.astype(dt)], axis=1)
+        v_win = jnp.concatenate(
+            [state.v_sink[idx], state.v_local[idx], v_top.astype(dt),
+             v_new.astype(dt)], axis=1)
+        ones = lambda n: jnp.ones((H_kv, n), bool)
+        win_mask = jnp.concatenate(
+            [ones(b.sink), ones(b.local), topk_idx < n_cand, ones(1)], axis=1)
+        out = decode_window_attention(q, k_win, v_win, win_mask)
+
+        attn = out.transpose(1, 0, 2).reshape(1, -1)
+        hidden = hidden + attn @ lp["wo"]
+        h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
+        hidden = hidden + llama.mlp(lp, h2)
+
+        # ring-evict the oldest local token; encode it as candidate n_cand
+        ptr = state.ring_ptr
+        sz = (1, H_kv, 1, D)
+        evicted_k = jax.lax.dynamic_slice(
+            state.k_local, (idx, 0, ptr, 0), sz)[0]
+        evicted_v = jax.lax.dynamic_slice(
+            state.v_local, (idx, 0, ptr, 0), sz)[0]
+        x_new = self._to_groups(evicted_k)
+        if self.metric == "ip":
+            x_new = pq.ip2l2_lift_with_phi(x_new, state.phi[idx])
+        cent_flat = state.centroids[idx].reshape(H_kv * self.S, self.C, -1)
+        ev_codes = pq.pq_encode(x_new, cent_flat).reshape(
+            H_kv, self.S, 1).astype(jnp.int8)
+
+        state = state.replace(
+            k_local=jax.lax.dynamic_update_slice(
+                state.k_local, k_new.astype(dt)[None], (idx, 0, ptr, 0)),
+            v_local=jax.lax.dynamic_update_slice(
+                state.v_local, v_new.astype(dt)[None], (idx, 0, ptr, 0)),
+            codes=jax.lax.dynamic_update_slice(
+                state.codes, ev_codes[None], (idx, 0, 0, n_cand)))
+        return hidden, state, evicted_k, evicted_v
+
+    # -- helpers ----------------------------------------------------------
+
+    def _to_groups(self, x):
+        H_kv, T, _ = x.shape
+        return (x.reshape(H_kv, T, self.S, self.d_sub)
+                .transpose(0, 2, 1, 3)
+                .reshape(H_kv * self.S, T, self.d_sub))
+
+    # -- public API --------------------------------------------------------
+
+    def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
+        cfg = self.cfg
+        m = cfg.model
+        ids = np.asarray(prompt_ids, np.int32)
+        true_len = int(ids.shape[0])
+        from pqcache_tpu.runtime.generate import bucket_length
+        P = bucket_length(true_len, cfg.runtime.prefill_bucket)
+        pad = P - true_len
+        self.budget = self._budget(P, max_new_tokens)
+        b = self.budget
+        state = self._init_state(b)
+        store = HostKVStore(
+            m.num_layers, m.num_kv_heads, b.n_tail_max, m.head_dim,
+            block_size=cfg.cache.block_size,
+            hbm_cache_tokens=cfg.cache.hbm_cache_tokens,
+            cache_topk_blocks=cfg.cache.cache_topk_blocks)
+
+        tokens = np.zeros((P,), np.int32)
+        tokens[pad:] = ids
+        pad_j = jnp.asarray(pad, jnp.int32)
+        tl_j = jnp.asarray(true_len, jnp.int32)
+
+        hidden = jnp.take(self.params["embed"], jnp.asarray(tokens), axis=0)
+        positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_j, 0)
+        cos, sin = llama.rope_cos_sin(m, positions)
+        for l in range(m.num_layers):
+            lp = jax.tree_util.tree_map(lambda a: a[l],
+                                        self.params["layers"])
+            hidden, state, k_tail, v_tail = self._prefill_layer(
+                lp, state, jnp.asarray(l, jnp.int32), hidden, cos, sin,
+                pad_j, tl_j)
+            store.offload_layer(l, np.asarray(k_tail, np.float32),
+                                np.asarray(v_tail, np.float32))
+        last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
+                              m.rms_norm_eps)
+        logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
+        next_tok = int(jnp.argmax(logits))
+        out_tokens = [next_tok]
+
+        pos = true_len
+        for _ in range(max_new_tokens - 1):
+            if next_tok in eos_ids:
+                break
+            hidden = jnp.take(self.params["embed"],
+                              jnp.asarray([next_tok], jnp.int32), axis=0)
+            cos, sin = llama.rope_cos_sin(
+                m, jnp.asarray([pos], jnp.int32))
+            for l in range(m.num_layers):
+                lp = jax.tree_util.tree_map(lambda a: a[l],
+                                            self.params["layers"])
+                li = jnp.asarray(l, jnp.int32)
+                q, k_new, v_new, topk_idx = self._decode_part_a(
+                    lp, state, li, hidden, cos, sin)
+                idx_np = np.asarray(topk_idx)
+                k_top, v_top = store.fetch(l, idx_np)
+                hidden, state, ev_k, ev_v = self._decode_part_b(
+                    lp, state, li, hidden, q, k_new, v_new,
+                    k_top.astype(self.dtype), v_top.astype(self.dtype),
+                    topk_idx)
+                store.append_token(l, int(state.n_cand),
+                                   np.asarray(ev_k, np.float32)[:, 0],
+                                   np.asarray(ev_v, np.float32)[:, 0])
+            state = state.replace(
+                n_cand=state.n_cand + 1,
+                ring_ptr=(state.ring_ptr + 1) % b.local,
+                pos=state.pos + 1)
+            last = llama.rms_norm(hidden, self.params["final_norm"],
+                                  m.rms_norm_eps)
+            logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
+            next_tok = int(jnp.argmax(logits))
+            out_tokens.append(next_tok)
+            pos += 1
+        self.store = store
+        return out_tokens

@@ -1,0 +1,72 @@
+"""HostKVStore: hit/miss classification, LFU promotion, fetch correctness."""
+
+import numpy as np
+
+from pqcache_tpu.runtime.host_offload import HostKVStore
+
+
+def _store(**kw):
+    defaults = dict(layers=1, n_kv_heads=2, capacity=512, head_dim=8,
+                    block_size=32, hbm_cache_tokens=128, cache_topk_blocks=4)
+    defaults.update(kw)
+    return HostKVStore(**defaults)
+
+
+def test_fetch_returns_host_rows():
+    s = _store()
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(2, 512, 8)).astype(np.float32)
+    v = rng.normal(size=(2, 512, 8)).astype(np.float32)
+    s.offload_layer(0, k, v)
+    idx = np.array([[3, 100, 511], [0, 64, 200]])
+    k_top, v_top = s.fetch(0, idx)
+    for h in range(2):
+        for j, t in enumerate(idx[h]):
+            np.testing.assert_allclose(np.asarray(k_top)[h, j], k[h, t],
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(v_top)[h, j], v[h, t],
+                                       rtol=1e-6)
+
+
+def test_repeated_fetch_hits_cache():
+    s = _store()
+    rng = np.random.default_rng(1)
+    k = rng.normal(size=(2, 512, 8)).astype(np.float32)
+    s.offload_layer(0, k, k.copy())
+    idx = np.array([[0, 1, 2, 33, 34], [0, 1, 2, 33, 34]])
+    s.fetch(0, idx)          # cold: misses, blocks 0 and 1 promoted
+    h0, m0 = s.hits, s.misses
+    k_top, _ = s.fetch(0, idx)  # warm: should hit
+    assert s.hits > h0
+    assert s.misses == m0
+    for h in range(2):
+        for j, t in enumerate(idx[h]):
+            np.testing.assert_allclose(np.asarray(k_top)[h, j], k[h, t],
+                                       rtol=1e-6)
+
+
+def test_cache_correct_after_eviction_churn():
+    s = _store(hbm_cache_tokens=64)  # 2-block cache
+    rng = np.random.default_rng(2)
+    k = rng.normal(size=(2, 512, 8)).astype(np.float32)
+    s.offload_layer(0, k, k.copy())
+    for start in (0, 64, 128, 192, 0, 256, 64):
+        idx = np.tile(np.arange(start, start + 8)[None], (2, 1))
+        k_top, _ = s.fetch(0, idx)
+        for h in range(2):
+            for j, t in enumerate(idx[h]):
+                np.testing.assert_allclose(np.asarray(k_top)[h, j], k[h, t],
+                                           rtol=1e-6, err_msg=f"start={start}")
+    # proxy map stays consistent: at most n_cache_blocks valid slots
+    assert (s.block_slot[0] >= 0).sum() <= s.n_cache_blocks
+
+
+def test_append_token_visible():
+    s = _store()
+    k = np.zeros((2, 512, 8), np.float32)
+    s.offload_layer(0, k[:, :100], k[:, :100])
+    new = np.full((2, 8), 7.0, np.float32)
+    s.append_token(0, 100, new, new * 2)
+    k_top, v_top = s.fetch(0, np.array([[100], [100]]))
+    np.testing.assert_allclose(np.asarray(k_top)[:, 0], new)
+    np.testing.assert_allclose(np.asarray(v_top)[:, 0], new * 2)

@@ -1,0 +1,46 @@
+"""Offload-tier engine vs the HBM-resident pq_search engine.
+
+Same algorithm, different memory hierarchy ("same math, no hierarchy" —
+the reference's accuracy-twin methodology, cache_manager.py:279-297): both
+engines must select the same tokens and generate (near-)identical text.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import (BudgetConfig, EngineConfig, PQConfig,
+                                RuntimeConfig, tiny_model_config)
+from pqcache_tpu.models import llama
+from pqcache_tpu.runtime.generate import Engine
+from pqcache_tpu.runtime.offload_engine import OffloadEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg_m = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, cfg_m.vocab_size, size=260).astype(np.int32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5, sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=16, max_seq_len=1024),
+    )
+    return ecfg, params, ids
+
+
+def test_offload_matches_hbm_engine(setup):
+    ecfg, params, ids = setup
+    hbm = Engine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=10)
+    off_eng = OffloadEngine(ecfg, params, dtype=jnp.float32)
+    off = off_eng.generate(ids, max_new_tokens=10)
+    agree = sum(a == b for a, b in zip(hbm.tokens, off))
+    assert agree >= 8, (hbm.tokens, off)
+    # the LFU block cache must have absorbed repeat traffic
+    assert off_eng.store.hits > 0
