@@ -17,7 +17,8 @@ from typing import Literal, Optional
 
 
 Metric = Literal["euc", "ip"]
-Policy = Literal["original", "pq_search", "h2o", "no_drop_lb", "sparq_f"]
+Policy = Literal["original", "pq_search", "h2o", "no_drop_lb", "sparq_f",
+                 "infllm"]
 
 
 @dataclass(frozen=True)

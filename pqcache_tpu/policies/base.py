@@ -79,6 +79,7 @@ def get_policy(cfg: EngineConfig, budget: Budget) -> AttentionPolicy:
     import pqcache_tpu.policies.original  # noqa: F401
     import pqcache_tpu.policies.pq_search  # noqa: F401
     import pqcache_tpu.policies.h2o  # noqa: F401
+    import pqcache_tpu.policies.infllm  # noqa: F401
     import pqcache_tpu.policies.no_drop_lb  # noqa: F401
     import pqcache_tpu.policies.sparq  # noqa: F401
     name = cfg.runtime.policy

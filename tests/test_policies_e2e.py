@@ -11,8 +11,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from pqcache_tpu.config import (BudgetConfig, EngineConfig, PQConfig,
-                                RuntimeConfig, tiny_model_config)
+from pqcache_tpu.config import (BudgetConfig, CacheConfig, EngineConfig,
+                                PQConfig, RuntimeConfig, tiny_model_config)
 from pqcache_tpu.models import llama
 from pqcache_tpu.runtime.generate import Engine
 
@@ -36,6 +36,7 @@ def _engine(cfg, params, policy, **bud):
         model=cfg,
         pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8),
         budget=BudgetConfig(**defaults),
+        cache=CacheConfig(block_size=16),  # fine blocks for tiny prompts
         runtime=RuntimeConfig(policy=policy, prefill_bucket=64,
                               max_new_tokens=16, max_seq_len=1024),
     )
@@ -54,7 +55,8 @@ class TestEndToEnd:
     # argmax cascades); sparq truncates hardest and is checked mainly for
     # its prefix.
     @pytest.mark.parametrize("policy,min_agree", [
-        ("pq_search", 6), ("h2o", 6), ("no_drop_lb", 6), ("sparq_f", 3)])
+        ("pq_search", 6), ("h2o", 6), ("no_drop_lb", 6), ("sparq_f", 3),
+        ("infllm", 3)])
     def test_policy_matches_original_mostly(self, setup, policy, min_agree):
         cfg, params, ids = setup
         ref = _engine(cfg, params, "original").generate(ids, max_new_tokens=12)
