@@ -90,3 +90,67 @@ def adc_scores_xla(lut: jax.Array, codes: jax.Array) -> jax.Array:
     gathered = jnp.take_along_axis(
         lut, codes[:, None, :, :].astype(jnp.int32), axis=-1)
     return jnp.sum(gathered, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# v2: all heads fused into one deep matmul per candidate block.
+#
+# The per-head kernel above issues a [g, S*C] @ [S*C, BT] dot per (head,
+# block) — only g (=4) MXU rows busy. Packing the LUT block-diagonally over
+# kv heads gives one [H, H_kv*S*C] @ [H_kv*S*C, BT] dot per block: 32 rows
+# and a 1024-deep contraction, ~8× fewer grid steps, bf16 operands.
+
+def _adc_kernel_v2(lut_ref, codes_ref, out_ref, *, n_subvec, n_cent):
+    H_kv, S, BT = codes_ref.shape
+    C = n_cent
+    cent_ids = jax.lax.broadcasted_iota(jnp.int32, (C, BT), 0)
+    parts = []
+    for h in range(H_kv):
+        codes_h = codes_ref[h].astype(jnp.int32)        # [S, BT]
+        for s in range(S):
+            parts.append(
+                (codes_h[s:s + 1, :] == cent_ids).astype(jnp.bfloat16))
+    onehot = jnp.concatenate(parts, axis=0)             # [H_kv*S*C, BT]
+    out_ref[:, :] = jax.lax.dot_general(
+        lut_ref[:, :], onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def adc_scores_pallas_v2(
+    lut: jax.Array,
+    codes: jax.Array,
+    *,
+    block_t: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same contract as adc_scores_pallas: lut [H_kv, g, S, C],
+    codes [H_kv, S, T] → scores [H_kv, g, T] f32."""
+    H_kv, g, S, C = lut.shape
+    H = H_kv * g
+    T = codes.shape[-1]
+    bt = min(block_t, _round_up(T, 128))
+    Tp = _round_up(T, bt)
+    if Tp != T:
+        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Tp - T)))
+
+    # block-diagonal LUT: row h only reads its kv head's code rows
+    eye = jnp.eye(H_kv, dtype=lut.dtype)
+    lut_bd = jnp.einsum("ko,kgsc->kgosc", eye, lut).reshape(
+        H, H_kv * S * C).astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        functools.partial(_adc_kernel_v2, n_subvec=S, n_cent=C),
+        grid=(Tp // bt,),
+        in_specs=[
+            pl.BlockSpec((H, H_kv * S * C), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H_kv, S, bt), lambda t: (0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, bt), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, Tp), jnp.float32),
+        interpret=interpret,
+    )(lut_bd, codes)
+    return out.reshape(H_kv, g, Tp)[:, :, :T]

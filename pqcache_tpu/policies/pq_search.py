@@ -136,9 +136,9 @@ class PQSearchPolicy:
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
         if self.use_pallas:
-            from pqcache_tpu.ops.adc_pallas import adc_scores_pallas
+            from pqcache_tpu.ops.adc_pallas import adc_scores_pallas_v2
             lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
-            scores = adc_scores_pallas(lut4, codes).reshape(H, -1)
+            scores = adc_scores_pallas_v2(lut4, codes).reshape(H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
         topk_idx, _ = pq.mips_topk(
@@ -147,10 +147,20 @@ class PQSearchPolicy:
 
         # Gather retrieved KV straight out of the stacked tail (the
         # reference's fetch_and_concat_kv_w_cache, cache_manager.py:299-428
-        # — here one HBM gather, no hit/miss split, no PCIe staging). The
-        # [idx, head, token] advanced index reads only the selected rows.
-        k_top = state.k_tail[idx, heads[:, None], topk_idx]
-        v_top = state.v_tail[idx, heads[:, None], topk_idx]
+        # — here one HBM gather, no hit/miss split, no PCIe staging).
+        if self.use_pallas:
+            # DMA-pipelined row gather straight from the stacked buffer;
+            # the layer picks its head range via a traced head offset.
+            from pqcache_tpu.ops.gather_pallas import gather_rows
+            L, _, N, _ = state.k_tail.shape
+            k_src = state.k_tail.reshape(L * self.H_kv, N, self.D)
+            v_src = state.v_tail.reshape(L * self.H_kv, N, self.D)
+            k_top = gather_rows(k_src, topk_idx, idx * self.H_kv)
+            v_top = gather_rows(v_src, topk_idx, idx * self.H_kv)
+        else:
+            # the [idx, head, token] advanced index reads the selected rows
+            k_top = state.k_tail[idx, heads[:, None], topk_idx]
+            v_top = state.v_tail[idx, heads[:, None], topk_idx]
 
         # Local window = sliding slice of the tail.
         size = (1, self.H_kv, b.local, self.D)

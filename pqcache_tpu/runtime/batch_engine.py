@@ -1,0 +1,141 @@
+"""Slot-based continuous batching engine.
+
+The reference hard-asserts batch size 1 (mistral_patch.py:61,
+pq_search.py:234); serving throughput there comes from nothing. Here the
+decode step is vmapped over a fixed pool of B sequence slots (every policy
+is written batch-free over fixed-shape state, so vmap is exact), and
+scheduling is iteration-level at chunk granularity:
+
+  * prefill runs per-sequence (single-sequence program, reused across
+    slots) and the resulting state is inserted into the batched state at a
+    free slot;
+  * the fused decode loop advances ALL active slots `chunk` tokens in one
+    device program;
+  * between chunks, finished sequences retire and waiting sequences are
+    admitted into their slots — continuous batching in the
+    iteration-level-scheduling sense (Orca/vLLM), with the chunk length
+    bounding admission latency.
+
+All slots share one (bucketed) prefill length P and therefore one budget —
+the usual padded-batch discipline. Finished slots keep computing until
+retired; their outputs are masked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core.budget import compute_budget
+from pqcache_tpu.models import llama
+from pqcache_tpu.policies.base import get_policy
+from pqcache_tpu.runtime.generate import bucket_length
+
+
+@dataclasses.dataclass
+class _Slot:
+    seq_id: Optional[int] = None
+    tokens: Optional[list] = None
+    done: bool = True
+    next_tok: int = 0
+    pos: int = 0
+
+
+class BatchEngine:
+    """Fixed-pool continuous batching over B slots (one device)."""
+
+    def __init__(self, cfg: EngineConfig, params: dict, *, batch_size: int = 4,
+                 prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.B = batch_size
+        self.P = prefill_len
+        self.max_new = max_new_tokens
+        self.dtype = dtype
+        self.budget = compute_budget(cfg.budget, prefill_len, max_new_tokens)
+        self.policy = get_policy(cfg, self.budget)
+
+        m = cfg.model
+
+        def prefill_fn(params, state, tokens, pad_len, true_len):
+            logits, st = llama.prefill(m, params, self.policy, state,
+                                       tokens, pad_len, true_len)
+            return jnp.argmax(logits).astype(jnp.int32), st
+
+        def decode_chunk(params, bstate, toks, poss, n_steps):
+            def one(state, tok, pos):
+                return llama.decode_loop(cfg.model, params, self.policy,
+                                         state, tok, pos, n_steps)
+            return jax.vmap(one, in_axes=(0, 0, 0))(bstate, toks, poss)
+
+        self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
+        self._decode = jax.jit(decode_chunk, donate_argnums=(1,),
+                               static_argnums=(4,))
+        self._insert = jax.jit(
+            lambda bstate, state, slot: jax.tree_util.tree_map(
+                lambda b, s: jax.lax.dynamic_update_index_in_dim(
+                    b, s, slot, 0), bstate, state),
+            donate_argnums=(0,))
+
+        state0 = self.policy.init_state(dtype)
+        self.bstate = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a] * self.B), state0)
+        self.slots: List[_Slot] = [_Slot() for _ in range(self.B)]
+
+    def _admit(self, seq_id: int, ids: np.ndarray) -> int:
+        slot = next(i for i, s in enumerate(self.slots) if s.done)
+        true_len = int(ids.shape[0])
+        pad = self.P - true_len
+        if pad < 0:
+            raise ValueError(f"prompt {true_len} > engine prefill_len {self.P}")
+        tokens = np.zeros((self.P,), np.int32)
+        tokens[pad:] = ids
+        state = self.policy.init_state(self.dtype)
+        first, state = self._prefill(
+            self.params, state, jnp.asarray(tokens),
+            jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
+        self.bstate = self._insert(self.bstate, state,
+                                   jnp.asarray(slot, jnp.int32))
+        self.slots[slot] = _Slot(seq_id=seq_id, tokens=[int(first)],
+                                 done=False, next_tok=int(first),
+                                 pos=true_len)
+        return slot
+
+    def run(self, requests: Iterable[tuple[int, np.ndarray]],
+            eos_ids=(), chunk: int = 16) -> dict[int, list]:
+        """Process (seq_id, prompt_ids) requests; returns seq_id → tokens."""
+        queue = list(requests)
+        results: dict[int, list] = {}
+
+        def admit_all():
+            while queue and any(s.done for s in self.slots):
+                sid, ids = queue.pop(0)
+                self._admit(sid, np.asarray(ids, np.int32))
+
+        admit_all()
+        while any(not s.done for s in self.slots):
+            toks = jnp.asarray([s.next_tok for s in self.slots], jnp.int32)
+            poss = jnp.asarray([s.pos for s in self.slots], jnp.int32)
+            out_toks, self.bstate = self._decode(
+                self.params, self.bstate, toks, poss, chunk)
+            out_np = np.asarray(out_toks)  # [B, chunk]
+            for i, s in enumerate(self.slots):
+                if s.done:
+                    continue
+                for t in out_np[i]:
+                    t = int(t)
+                    s.tokens.append(t)
+                    s.pos += 1
+                    if t in eos_ids or len(s.tokens) >= self.max_new:
+                        s.done = True
+                        results[s.seq_id] = s.tokens
+                        break
+                s.next_tok = s.tokens[-1]
+            admit_all()
+        return results

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pqcache_tpu.ops.adc_pallas import adc_scores_pallas, adc_scores_xla
+from pqcache_tpu.ops.adc_pallas import (adc_scores_pallas,
+                                        adc_scores_pallas_v2, adc_scores_xla)
 
 
 @pytest.mark.parametrize("T,block_t", [(256, 128), (300, 128), (1024, 512)])
@@ -18,6 +19,19 @@ def test_matches_xla(T, block_t):
     out = adc_scores_pallas(lut, codes, block_t=block_t, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("T,block_t", [(256, 128), (300, 128), (1024, 512)])
+def test_v2_matches_xla(T, block_t):
+    rng = np.random.default_rng(3)
+    H_kv, g, S, C = 2, 4, 2, 64
+    lut = jnp.asarray(rng.normal(size=(H_kv, g, S, C)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, C, size=(H_kv, S, T)), jnp.int8)
+    ref = adc_scores_xla(lut, codes)
+    out = adc_scores_pallas_v2(lut, codes, block_t=block_t, interpret=True)
+    # v2 uses bf16 LUT/onehot operands on the MXU: ~2-3 decimal digits
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.02, atol=0.02)
 
 
 def test_single_subvec():
