@@ -1,13 +1,20 @@
-"""Headline benchmark: pq_search decode throughput at long context vs the
-full-attention baseline, on whatever accelerator JAX sees.
+"""Headline benchmark: pq_search vs full-attention decode throughput at long
+context, on whatever accelerator JAX sees.
 
-Protocol mirrors the reference's latency harness (test_latency.py:74-141):
-prefill once, then time steady-state per-token decode; `vs_baseline` is the
-speedup of PQ decode over dense-attention decode on the SAME model and
-context — the quantity PQCache exists to improve.
+Default protocol: BATCHED decode (B sequences at 32k ctx), the serving case
+(BASELINE.md: concurrent long-context streams). Batch-1 decode of a dense
+model is weight-bandwidth-bound, which hides KV costs; with B streams the
+weights amortize and the dense baseline pays B× the KV reads while PQCache
+pays B× (codes + top-k gathers) — the regime PQCache exists for. One
+sequence is prefilled (PQ codebooks trained on-MXU in the prefill program)
+and its state is broadcast to all B slots; decode runs as one fused vmapped
+loop.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R, ...}
+
+Env knobs: BENCH_CTX (32768), BENCH_GEN (32), BENCH_LAYERS (8),
+BENCH_BATCH (4), BENCH_MODE (batched|single).
 """
 
 import json
@@ -21,23 +28,28 @@ import numpy as np
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
     from pqcache_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
+    import jax
+    import jax.numpy as jnp
+
     from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
                                     PQConfig, RuntimeConfig)
+    from pqcache_tpu.core.budget import compute_budget
     from pqcache_tpu.models import llama
-    from pqcache_tpu.runtime.generate import Engine
+    from pqcache_tpu.policies.base import get_policy
 
     ctx = int(os.environ.get("BENCH_CTX", "32768"))
-    gen = int(os.environ.get("BENCH_GEN", "48"))
+    gen = int(os.environ.get("BENCH_GEN", "32"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "4"))
+    mode = os.environ.get("BENCH_MODE", "batched")
+    if mode == "single":
+        B = 1
 
     # Llama-3.1 widths at reduced depth: per-layer cost identical to the
-    # flagship; depth scaled so random weights + two KV states fit one chip.
+    # flagship; depth scaled so random weights + B KV states fit one chip.
     model = ModelConfig(
         name=f"llama31-{layers}L-bench",
         vocab_size=128256, hidden_size=4096, intermediate_size=14336,
@@ -45,48 +57,75 @@ def main():
         rope_theta=500000.0, rope_scaling_factor=8.0,
         max_position_embeddings=131072)
 
-    def make_engine(policy):
-        cfg = EngineConfig(
-            model=model,
-            pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
-            budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
-                                sink_size=32),
-            runtime=RuntimeConfig(policy=policy, prefill_bucket=1024,
-                                  max_new_tokens=gen, max_seq_len=ctx + 1024),
-        )
-        return Engine(cfg, params)
-
     params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
 
     results = {}
-    for policy in ("pq_search", "original"):
-        eng = make_engine(policy)
-        # warm-up compiles the prefill and the SAME-chunk decode loop that
-        # the timed run uses (chunk size is part of the compiled program)
-        eng.generate(ids, max_new_tokens=gen)
-        res = eng.generate(ids, max_new_tokens=gen)
-        assert res.policy_name == policy, res.policy_name
-        steps = max(len(res.tokens) - 1, 1)
-        results[policy] = {
-            "tok_s": steps / res.decode_seconds,
-            "prefill_s": res.prefill_seconds,
+    for policy_name in ("pq_search", "original"):
+        cfg = EngineConfig(
+            model=model,
+            pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+            budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
+                                sink_size=32),
+            runtime=RuntimeConfig(policy=policy_name, prefill_bucket=1024,
+                                  max_new_tokens=gen + 2,
+                                  max_seq_len=ctx + 2048),
+        )
+        budget = compute_budget(cfg.budget, ctx, gen + 2)
+        policy = get_policy(cfg, budget)
+
+        # prefill one sequence
+        state = policy.init_state(jnp.bfloat16)
+        prefill = jax.jit(
+            lambda p, s, t: llama.prefill(
+                model, p, policy, s, t, jnp.asarray(0, jnp.int32),
+                jnp.asarray(ctx, jnp.int32)),
+            donate_argnums=(1,))
+        t0 = time.perf_counter()
+        logits, state = prefill(params, state, jnp.asarray(ids))
+        first = int(jnp.argmax(logits))
+        prefill_s = time.perf_counter() - t0
+
+        # broadcast to B slots; fused vmapped decode loop
+        bstate = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(), state)
+        decode = jax.jit(
+            lambda p, bs, t, pos: jax.vmap(
+                lambda s, tt, pp: llama.decode_loop(
+                    model, p, policy, s, tt, pp, gen),
+                in_axes=(0, 0, 0))(bs, t, pos),
+            donate_argnums=(1,))
+        toks = jnp.full((B,), first, jnp.int32)
+        poss = jnp.full((B,), ctx, jnp.int32)
+        out, bstate = decode(params, bstate, toks, poss)   # compile+warm
+        np.asarray(out)
+        t0 = time.perf_counter()
+        out, bstate = decode(params, bstate, toks + 0, poss + gen)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        results[policy_name] = {
+            "tok_s": B * gen / dt,
+            "per_step_ms": dt / gen * 1e3,
+            "prefill_s": prefill_s,
         }
-        del eng
+        del state, bstate, policy
 
     pq_tok_s = results["pq_search"]["tok_s"]
     base_tok_s = results["original"]["tok_s"]
     print(json.dumps({
-        "metric": f"pq_search decode tok/s @ {ctx} ctx ({layers}L llama31-width)",
+        "metric": (f"pq_search aggregate decode tok/s @ {ctx} ctx, "
+                   f"B={B} ({layers}L llama31-width)"),
         "value": round(pq_tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(pq_tok_s / base_tok_s, 3),
         "detail": {
             "baseline_full_attn_tok_s": round(base_tok_s, 2),
+            "pq_step_ms": round(results["pq_search"]["per_step_ms"], 2),
+            "base_step_ms": round(results["original"]["per_step_ms"], 2),
             "pq_prefill_s": round(results["pq_search"]["prefill_s"], 3),
             "base_prefill_s": round(results["original"]["prefill_s"], 3),
-            "ctx": ctx, "layers": layers,
+            "ctx": ctx, "layers": layers, "batch": B,
         },
     }))
 

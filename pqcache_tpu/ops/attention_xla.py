@@ -191,12 +191,13 @@ def decode_window_attention(
     group = H // H_kv
     scale = 1.0 / (D ** 0.5)
 
-    qg = q.reshape(H_kv, group, D).astype(jnp.float32)
-    logits = jnp.einsum("hgd,hwd->hgw", qg, k_win.astype(jnp.float32),
+    # operands stay bf16 (MXU-native); accumulation and softmax in f32
+    qg = q.reshape(H_kv, group, D)
+    logits = jnp.einsum("hgd,hwd->hgw", qg, k_win,
                         preferred_element_type=jnp.float32) * scale
     if win_mask is not None:
         logits = jnp.where(win_mask[:, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("hgw,hwd->hgd", probs, v_win.astype(jnp.float32),
+    out = jnp.einsum("hgw,hwd->hgd", probs.astype(v_win.dtype), v_win,
                      preferred_element_type=jnp.float32)
     return out.reshape(H, 1, D).astype(q.dtype)
