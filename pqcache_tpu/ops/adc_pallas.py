@@ -103,14 +103,14 @@ def adc_scores_xla(lut: jax.Array, codes: jax.Array) -> jax.Array:
 def _adc_kernel_v2(lut_ref, codes_ref, out_ref, *, n_subvec, n_cent):
     H_kv, S, BT = codes_ref.shape
     C = n_cent
-    cent_ids = jax.lax.broadcasted_iota(jnp.int32, (C, BT), 0)
-    parts = []
-    for h in range(H_kv):
-        codes_h = codes_ref[h].astype(jnp.int32)        # [S, BT]
-        for s in range(S):
-            parts.append(
-                (codes_h[s:s + 1, :] == cent_ids).astype(jnp.bfloat16))
-    onehot = jnp.concatenate(parts, axis=0)             # [H_kv*S*C, BT]
+    # one-hot rows ordered (c, h, s) — pltpu.repeat tiles the whole block,
+    # so row r = c·(H_kv·S) + h·S + s; the wrapper orders LUT columns to
+    # match. One tiled copy + one vectorized compare, no sublane concats.
+    codes2 = codes_ref[...].astype(jnp.int32).reshape(H_kv * S, BT)
+    rep = pltpu.repeat(codes2, C, axis=0)               # [C*H_kv*S, BT]
+    cent = jax.lax.broadcasted_iota(
+        jnp.int32, (C * H_kv * S, BT), 0) // (H_kv * S)
+    onehot = (rep == cent).astype(jnp.bfloat16)
     out_ref[:, :] = jax.lax.dot_general(
         lut_ref[:, :], onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -134,10 +134,11 @@ def adc_scores_pallas_v2(
     if Tp != T:
         codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Tp - T)))
 
-    # block-diagonal LUT: row h only reads its kv head's code rows
+    # block-diagonal LUT: row h only reads its kv head's code rows; column
+    # ordering (c, o, s) matches the kernel's tiled one-hot row ordering
     eye = jnp.eye(H_kv, dtype=lut.dtype)
-    lut_bd = jnp.einsum("ko,kgsc->kgosc", eye, lut).reshape(
-        H, H_kv * S * C).astype(jnp.bfloat16)
+    lut_bd = jnp.einsum("ko,kgsc->kgcos", eye, lut).reshape(
+        H, C * H_kv * S).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
         functools.partial(_adc_kernel_v2, n_subvec=S, n_cent=C),

@@ -31,16 +31,16 @@ def _sublane_tile(dtype) -> int:
     return max(32 // jnp.dtype(dtype).itemsize, 8)
 
 
-def _gather_kernel(idx_ref, src_ref, out_ref, scratch, sem, *, rows, K, tile):
+def _gather_kernel(idx_ref, sub_ref, src_ref, out_ref, scratch, sem,
+                   *, rows, K, tile):
     h = pl.program_id(0)
     b = pl.program_id(1)
-    # idx_ref layout: [head_offset, row_idx...]
+    # idx_ref (scalar prefetch) layout: [head_offset, tile_start...]
     off = idx_ref[0]
     base = 1 + h * K + b * rows
 
     def dma(r):
-        row = idx_ref[base + r]
-        t0 = (row // tile) * tile
+        t0 = pl.multiple_of(idx_ref[base + r], tile)
         return pltpu.make_async_copy(
             src_ref.at[off + h, pl.ds(t0, tile)], scratch.at[r], sem)
 
@@ -56,14 +56,14 @@ def _gather_kernel(idx_ref, src_ref, out_ref, scratch, sem, *, rows, K, tile):
 
     jax.lax.fori_loop(0, rows, wait, 0)
 
-    # vectorized in-tile row select: out[r] = scratch[r, idx[r] % tile]
-    sub = jnp.remainder(
-        jax.lax.dynamic_slice(
-            idx_ref[...], (base,), (rows,)), tile)        # [rows]
-    sub_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (rows, tile, 1), 1)
-    sel = (sub_ids == sub[:, None, None]).astype(src_ref.dtype)
-    out_ref[0] = jnp.sum(scratch[...] * sel, axis=1)
+    # vectorized in-tile row select: out[r] = scratch[r, sub[r]]
+    # (sub arrives as a VMEM sublane vector; SMEM only allows scalar loads;
+    # all mask ops stay 32-bit — Mosaic can't insert minor dims on bf16)
+    sub = sub_ref[0]                                   # [rows, 1] i32
+    tids3 = jax.lax.broadcasted_iota(jnp.int32, (rows, tile, 1), 1)
+    mask3 = tids3 == sub[:, :, None]                   # [rows, tile, 1]
+    sel = jnp.where(mask3, scratch[...], jnp.zeros_like(scratch))
+    out_ref[0] = jnp.sum(sel, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("rows_per_block", "interpret"))
@@ -91,16 +91,23 @@ def gather_rows(
     Kp = (K + rb - 1) // rb * rb
     if Kp != K:
         idx = jnp.pad(idx, ((0, 0), (0, Kp - K)))
+    idx = idx.astype(jnp.int32)
+    tile_start = (idx // tile) * tile
+    sub = (idx - tile_start)[..., None]               # [H, Kp, 1]
     scalars = jnp.concatenate([
         jnp.asarray(head_offset, jnp.int32).reshape(1),
-        idx.reshape(-1).astype(jnp.int32)])
+        tile_start.reshape(-1)])
 
     out = pl.pallas_call(
         functools.partial(_gather_kernel, rows=rb, K=Kp, tile=tile),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(H, Kp // rb),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[
+                pl.BlockSpec((1, rb, 1), lambda h, b, s: (h, b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
             out_specs=pl.BlockSpec((1, rb, D), lambda h, b, s: (h, b, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -110,8 +117,7 @@ def gather_rows(
         ),
         out_shape=jax.ShapeDtypeStruct((H, Kp, D), src.dtype),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(scalars, src)
+    )(scalars, sub, src)
     return out[:, :K]
 
 

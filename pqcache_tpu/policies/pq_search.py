@@ -135,10 +135,14 @@ class PQSearchPolicy:
             lut = pq.adc_lut_euc(q_sub, centroids)
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
-        if self.use_pallas:
-            from pqcache_tpu.ops.adc_pallas import adc_scores_pallas_v2
+        import os
+        adc_mode = os.environ.get("PQ_ADC", "v2")
+        if self.use_pallas and adc_mode != "xla":
+            from pqcache_tpu.ops.adc_pallas import (adc_scores_pallas,
+                                                    adc_scores_pallas_v2)
+            fn = adc_scores_pallas_v2 if adc_mode == "v2" else adc_scores_pallas
             lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
-            scores = adc_scores_pallas_v2(lut4, codes).reshape(H, -1)
+            scores = fn(lut4, codes).reshape(H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
         topk_idx, _ = pq.mips_topk(
@@ -148,7 +152,7 @@ class PQSearchPolicy:
         # Gather retrieved KV straight out of the stacked tail (the
         # reference's fetch_and_concat_kv_w_cache, cache_manager.py:299-428
         # — here one HBM gather, no hit/miss split, no PCIe staging).
-        if self.use_pallas:
+        if self.use_pallas and os.environ.get("PQ_GATHER", "pallas") != "xla":
             # DMA-pipelined row gather straight from the stacked buffer;
             # the layer picks its head range via a traced head offset.
             from pqcache_tpu.ops.gather_pallas import gather_rows
