@@ -66,7 +66,7 @@ def pq_state_specs(batch_axis: Optional[str] = None) -> Any:
     from pqcache_tpu.runtime.state import PQState
     h4 = _prepend(P(None, "tp", None, None), batch_axis)
     return PQState(
-        k_sink=h4, v_sink=h4, k_tail=h4, v_tail=h4, codes=h4,
+        k_sink=h4, v_sink=h4, kv_tail=h4, codes=h4,
         centroids=_prepend(P(None, "tp", None, None, None), batch_axis),
         phi=_prepend(P(None, "tp", None, None), batch_axis),
         n_cand=_prepend(P(), batch_axis),

@@ -100,14 +100,15 @@ class PQSearchPolicy:
         codes_src = res.codes.reshape(
             self.H_kv, self.S, P - b.sink).astype(state.codes.dtype)
 
-        dt = state.k_tail.dtype
+        dt = state.kv_tail.dtype
         up = lambda buf, val: jax.lax.dynamic_update_slice(
             buf, val[None], (idx,) + (0,) * val.ndim)
+        kv_src = jnp.concatenate(
+            [k_tail_src, v_tail_src], axis=-1).astype(dt)
         new = state.replace(
             k_sink=up(state.k_sink, k_sink.astype(dt)),
             v_sink=up(state.v_sink, v_sink.astype(dt)),
-            k_tail=up(state.k_tail, k_tail_src.astype(dt)),
-            v_tail=up(state.v_tail, v_tail_src.astype(dt)),
+            kv_tail=up(state.kv_tail, kv_src),
             codes=up(state.codes, codes_src),
             centroids=up(state.centroids, centroids),
             phi=up(state.phi, phi),
@@ -149,31 +150,30 @@ class PQSearchPolicy:
             scores, n_cand, b.topk, group=self.group, head_dim=self.D,
             metric=self.metric, approx=self.approx_topk)  # [H_kv, topk]
 
-        # Gather retrieved KV straight out of the stacked tail (the
-        # reference's fetch_and_concat_kv_w_cache, cache_manager.py:299-428
-        # — here one HBM gather, no hit/miss split, no PCIe staging).
-        if self.use_pallas and os.environ.get("PQ_GATHER", "pallas") != "xla":
-            # DMA-pipelined row gather straight from the stacked buffer;
-            # the layer picks its head range via a traced head offset.
+        # Gather retrieved KV straight out of the stacked interleaved tail
+        # (the reference's fetch_and_concat_kv_w_cache,
+        # cache_manager.py:299-428 — here ONE HBM gather fetching K and V
+        # together, no hit/miss split, no PCIe staging).
+        # default = XLA gather: the hand-rolled DMA gather pays ~0.5 us of
+        # issue overhead per row (scalar-core loop), slower in practice than
+        # XLA's pipelined gather; kept behind PQ_GATHER=pallas for research
+        if self.use_pallas and os.environ.get("PQ_GATHER", "xla") == "pallas":
             from pqcache_tpu.ops.gather_pallas import gather_rows
-            L, _, N, _ = state.k_tail.shape
-            k_src = state.k_tail.reshape(L * self.H_kv, N, self.D)
-            v_src = state.v_tail.reshape(L * self.H_kv, N, self.D)
-            k_top = gather_rows(k_src, topk_idx, idx * self.H_kv)
-            v_top = gather_rows(v_src, topk_idx, idx * self.H_kv)
+            L, _, N, _ = state.kv_tail.shape
+            kv_src = state.kv_tail.reshape(L * self.H_kv, N, 2 * self.D)
+            kv_top = gather_rows(kv_src, topk_idx, idx * self.H_kv)
         else:
             # the [idx, head, token] advanced index reads the selected rows
-            k_top = state.k_tail[idx, heads[:, None], topk_idx]
-            v_top = state.v_tail[idx, heads[:, None], topk_idx]
+            kv_top = state.kv_tail[idx, heads[:, None], topk_idx]
+        k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
 
         # Local window = sliding slice of the tail.
-        size = (1, self.H_kv, b.local, self.D)
-        k_local = jax.lax.dynamic_slice(
-            state.k_tail, (idx, 0, n_cand, 0), size)[0]
-        v_local = jax.lax.dynamic_slice(
-            state.v_tail, (idx, 0, n_cand, 0), size)[0]
+        kv_local = jax.lax.dynamic_slice(
+            state.kv_tail, (idx, 0, n_cand, 0),
+            (1, self.H_kv, b.local, 2 * self.D))[0]
+        k_local, v_local = kv_local[..., :self.D], kv_local[..., self.D:]
 
-        dt = state.k_tail.dtype
+        dt = state.kv_tail.dtype
         k_win = jnp.concatenate(
             [k_sink, k_local, k_top, k_new.astype(dt)], axis=1)
         v_win = jnp.concatenate(
@@ -194,11 +194,10 @@ class PQSearchPolicy:
         new_codes = pq.pq_encode(x_new, cent_flat).reshape(
             self.H_kv, self.S, 1).astype(state.codes.dtype)
 
+        kv_new = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
         new = state.replace(
-            k_tail=jax.lax.dynamic_update_slice(
-                state.k_tail, k_new.astype(dt)[None], (idx, 0, slot, 0)),
-            v_tail=jax.lax.dynamic_update_slice(
-                state.v_tail, v_new.astype(dt)[None], (idx, 0, slot, 0)),
+            kv_tail=jax.lax.dynamic_update_slice(
+                state.kv_tail, kv_new[None], (idx, 0, slot, 0)),
             codes=jax.lax.dynamic_update_slice(
                 state.codes, new_codes[None], (idx, 0, 0, slot)))
         return out, new

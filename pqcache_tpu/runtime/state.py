@@ -11,13 +11,14 @@ information is ONE pytree of fixed-shape arrays, stacked over layers so the
 whole decoder step is a single `lax.scan`:
 
   * ``k_sink/v_sink``: the first `sink` prompt tokens, kept verbatim.
-  * ``k_tail/v_tail``: every non-sink token in sequence order — prefill
+  * ``kv_tail``: every non-sink token in sequence order (K and V
+    interleaved per row so retrieval is one gather) — prefill
     tokens first, generated tokens appended. Because generated tokens are
     appended in order, the reference's local-window ring buffer + eviction
     copy (cache_manager.py:212-228) degenerates to a *sliding slice*:
     retrieval candidates are ``tail[:n_cand]`` and the local window is
     ``tail[n_cand : n_cand + local]``. Eviction = incrementing ``n_cand``.
-  * ``codes``: PQ codes aligned with ``k_tail`` (the reference's reserved
+  * ``codes``: PQ codes aligned with ``kv_tail`` (the reference's reserved
     shared code buffer, multi_core_compressor_v2.py:47-51). New tokens are
     encoded at append time instead of at window-exit time
     (pq_search.py:346-354) — same codes, simpler control flow.
@@ -47,8 +48,9 @@ class PQState:
 
     k_sink: jax.Array     # [L, H_kv, sink, D]
     v_sink: jax.Array     # [L, H_kv, sink, D]
-    k_tail: jax.Array     # [L, H_kv, N_tail, D]
-    v_tail: jax.Array     # [L, H_kv, N_tail, D]
+    kv_tail: jax.Array    # [L, H_kv, N_tail, 2*D] — K and V interleaved per
+                          # row so one top-k gather fetches both (row = 512B
+                          # instead of 2×256B; XLA gather cost ∝ row count)
     codes: jax.Array      # [L, H_kv, S, N_tail] int8 (C <= 256 centroids)
     centroids: jax.Array  # [L, H_kv, S, C, d_lift] f32 (d_lift = d_sub (+1 for ip))
     phi: jax.Array        # [L, H_kv * S, 1, 1] f32 — ip2l2 lift constant (euc: zeros)
@@ -84,8 +86,7 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16) -> PQSt
     return PQState(
         k_sink=z(L, H_kv, budget.sink, D),
         v_sink=z(L, H_kv, budget.sink, D),
-        k_tail=z(L, H_kv, N_tail, D),
-        v_tail=z(L, H_kv, N_tail, D),
+        kv_tail=z(L, H_kv, N_tail, 2 * D),
         codes=jnp.zeros((L, H_kv, S, N_tail), jnp.int8),
         centroids=jnp.zeros((L, H_kv, S, C, d_lift), jnp.float32),
         phi=jnp.zeros((L, H_kv * S, 1, 1), jnp.float32),

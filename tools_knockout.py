@@ -85,16 +85,15 @@ if VARIANT == "nogather":
         topk_idx, _ = pqcore.mips_topk(
             scores, n_cand, b.topk, group=self.group, head_dim=self.D,
             metric=self.metric, approx=True)
-        k_top = jax.lax.dynamic_slice(
-            state.k_tail, (idx, 0, jnp.min(topk_idx) * 0, 0),
-            (1, self.H_kv, b.topk, self.D))[0]
-        v_top = jax.lax.dynamic_slice(
-            state.v_tail, (idx, 0, jnp.min(topk_idx) * 0, 0),
-            (1, self.H_kv, b.topk, self.D))[0]
-        size = (1, self.H_kv, b.local, self.D)
-        k_local = jax.lax.dynamic_slice(state.k_tail, (idx, 0, n_cand, 0), size)[0]
-        v_local = jax.lax.dynamic_slice(state.v_tail, (idx, 0, n_cand, 0), size)[0]
-        dt = state.k_tail.dtype
+        kv_top = jax.lax.dynamic_slice(
+            state.kv_tail, (idx, 0, jnp.min(topk_idx) * 0, 0),
+            (1, self.H_kv, b.topk, 2 * self.D))[0]
+        k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
+        kv_local = jax.lax.dynamic_slice(
+            state.kv_tail, (idx, 0, n_cand, 0),
+            (1, self.H_kv, b.local, 2 * self.D))[0]
+        k_local, v_local = kv_local[..., :self.D], kv_local[..., self.D:]
+        dt = state.kv_tail.dtype
         k_win = jnp.concatenate([state.k_sink[idx], k_local, k_top,
                                  k_new.astype(dt)], axis=1)
         v_win = jnp.concatenate([state.v_sink[idx], v_local, v_top,
@@ -109,11 +108,10 @@ if VARIANT == "nogather":
         cent_flat = centroids.reshape(self.H_kv * self.S, self.C, -1)
         new_codes = pqcore.pq_encode(x_new, cent_flat).reshape(
             self.H_kv, self.S, 1).astype(state.codes.dtype)
+        kv_new = jnp.concatenate([k_new, v_new], -1).astype(dt)
         new = state.replace(
-            k_tail=jax.lax.dynamic_update_slice(
-                state.k_tail, k_new.astype(dt)[None], (idx, 0, slot, 0)),
-            v_tail=jax.lax.dynamic_update_slice(
-                state.v_tail, v_new.astype(dt)[None], (idx, 0, slot, 0)),
+            kv_tail=jax.lax.dynamic_update_slice(
+                state.kv_tail, kv_new[None], (idx, 0, slot, 0)),
             codes=jax.lax.dynamic_update_slice(
                 state.codes, new_codes[None], (idx, 0, 0, slot)))
         return out, new
