@@ -219,7 +219,7 @@ def kmeans(
 
     centroids = jax.lax.fori_loop(0, iters, body, centroids0)
     codes, _, _, _ = _assign_chunked(x, w, centroids, chunk)
-    return KMeansResult(centroids=centroids, codes=codes)
+    return KMeansResult(centroids=centroids, codes=codes[:, :N])
 
 
 def pq_encode(x: jax.Array, centroids: jax.Array) -> jax.Array:

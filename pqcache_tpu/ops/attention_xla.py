@@ -80,14 +80,18 @@ def chunked_attention(
     causal: bool = True,
     block: int = 512,
     with_scores: bool = False,
+    score_mode: str = "sum",
+    recent_cnt: int = 32,
 ) -> tuple[jax.Array, Optional[jax.Array]]:
     """Online-softmax attention with q-block × k-block tiling.
 
     Memory-efficient prefill attention; optionally also emits per-key
-    aggregated attention scores F[h, t] = Σ_q softmax_prob(q, t) — the column
-    sums produced by the reference's Triton flash-attn-with-score kernel with
-    score_func="sum" (flash_attn_with_score.py:59-104), which feed the
-    H2O-style policies.
+    aggregated attention scores — the columns produced by the reference's
+    Triton flash-attn-with-score kernel (flash_attn_with_score.py):
+      * score_mode="sum": F[h, t] = Σ_q softmax_prob(q, t)  (:59-104)
+      * score_mode="max": F[h, t] = max_q softmax_prob(q, t) over pairs with
+        t <= q - recent_cnt (the non-recent column max, :106-155 with
+        RECENT_CNT=32)
 
     q [H, T, D], k/v [H_kv, T, D] with identical T (self-attention prefill).
     Returns (out [H, T, D], scores [H, T] f32 or None).
