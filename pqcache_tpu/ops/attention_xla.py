@@ -69,7 +69,8 @@ def dense_attention(
     return out.reshape(H, Tq, D).astype(q.dtype)
 
 
-@partial(jax.jit, static_argnames=("causal", "block", "with_scores"))
+@partial(jax.jit, static_argnames=("causal", "block", "with_scores",
+                                   "score_mode", "recent_cnt"))
 def chunked_attention(
     q: jax.Array,
     k: jax.Array,
@@ -153,21 +154,31 @@ def chunked_attention(
         out_i = acc / jnp.maximum(l, 1e-30)[..., None]
 
         if with_scores:
-            # Second sweep with final (m, l): normalized probability column
-            # sums per key — the two-stage structure of the reference kernel
-            # (flash_attn_with_score.py:158-262 + :59-104).
+            # Second sweep with final (m, l): normalized probability columns
+            # per key — the two-stage structure of the reference kernel
+            # (flash_attn_with_score.py:158-262 + :59-104 / :106-155).
             qp = i * block + offs
-            qvalid = ((qp < valid_len) & (qp >= valid_lo)).astype(jnp.float32)
+            qvalid = (qp < valid_len) & (qp >= valid_lo)
 
             def score_step(F_run, k_inp):
                 j, k_j = k_inp
                 lg = logits_block(q_i, k_j, i, j)
                 p = jnp.exp(lg - m[..., None]) / jnp.maximum(l, 1e-30)[..., None]
-                col = jnp.einsum("hgqk,q->hgk", p, qvalid)
+                if score_mode == "sum":
+                    col = jnp.einsum("hgqk,q->hgk", p,
+                                     qvalid.astype(jnp.float32))
+                else:  # "max": non-recent column max (RECENT_CNT window)
+                    kpos = j * block + offs
+                    pair_ok = (qvalid[:, None]
+                               & (kpos[None, :] <= qp[:, None] - recent_cnt))
+                    col = jnp.max(jnp.where(pair_ok[None, None], p, 0.0),
+                                  axis=2)
                 prev = jax.lax.dynamic_slice(
                     F_run, (0, 0, j * block), (H_kv, group, block))
+                merged = (prev + col if score_mode == "sum"
+                          else jnp.maximum(prev, col))
                 return jax.lax.dynamic_update_slice(
-                    F_run, prev + col, (0, 0, j * block)), None
+                    F_run, merged, (0, 0, j * block)), None
 
             F_acc, _ = jax.lax.scan(score_step, F_acc, (blk_ids, kb))
         return F_acc, out_i

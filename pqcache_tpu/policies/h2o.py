@@ -58,8 +58,9 @@ class H2OPolicy:
 
     def prefill_attn(self, state, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
-        out, F = chunked_attention(q, k, v, valid_lo=pad_len, causal=True,
-                                   with_scores=True)
+        out, F = chunked_attention(
+            q, k, v, valid_lo=pad_len, causal=True, with_scores=True,
+            score_mode=self.cfg.runtime.score_func)
         # GQA reduction of per-q-head column sums → per-kv-head accumulated
         # scores (baseline_compressor.py:169-171).
         scores = jnp.sum(F.reshape(self.H_kv, self.group, P), axis=1)

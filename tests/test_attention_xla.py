@@ -56,6 +56,26 @@ class TestChunkedAttention:
         np.testing.assert_allclose(np.asarray(scores).sum(-1),
                                    np.full(H, T), rtol=1e-3)
 
+    def test_max_scores_non_recent(self):
+        # score_mode="max": per-key max prob over queries at least
+        # recent_cnt after the key (flash_attn_with_score.py:106-155)
+        rng = np.random.default_rng(7)
+        H, H_kv, T, D, R = 2, 1, 64, 16, 8
+        q, k, v = _rand_qkv(rng, H, H_kv, T, D)
+        _, scores = chunked_attention(q, k, v, block=32, with_scores=True,
+                                      score_mode="max", recent_cnt=R)
+        qn, kn = np.asarray(q), np.asarray(k)
+        for h in range(H):
+            lg = (qn[h] @ kn[0].T) / np.sqrt(D)
+            lg[np.triu_indices(T, 1)] = -1e30
+            p = np.exp(lg - lg.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            qpos = np.arange(T)[:, None]
+            kpos = np.arange(T)[None, :]
+            p = np.where(kpos <= qpos - R, p, 0.0)
+            np.testing.assert_allclose(np.asarray(scores)[h], p.max(0),
+                                       rtol=1e-3, atol=1e-5)
+
     def test_decode_window_matches_dense(self):
         rng = np.random.default_rng(3)
         H, H_kv, W, D = 8, 2, 40, 16
