@@ -93,7 +93,16 @@ class PQSearchPolicy:
             xb, phi = pq.ip2l2_lift(xb, n_valid_tail)
         else:
             phi = jnp.zeros((self.H_kv * self.S, 1, 1), jnp.float32)
-        res = pq.kmeans(xb, self.C, iters=self.cfg.pq.kmeans_iters,
+        # Adaptive iteration count (the reference's MAX_ITER=0 mode,
+        # multi_core_compressor_v2.py:409-417, regresses CPU k-means latency
+        # against remaining prefill GPU time). Fused on-MXU clustering costs
+        # <1% of prefill FLOPs, so "adaptive" reduces to scaling refinement
+        # with the training-set size; P is static so this is compile-time.
+        if self.cfg.pq.adaptive_iters:
+            iters = int(min(3 + P // 4096, 25))
+        else:
+            iters = self.cfg.pq.kmeans_iters
+        res = pq.kmeans(xb, self.C, iters=iters,
                         seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail)
         centroids = res.centroids.reshape(
             self.H_kv, self.S, self.C, xb.shape[-1])
