@@ -18,7 +18,6 @@ import numpy as np
 
 def run(args) -> list[dict]:
     import jax
-    import jax.numpy as jnp
 
     from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
                                     PQConfig, RuntimeConfig)

@@ -14,17 +14,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
 import time
-from typing import Optional
-
 import numpy as np
 
 from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
-                                MODEL_PRESETS, PQConfig, RuntimeConfig)
+                                PQConfig, RuntimeConfig)
 from pqcache_tpu.harness.metrics import DATASET2METRIC, PAPER_DATASETS, scorer
 
 _CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(

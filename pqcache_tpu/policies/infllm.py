@@ -28,7 +28,7 @@ from flax import struct
 
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import NEG_INF, chunked_attention
+from pqcache_tpu.ops.attention_xla import chunked_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import DenseState, make_dense_state
 

@@ -24,7 +24,7 @@ retired; their outputs are masked.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, List, Optional
+from typing import Iterable, List, Optional
 
 import numpy as np
 

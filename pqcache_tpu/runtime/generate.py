@@ -14,7 +14,6 @@ greedy, batch 1) with an engine that:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -23,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pqcache_tpu.config import EngineConfig
-from pqcache_tpu.core.budget import Budget, compute_budget, pq_is_applicable
+from pqcache_tpu.core.budget import compute_budget, pq_is_applicable
 from pqcache_tpu.models import llama
 from pqcache_tpu.policies.base import get_policy
 

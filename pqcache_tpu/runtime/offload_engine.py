@@ -17,8 +17,6 @@ context, exactly as the reference trades PCIe traffic for GPU memory.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import numpy as np
 
 import jax
