@@ -90,6 +90,10 @@ class PQConfig:
     kmeans_seed: int = 4321           # RANDOM_SEED (run_llama.sh:33)
     adaptive_iters: bool = False      # pick iters from a profile table at runtime
     approx_topk: bool = True          # TPU approx_max_k (recall 0.98) vs sort
+    # Retrieval granularity: 1 = per-token top-k (reference parity,
+    # pq_search.py:322); >1 = block-granular selection (TPU fast path —
+    # contiguous fetches, block×-smaller top-k; recall-oracle-checked).
+    select_block: int = 1
 
     def __post_init__(self):
         if self.n_subvec_per_head not in (1, 2, 4, 8, 16):

@@ -328,6 +328,53 @@ def mips_topk(
     raise ValueError(f"unknown metric {metric}")
 
 
+def mips_topk_blocks(
+    scores: jax.Array,
+    n_valid: jax.Array,
+    k_tokens: int,
+    *,
+    group: int,
+    head_dim: int,
+    block: int,
+    metric: str = "euc",
+    approx: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Block-granular MIPS selection: rank fixed-size candidate blocks by
+    their total (GQA-reduced) attention mass and select ⌈k/block⌉ blocks.
+
+    TPU-first variant of the per-token top-k: the selection problem shrinks
+    by `block`× and the KV fetch becomes contiguous block reads instead of
+    scattered rows. Token-level recall is slightly diluted (quality-checked
+    by the recall oracle); the reference's own HBM cache works at the same
+    block granularity (cache_manager.py:119-123).
+
+    Returns (block_idx [H_kv, k_blocks] i32, group_scores [H_kv, T]).
+    """
+    H, T = scores.shape
+    H_kv = H // group
+    assert T % block == 0, (T, block)
+    k_blocks = max((k_tokens + block - 1) // block, 1)
+    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+    if metric == "euc":
+        masked = jnp.where(valid, scores / jnp.sqrt(float(head_dim)), -jnp.inf)
+        probs = jax.nn.softmax(masked, axis=-1)
+        probs = jnp.where(valid, probs, 0.0)
+        g = jnp.sum(probs.reshape(H_kv, group, T), axis=1)
+        blk = jnp.sum(g.reshape(H_kv, T // block, block), axis=-1)
+    else:
+        g = jnp.sum(scores.reshape(H_kv, group, T), axis=1)
+        gv = jnp.where(valid, -g, 0.0)  # smaller distance = better
+        blk = jnp.sum(gv.reshape(H_kv, T // block, block), axis=-1)
+    blk_valid = (jnp.arange(T // block, dtype=jnp.int32)[None, :] * block
+                 < n_valid)
+    sel = jnp.where(blk_valid, blk, -jnp.inf)
+    if approx:
+        _, idx = jax.lax.approx_max_k(sel, k_blocks, recall_target=0.98)
+    else:
+        _, idx = jax.lax.top_k(sel, k_blocks)
+    return idx.astype(jnp.int32), g
+
+
 # ---------------------------------------------------------------------------
 # Convenience: full exact-vs-PQ recall oracle (retrieval quality test)
 

@@ -55,6 +55,13 @@ class PQSearchPolicy:
         self.use_pallas = (jax.default_backend() == "tpu"
                            if mode == "auto" else mode == "pallas")
         self.approx_topk = cfg.pq.approx_topk
+        self.select_block = cfg.pq.select_block
+        if budget.n_tail_max % max(self.select_block, 1):
+            raise ValueError("n_tail_max must be divisible by select_block")
+        # block mode retrieves whole blocks; round the token budget up
+        self.topk_eff = (budget.topk if self.select_block <= 1 else
+                         -(-budget.topk // self.select_block)
+                         * self.select_block)
 
     # -- helpers ----------------------------------------------------------
 
@@ -155,25 +162,43 @@ class PQSearchPolicy:
             scores = fn(lut4, codes).reshape(H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
-        topk_idx, _ = pq.mips_topk(
-            scores, n_cand, b.topk, group=self.group, head_dim=self.D,
-            metric=self.metric, approx=self.approx_topk)  # [H_kv, topk]
-
-        # Gather retrieved KV straight out of the stacked interleaved tail
-        # (the reference's fetch_and_concat_kv_w_cache,
-        # cache_manager.py:299-428 — here ONE HBM gather fetching K and V
-        # together, no hit/miss split, no PCIe staging).
-        # default = XLA gather: the hand-rolled DMA gather pays ~0.5 us of
-        # issue overhead per row (scalar-core loop), slower in practice than
-        # XLA's pipelined gather; kept behind PQ_GATHER=pallas for research
-        if self.use_pallas and os.environ.get("PQ_GATHER", "xla") == "pallas":
-            from pqcache_tpu.ops.gather_pallas import gather_rows
+        if self.select_block > 1:
+            # Block-granular fast path: block×-smaller top-k, contiguous
+            # block fetches (selection granularity of the reference's own
+            # HBM cache, cache_manager.py:119-123); recall-oracle-checked.
+            bs = self.select_block
+            blk_idx, _ = pq.mips_topk_blocks(
+                scores, n_cand, b.topk, group=self.group, head_dim=self.D,
+                block=bs, metric=self.metric, approx=self.approx_topk)
             L, _, N, _ = state.kv_tail.shape
-            kv_src = state.kv_tail.reshape(L * self.H_kv, N, 2 * self.D)
-            kv_top = gather_rows(kv_src, topk_idx, idx * self.H_kv)
+            kv_resh = state.kv_tail.reshape(
+                L, self.H_kv, N // bs, bs * 2 * self.D)
+            kv_top = kv_resh[idx, heads[:, None], blk_idx].reshape(
+                self.H_kv, self.topk_eff, 2 * self.D)
+            topk_idx = (blk_idx[:, :, None] * bs
+                        + jnp.arange(bs, dtype=jnp.int32)[None, None, :]
+                        ).reshape(self.H_kv, self.topk_eff)
         else:
-            # the [idx, head, token] advanced index reads the selected rows
-            kv_top = state.kv_tail[idx, heads[:, None], topk_idx]
+            topk_idx, _ = pq.mips_topk(
+                scores, n_cand, b.topk, group=self.group, head_dim=self.D,
+                metric=self.metric, approx=self.approx_topk)  # [H_kv, topk]
+
+            # Gather retrieved KV straight out of the stacked interleaved
+            # tail (the reference's fetch_and_concat_kv_w_cache,
+            # cache_manager.py:299-428 — ONE HBM gather fetching K and V
+            # together, no hit/miss split, no PCIe staging). default = XLA
+            # gather: the hand-rolled DMA gather pays ~0.5 us of issue
+            # overhead per row (scalar-core loop); PQ_GATHER=pallas for
+            # research.
+            if (self.use_pallas
+                    and os.environ.get("PQ_GATHER", "xla") == "pallas"):
+                from pqcache_tpu.ops.gather_pallas import gather_rows
+                L, _, N, _ = state.kv_tail.shape
+                kv_src = state.kv_tail.reshape(L * self.H_kv, N, 2 * self.D)
+                kv_top = gather_rows(kv_src, topk_idx, idx * self.H_kv)
+            else:
+                # [idx, head, token] advanced index reads the selected rows
+                kv_top = state.kv_tail[idx, heads[:, None], topk_idx]
         k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
 
         # Local window = sliding slice of the tail.

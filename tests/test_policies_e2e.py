@@ -29,6 +29,12 @@ def setup():
     return cfg, params, ids.astype(np.int32)
 
 
+def _with_block(ecfg, block):
+    import dataclasses
+    return dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=block))
+
+
 def _engine(cfg, params, policy, **bud):
     defaults = dict(compress_ratio=0.3, recent_ratio=0.5, sink_size=4)
     defaults.update(bud)
@@ -74,6 +80,16 @@ class TestEndToEnd:
         res = eng.generate(ids, max_new_tokens=4)
         assert res.policy_name == "original"
         assert len(res.tokens) == 4
+
+    def test_pq_block_selection_mode(self, setup):
+        cfg, params, ids = setup
+        ref = _engine(cfg, params, "original").generate(ids, max_new_tokens=12)
+        eng = _engine(cfg, params, "pq_search")
+        eng.cfg = _with_block(eng.cfg, 4)
+        out = eng.generate(ids, max_new_tokens=12)
+        assert out.policy_name == "pq_search"
+        agree = sum(a == b for a, b in zip(ref.tokens, out.tokens))
+        assert agree >= 5, (ref.tokens, out.tokens)
 
     def test_pq_decode_deterministic(self, setup):
         cfg, params, ids = setup

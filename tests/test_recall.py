@@ -70,6 +70,52 @@ def test_pq_recall_at_paper_operating_point(metric):
     assert r > 0.4, f"{metric} absolute recall {r}"
 
 
+def test_block_selection_recall_at_scale():
+    """Block-granular selection (select_block=16) at realistic proportions.
+
+    Block selection relies on temporal locality of key importance (adjacent
+    tokens score similarly — the property Quest/InfLLM exploit and the
+    reference's own block cache assumes, cache_manager.py:119-123). On
+    locality-FREE random keys it roughly halves recall; this test models
+    the realistic regime with block-correlated keys and requires block
+    recall within 85% of token-granular recall there.
+    """
+    rng = np.random.default_rng(2)
+    H_kv, group, T, D, S, C = 2, 2, 4096, 128, 2, 64
+    H = H_kv * group
+    d_sub = D // S
+    # block-correlated mixture: the mode changes every 16 tokens
+    n_modes = 32
+    modes = rng.normal(size=(H_kv, n_modes, D)).astype(np.float32) * 2.0
+    which_blocks = rng.integers(0, n_modes, size=(H_kv, T // 16))
+    which = np.repeat(which_blocks, 16, axis=1)
+    noise = rng.normal(size=(H_kv, T, D)).astype(np.float32) * 0.7
+    keys = np.take_along_axis(modes, which[..., None], axis=1) + noise
+    queries = rng.normal(size=(H, D)).astype(np.float32)
+    xb = (keys.reshape(H_kv, T, S, d_sub).transpose(0, 2, 1, 3)
+          .reshape(H_kv * S, T, d_sub))
+    res = pq.kmeans(jnp.asarray(xb), C, iters=12, seed=0)
+    cent = res.centroids.reshape(H_kv, S, C, -1)
+    codes = res.codes.reshape(H_kv, S, T)
+    lut = pq.adc_lut_euc(jnp.asarray(queries.reshape(H, S, d_sub)), cent)
+    scores = pq.adc_gather_scores(lut, codes)
+
+    k = T // 5
+    tok_idx, _ = pq.mips_topk(scores, jnp.asarray(T), k, group=group,
+                              head_dim=D, metric="euc")
+    blk_idx, _ = pq.mips_topk_blocks(scores, jnp.asarray(T), k, group=group,
+                                     head_dim=D, block=16, metric="euc",
+                                     approx=False)
+    blk_tokens = (np.asarray(blk_idx)[:, :, None] * 16
+                  + np.arange(16)[None, None, :]).reshape(H_kv, -1)
+    exact = pq.exact_topk(jnp.asarray(queries), jnp.asarray(keys),
+                          jnp.asarray(T), k, group=group)
+    r_tok = float(pq.topk_recall(tok_idx, exact, group=group))
+    r_blk = float(pq.topk_recall(jnp.asarray(blk_tokens[:, :k]), exact,
+                                 group=group))
+    assert r_blk > 0.85 * r_tok, (r_tok, r_blk)
+
+
 def test_recall_improves_with_subvectors():
     """More subvectors → finer quantization → better recall (sanity that the
     ADC pipeline responds to its key knob)."""
