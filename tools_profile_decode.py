@@ -27,6 +27,7 @@ from pqcache_tpu.policies.base import get_policy
 CTX = int(os.environ.get("CTX", "4096"))
 LAYERS = int(os.environ.get("LAYERS", "2"))
 STEPS = int(os.environ.get("STEPS", "8"))
+BLOCK = int(os.environ.get("BLOCK", "1"))
 
 model = ModelConfig(
     name=f"prof{LAYERS}L", vocab_size=128256, hidden_size=4096,
@@ -39,7 +40,8 @@ params = llama.init_params(model, jax.random.PRNGKey(0))
 def run(name):
     cfg = EngineConfig(
         model=model,
-        pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
+                    select_block=BLOCK),
         budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
         runtime=RuntimeConfig(policy=name, prefill_bucket=1024,
                               max_new_tokens=64, max_seq_len=CTX * 2))
