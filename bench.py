@@ -43,10 +43,9 @@ def main():
     ctx = int(os.environ.get("BENCH_CTX", "32768"))
     gen = int(os.environ.get("BENCH_GEN", "32"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    B = int(os.environ.get("BENCH_BATCH", "4"))
-    mode = os.environ.get("BENCH_MODE", "batched")
-    if mode == "single":
-        B = 1
+    # headline = single sequence (the reference's own protocol — it is
+    # hard-limited to batch 1, mistral_patch.py:61); B>1 measured as detail
+    B = int(os.environ.get("BENCH_BATCH", "1"))
 
     # Llama-3.1 widths at reduced depth: per-layer cost identical to the
     # flagship; depth scaled so random weights + B KV states fit one chip.
@@ -92,23 +91,38 @@ def main():
         int(tok0)
         prefill_s = time.perf_counter() - t0
 
-        # broadcast to B slots; fused vmapped decode loop
-        bstate = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(), state)
-        decode = jax.jit(
-            lambda p, bs, t, pos: jax.vmap(
-                lambda s, tt, pp: llama.decode_loop(
-                    model, p, policy, s, tt, pp, gen),
-                in_axes=(0, 0, 0))(bs, t, pos),
-            donate_argnums=(1,))
-        toks = jnp.full((B,), first, jnp.int32)
-        poss = jnp.full((B,), ctx, jnp.int32)
-        out, bstate = decode(params, bstate, toks, poss)   # compile+warm
-        np.asarray(out)
-        t0 = time.perf_counter()
-        out, bstate = decode(params, bstate, toks + 0, poss + gen)
-        np.asarray(out)
-        dt = time.perf_counter() - t0
+        if B == 1:
+            decode = jax.jit(
+                lambda p, s, t, pos: llama.decode_loop(
+                    model, p, policy, s, t, pos, gen),
+                donate_argnums=(1,))
+            tok0 = jnp.asarray(first, jnp.int32)
+            pos0 = jnp.asarray(ctx, jnp.int32)
+            out, state = decode(params, state, tok0, pos0)  # compile+warm
+            np.asarray(out)
+            t0 = time.perf_counter()
+            out, state = decode(params, state, tok0 + 0, pos0 + gen)
+            np.asarray(out)
+            dt = time.perf_counter() - t0
+        else:
+            # broadcast to B slots; fused vmapped decode loop
+            bstate = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(),
+                state)
+            decode = jax.jit(
+                lambda p, bs, t, pos: jax.vmap(
+                    lambda s, tt, pp: llama.decode_loop(
+                        model, p, policy, s, tt, pp, gen),
+                    in_axes=(0, 0, 0))(bs, t, pos),
+                donate_argnums=(1,))
+            toks = jnp.full((B,), first, jnp.int32)
+            poss = jnp.full((B,), ctx, jnp.int32)
+            out, bstate = decode(params, bstate, toks, poss)  # compile+warm
+            np.asarray(out)
+            t0 = time.perf_counter()
+            out, bstate = decode(params, bstate, toks + 0, poss + gen)
+            np.asarray(out)
+            dt = time.perf_counter() - t0
         results[policy_name] = {
             "tok_s": B * gen / dt,
             "per_step_ms": dt / gen * 1e3,
@@ -118,9 +132,10 @@ def main():
 
     pq_tok_s = results["pq_search"]["tok_s"]
     base_tok_s = results["original"]["tok_s"]
+    label = ("decode tok/s" if B == 1 else f"aggregate decode tok/s, B={B}")
     print(json.dumps({
-        "metric": (f"pq_search aggregate decode tok/s @ {ctx} ctx, "
-                   f"B={B} ({layers}L llama31-width)"),
+        "metric": (f"pq_search {label} @ {ctx} ctx "
+                   f"({layers}L llama31-width, bf16, single v5e chip)"),
         "value": round(pq_tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(pq_tok_s / base_tok_s, 3),
