@@ -128,7 +128,7 @@ def main():
             "per_step_ms": dt / gen * 1e3,
             "prefill_s": prefill_s,
         }
-        del state, bstate, policy
+        del state, policy
 
     pq_tok_s = results["pq_search"]["tok_s"]
     base_tok_s = results["original"]["tok_s"]
