@@ -182,6 +182,10 @@ class PQSearchPolicy:
             topk_idx, _ = pq.mips_topk(
                 scores, n_cand, b.topk, group=self.group, head_dim=self.D,
                 metric=self.metric, approx=self.approx_topk)  # [H_kv, topk]
+            # ascending row order: scattered HBM gathers are markedly faster
+            # with page locality; attention is permutation-invariant over
+            # the retrieved set
+            topk_idx = jnp.sort(topk_idx, axis=-1)
 
             # Gather retrieved KV straight out of the stacked interleaved
             # tail (the reference's fetch_and_concat_kv_w_cache,

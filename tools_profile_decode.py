@@ -49,8 +49,19 @@ def run(name):
     policy = get_policy(cfg, budget)
     st = policy.init_state(jnp.bfloat16)
     if name == "pq_search":
-        st = st.replace(n_cand=jnp.asarray(budget.n_cand_init, jnp.int32),
-                        pos=jnp.asarray(CTX, jnp.int32))
+        # realistic state: random codes/centroids so top-k indices scatter
+        # like real retrieval (zero state ⇒ constant scores ⇒ contiguous
+        # indices ⇒ optimistic gather timings)
+        rng = np.random.default_rng(0)
+        st = st.replace(
+            n_cand=jnp.asarray(budget.n_cand_init, jnp.int32),
+            pos=jnp.asarray(CTX, jnp.int32),
+            codes=jnp.asarray(rng.integers(0, 64, size=st.codes.shape),
+                              jnp.int8),
+            centroids=jnp.asarray(
+                rng.normal(size=st.centroids.shape), jnp.float32),
+            kv_tail=jnp.asarray(
+                rng.normal(size=st.kv_tail.shape) * 0.1, jnp.bfloat16))
     elif hasattr(st, "length"):
         st = st.replace(length=jnp.asarray(CTX, jnp.int32),
                         pos=jnp.asarray(CTX, jnp.int32))
