@@ -100,10 +100,14 @@ def main():
             pos0 = jnp.asarray(ctx, jnp.int32)
             out, state = decode(params, state, tok0, pos0)  # compile+warm
             np.asarray(out)
-            t0 = time.perf_counter()
-            out, state = decode(params, state, tok0 + 0, pos0 + gen)
-            np.asarray(out)
-            dt = time.perf_counter() - t0
+            times = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                out, state = decode(params, state, tok0 + 0,
+                                    pos0 + gen * (rep + 1))
+                np.asarray(out)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
         else:
             # broadcast to B slots; fused vmapped decode loop
             bstate = jax.tree_util.tree_map(

@@ -48,7 +48,19 @@ def run(name):
     budget = compute_budget(cfg.budget, CTX, 64)
     policy = get_policy(cfg, budget)
     st = policy.init_state(jnp.bfloat16)
-    if name == "pq_search":
+    if os.environ.get("PREFILL") == "1":
+        rngp = np.random.default_rng(0)
+        ids = jnp.asarray(rngp.integers(0, model.vocab_size, size=CTX),
+                          jnp.int32)
+        pf = jax.jit(lambda p, s, t: llama.prefill(
+            model, p, policy, s, t, jnp.asarray(0, jnp.int32),
+            jnp.asarray(CTX, jnp.int32)), donate_argnums=(1,))
+        t0 = time.perf_counter()
+        logits, st = pf(params, st, ids)
+        np.asarray(logits[:4])
+        print(f"{name}: prefill(compile+run) {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    elif name == "pq_search":
         # realistic state: random codes/centroids so top-k indices scatter
         # like real retrieval (zero state ⇒ constant scores ⇒ contiguous
         # indices ⇒ optimistic gather timings)
