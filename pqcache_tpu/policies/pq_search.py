@@ -162,19 +162,16 @@ class PQSearchPolicy:
             scores = fn(lut4, codes).reshape(H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
-        fetch_mode = os.environ.get("PQ_FETCH", "masked")
+        fetch_mode = os.environ.get("PQ_FETCH", "gather")
         if fetch_mode == "masked" and self.select_block <= 1:
-            # TPU-native fast path for the HBM tier: selection as a
-            # THRESHOLDED MASK over full-tail attention instead of a
-            # gather. Scattered row gathers run at ~1-2 GB/s effective on
-            # TPU while a dense masked read of the whole tail streams at
-            # HBM bandwidth — reading everything and masking is ~10×
-            # faster than fetching exactly the top-k. The attended set is
-            # identical to the reference's [sink|local|topk|new]
-            # (pq_search.py:330-341) up to score ties: tokens scoring >=
-            # the k-th value are attended. The gather path below remains
-            # for the host-offload tier, where reading everything is
-            # impossible — there fetching only the top-k is the point.
+            # Alternative HBM-tier path: selection as a THRESHOLDED MASK
+            # over full-tail attention instead of a gather — the attended
+            # set matches the reference's [sink|local|topk|new]
+            # (pq_search.py:330-341) up to score ties (tokens scoring >=
+            # the k-th value attend). Measured at 32k/8L it is ~15% slower
+            # than the sorted-row gather (15.8 vs 13.7 ms/step) because
+            # the full-tail attention reads all KV; it becomes attractive
+            # when budgets grow toward the dense-read crossover.
             sel = pq.group_scores(scores, n_cand, group=self.group,
                                   head_dim=self.D, metric=self.metric)
             cand_pos = jnp.arange(sel.shape[-1], dtype=jnp.int32)[None, :]
