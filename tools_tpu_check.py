@@ -17,7 +17,7 @@ import numpy as np
 CHILD = os.environ.get("TPU_CHECK_CHILD") == "1"
 
 
-def build(policy="pq_search"):
+def build(policy="pq_search", kernels="auto"):
     import jax
     import jax.numpy as jnp
     from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
@@ -36,7 +36,8 @@ def build(policy="pq_search"):
         budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
                             sink_size=16),
         runtime=RuntimeConfig(policy=policy, prefill_bucket=512,
-                              max_new_tokens=16, max_seq_len=8192),
+                              max_new_tokens=16, max_seq_len=8192,
+                              kernels=kernels),
     )
     params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -47,9 +48,13 @@ def build(policy="pq_search"):
 def main():
     from pqcache_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    eng, ids = build()
-    res = eng.generate(ids, max_new_tokens=12)
-    print(json.dumps({"tokens": res.tokens, "policy": res.policy_name}))
+    # same device, pallas kernels vs pure-XLA: isolates kernel correctness
+    # from cross-device bf16 numerics
+    for kernels in ("auto", "xla"):
+        eng, ids = build(kernels=kernels)
+        res = eng.generate(ids, max_new_tokens=12)
+        print(json.dumps({"kernels": kernels, "tokens": res.tokens,
+                          "policy": res.policy_name}), flush=True)
 
 
 if __name__ == "__main__":
