@@ -142,22 +142,35 @@ def _qkv(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
-def _layer_fwd(cfg: ModelConfig, lp: dict, hidden, attn_fn, cos, sin):
-    """One decoder layer; attn_fn(q, k, v) -> (attn_out, layer_state_out)."""
+def _layer_fwd(cfg: ModelConfig, lp: dict, hidden, attn_fn, cos, sin,
+               axis_name=None):
+    """One decoder layer; attn_fn(q, k, v) -> (attn_out, layer_state_out).
+
+    With `axis_name` set (explicit tensor parallelism under shard_map), lp
+    holds this shard's column/row slices and the two row-parallel
+    projections (attention output, MLP down) are psum-reduced — the
+    Megatron pattern, expressed manually so Pallas kernels inside attn_fn
+    run per-shard."""
     T = hidden.shape[0]
     h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, h_norm, cos, sin)
     attn, ls_out = attn_fn(q, k, v)
-    attn = attn.transpose(1, 0, 2).reshape(T, cfg.num_heads * cfg.head_dim)
-    hidden = hidden + attn @ lp["wo"]
+    attn = attn.transpose(1, 0, 2).reshape(T, -1)
+    attn_out = attn @ lp["wo"]
+    if axis_name is not None:
+        attn_out = jax.lax.psum(attn_out, axis_name)
+    hidden = hidden + attn_out
     h_norm2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-    hidden = hidden + mlp(lp, h_norm2)
+    mlp_out = mlp(lp, h_norm2)
+    if axis_name is not None:
+        mlp_out = jax.lax.psum(mlp_out, axis_name)
+    hidden = hidden + mlp_out
     return hidden, ls_out
 
 
 def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
-            tokens: jax.Array, pad_len: jax.Array, true_len: jax.Array
-            ) -> Tuple[jax.Array, Any]:
+            tokens: jax.Array, pad_len: jax.Array, true_len: jax.Array,
+            axis_name=None) -> Tuple[jax.Array, Any]:
     """Process a LEFT-padded prompt. tokens [P] i32; positions [0, pad_len)
     are padding. Returns (last-token logits [V], updated state)."""
     P = tokens.shape[0]
@@ -174,7 +187,8 @@ def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
         lp, idx = xs
         attn_fn = lambda q, k, v: policy.prefill_attn(
             state, idx, q, k, v, pad_len, true_len)
-        hidden, state = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
+        hidden, state = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin,
+                                   axis_name)
         return (hidden, state), None
 
     (hidden, new_state), _ = jax.lax.scan(
@@ -187,7 +201,8 @@ def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
 
 
 def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
-                token: jax.Array, pos: jax.Array) -> Tuple[jax.Array, Any]:
+                token: jax.Array, pos: jax.Array,
+                axis_name=None) -> Tuple[jax.Array, Any]:
     """One greedy-decode step. token i32 scalar; pos = absolute position.
     Returns (logits [V], updated state)."""
     L = cfg.num_layers
@@ -201,7 +216,8 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
         lp, idx = xs
         attn_fn = lambda q, k, v: policy.decode_attn(
             state, idx, q, k, v, shared)
-        hidden, state = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin)
+        hidden, state = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin,
+                                   axis_name)
         return (hidden, state), None
 
     (hidden, new_state), _ = jax.lax.scan(
@@ -215,8 +231,8 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
 
 
 def decode_loop(cfg: ModelConfig, params: dict, policy, state: Any,
-                token: jax.Array, pos: jax.Array, n_steps: int
-                ) -> Tuple[jax.Array, Any]:
+                token: jax.Array, pos: jax.Array, n_steps: int,
+                axis_name=None) -> Tuple[jax.Array, Any]:
     """Greedy-decode n_steps tokens in ONE device program (scan over steps,
     each step scanning over layers). This replaces the reference's
     one-token-per-host-roundtrip HF generate loop — on TPU the whole
@@ -229,7 +245,8 @@ def decode_loop(cfg: ModelConfig, params: dict, policy, state: Any,
 
     def body(carry, _):
         tok, p, st = carry
-        logits, st = decode_step(cfg, params, policy, st, tok, p)
+        logits, st = decode_step(cfg, params, policy, st, tok, p,
+                                 axis_name)
         nxt = jnp.argmax(logits).astype(jnp.int32)
         return (nxt, p + 1, st), nxt
 

@@ -1,0 +1,49 @@
+"""Explicit shard_map tensor-parallel decode vs the single-device engine.
+
+Same weights, same prompt → identical greedy tokens (f32 so psum reduction
+order cannot flip an argmax)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pqcache_tpu.config import (BudgetConfig, EngineConfig, PQConfig,
+                                RuntimeConfig, tiny_model_config)
+from pqcache_tpu.models import llama
+from pqcache_tpu.parallel.tp_decode import TPEngine
+from pqcache_tpu.runtime.generate import Engine
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs >= 2 devices")
+def test_tp2_matches_single_device():
+    cfg_m = tiny_model_config(num_layers=2)  # H=4, H_kv=2 → tp=2
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5, sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla"),
+    )
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, cfg_m.vocab_size, size=250).astype(np.int32)
+
+    ref = Engine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=8)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2,), ("tp",))
+    P_len = 256
+    eng = TPEngine(ecfg, params, mesh, prefill_len=P_len, max_new_tokens=8,
+                   dtype=jnp.float32)
+    out = eng.generate(ids, max_new_tokens=8)
+    # psum splits the wo/down contractions into per-shard partials, so f32
+    # summation order differs from the single-device einsum — ulp-level
+    # differences can flip a late argmax; require a long exact prefix.
+    agree = sum(a == b for a, b in zip(ref.tokens, out))
+    assert out[:5] == ref.tokens[:5], (ref.tokens, out)
+    assert agree >= 6, (ref.tokens, out)
