@@ -1,15 +1,21 @@
-"""Scratch profiler: per-policy fused-decode step time on the live device.
+"""Decode-time decomposition profiler (live device).
 
-Usage: python tools_profile_decode.py [policy ...]   (default: both)
-Env: CTX (4096), LAYERS (2), STEPS (8)
+The reference's SYNC_TEST_TIME machinery (global_timer.py:33-54) decomposes
+a decode step into pq / non-pq / transfer with paired CUDA events; here the
+equivalent attribution comes from A/B runs of one fused program:
+  * policy `original` vs `pq_search`  → retrieval overhead
+  * PQ_ADC={v2,v1,xla}, PQ_FETCH={gather,masked}, BLOCK=n  → stage costs
+States are randomized realistically (or PREFILL=1 for a true prefill) so
+data-dependent costs (scattered gathers) are measured honestly.
+
+Usage: python -m pqcache_tpu.harness.profile_decode [policy ...]
+Env: CTX (4096), LAYERS (2), STEPS (8), BLOCK (1), PREFILL, PQ_ADC, PQ_FETCH
 """
 import os
 import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pqcache_tpu.utils import enable_compilation_cache
 
@@ -94,5 +100,6 @@ def run(name):
         print(f"{name}: {dt:.2f} ms/step", flush=True)
 
 
-for nm in (sys.argv[1:] or ["original", "pq_search"]):
-    run(nm)
+if __name__ == "__main__":
+    for nm in (sys.argv[1:] or ["original", "pq_search"]):
+        run(nm)
