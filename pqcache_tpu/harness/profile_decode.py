@@ -40,7 +40,7 @@ model = ModelConfig(
     intermediate_size=14336, num_layers=LAYERS, num_heads=32, num_kv_heads=8,
     head_dim=128, rope_theta=500000.0, rope_scaling_factor=8.0,
     max_position_embeddings=131072)
-params = llama.init_params(model, jax.random.PRNGKey(0))
+params = None  # allocated lazily in __main__ (avoid GBs on import)
 
 
 def run(name):
@@ -101,5 +101,6 @@ def run(name):
 
 
 if __name__ == "__main__":
+    params = llama.init_params(model, jax.random.PRNGKey(0))
     for nm in (sys.argv[1:] or ["original", "pq_search"]):
         run(nm)
