@@ -118,7 +118,8 @@ def predict(args) -> None:
         out_dir = os.path.join(args.out_dir, args.model, dataset,
                                args.exp_name)
         os.makedirs(out_dir, exist_ok=True)
-        out_path = os.path.join(out_dir, f"{config_str}.jsonl")
+        suffix = f".shard{args.shard.replace('/', 'of')}" if args.shard else ""
+        out_path = os.path.join(out_dir, f"{config_str}{suffix}.jsonl")
 
         # resume-by-line-count (vq_pred.py:118-129)
         done = 0
@@ -133,6 +134,11 @@ def predict(args) -> None:
             samples = [json.loads(line) for line in f]
         if args.limit:
             samples = samples[:args.limit]
+        if args.shard:
+            # host-sharded evaluation (the reference's InfLLM harness shards
+            # datasets by rank, InfLLM/benchmark/pred.py:18-19)
+            rank, world = map(int, args.shard.split("/"))
+            samples = samples[rank::world]
         for i, obj in enumerate(samples):
             if i < done:
                 continue
@@ -222,6 +228,8 @@ def parse_args(argv=None):
     pp.add_argument("--out-dir", default="./pred")
     pp.add_argument("--exp-name", default="default_exp")
     pp.add_argument("--limit", type=int, default=0)
+    pp.add_argument("--shard", default="",
+                    help="'rank/world' host-sharded evaluation")
     pp.set_defaults(fn=predict)
 
     sp = sub.add_parser("score")
