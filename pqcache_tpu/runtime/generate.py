@@ -54,12 +54,15 @@ class Engine:
 
     # -- jit caches --------------------------------------------------------
 
-    def _fns(self, P: int, max_new: int, policy_name: str):
-        key = (P, max_new, policy_name)
+    def _fns(self, P: int, policy_name: str):
+        # state reservation (and therefore the compiled programs) depends on
+        # cfg.runtime.max_new_tokens, not the per-call limit — one compile
+        # serves every generate() length up to the reservation
+        key = (P, policy_name)
         if key in self._prefill_cache:
             return self._prefill_cache[key]
         cfg = self.cfg
-        budget = compute_budget(cfg.budget, P, max_new)
+        budget = compute_budget(cfg.budget, P, cfg.runtime.max_new_tokens)
         eff = (cfg if policy_name == cfg.runtime.policy
                else _with_policy(cfg, policy_name))
         policy = get_policy(eff, budget)
@@ -102,6 +105,10 @@ class Engine:
 
         cfg = self.cfg
         max_new = max_new_tokens or cfg.runtime.max_new_tokens
+        if max_new > cfg.runtime.max_new_tokens:
+            raise ValueError(
+                f"max_new_tokens {max_new} exceeds the engine reservation "
+                f"{cfg.runtime.max_new_tokens}")
         ids = np.asarray(prompt_ids, np.int32)
         true_len = int(ids.shape[0])
         P = bucket_length(true_len, cfg.runtime.prefill_bucket)
@@ -110,8 +117,7 @@ class Engine:
             raise ValueError(f"prompt {true_len} exceeds max_seq_len {P}")
 
         policy_name = self.pick_policy(true_len, P)
-        policy, budget, prefill_jit, decode_jit = self._fns(
-            P, max_new, policy_name)
+        policy, budget, prefill_jit, decode_jit = self._fns(P, policy_name)
 
         pad = P - true_len
         tokens = np.zeros((P,), np.int32)
@@ -132,9 +138,10 @@ class Engine:
         out_tokens = [next_tok]
         pos = true_len
         remaining = max_new - 1
-        # fixed chunk size → one compiled loop program; the tail chunk may
-        # overshoot max_new and is trimmed below
-        chunk = remaining if not eos_ids else min(32, max(remaining, 1))
+        # fixed chunk size independent of the per-call max_new → ONE
+        # compiled loop program per engine config; tail chunks overshoot
+        # and are trimmed below
+        chunk = min(32, max(cfg.runtime.max_new_tokens - 1, 1))
         stop = next_tok in eos_ids
         while remaining > 0 and not stop and chunk > 0:
             toks, state = decode_jit(
