@@ -11,7 +11,7 @@ from typing import Optional
 import jax
 
 from pqcache_tpu.ops.attention_xla import chunked_attention
-from pqcache_tpu.ops.flash_attention import flash_attention
+from pqcache_tpu.ops.flash_attention import flash_attention, flash_scores
 
 
 def use_pallas_default() -> bool:
@@ -25,17 +25,21 @@ def dense_prefill_attention(
     pad_len,
     *,
     with_scores: bool = False,
+    score_mode: str = "sum",
     use_pallas: Optional[bool] = None,
 ):
     """Causal self-attention over a left-padded prompt.
 
-    Returns (out [H, T, D], scores [H, T] | None). The score-emitting
-    variant runs via XLA until the Pallas score sweep lands.
+    Returns (out [H, T, D], scores [H, T] | None). score_mode="max" (the
+    non-recent column max) runs via XLA; "sum" has a Pallas sweep.
     """
     if use_pallas is None:
         use_pallas = use_pallas_default()
     D = q.shape[-1]
-    if with_scores or not use_pallas or D % 128 != 0:
+    if not use_pallas or D % 128 != 0 or (with_scores and score_mode != "sum"):
         return chunked_attention(q, k, v, valid_lo=pad_len, causal=True,
-                                 with_scores=with_scores)
-    return flash_attention(q, k, v, valid_lo=pad_len, causal=True), None
+                                 with_scores=with_scores,
+                                 score_mode=score_mode)
+    out = flash_attention(q, k, v, valid_lo=pad_len, causal=True)
+    scores = (flash_scores(q, k, valid_lo=pad_len) if with_scores else None)
+    return out, scores

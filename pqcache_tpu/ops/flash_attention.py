@@ -152,3 +152,121 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Score sweep: per-key attention-mass column sums (score_func="sum" of the
+# reference's flash_attn_with_score.py:59-104). Two-phase per q-block row:
+# phase 0 recomputes the online-softmax stats (m, l) for the row, phase 1
+# accumulates normalized probability column sums into F — the reference
+# kernel's two-stage structure, with F blocks revisited across q rows.
+
+def _score_kernel(scalars_ref, q_ref, k_ref, f_ref, m_scr, l_scr,
+                  *, scale, block_q, block_k, n_k):
+    i = pl.program_id(1)
+    jj = pl.program_id(2)
+    phase = jj // n_k
+    j = jj % n_k
+    valid_lo = scalars_ref[0]
+    valid_hi = scalars_ref[1]
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qpos = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    kpos = j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    mask = ((kpos >= valid_lo) & (kpos < valid_hi) & (kpos <= qpos)
+            & (qpos >= valid_lo) & (qpos < valid_hi))
+    s = jnp.where(mask, s, NEG_INF)
+
+    @pl.when(jnp.logical_and(phase == 0, j == 0))
+    def _init_stats():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    @pl.when(phase == 0)
+    def _stats():
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+            l_scr.shape)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(phase == 1)
+    def _accumulate():
+        m = m_scr[:, :1]
+        l = jnp.maximum(l_scr[:, :1], 1e-30)
+        p = jnp.where(mask, jnp.exp(s - m), 0.0) / l
+        col = jnp.sum(p, axis=0, keepdims=True)     # [1, block_k]
+
+        @pl.when(i == 0)
+        def _first():
+            f_ref[...] = col
+
+        @pl.when(i > 0)
+        def _rest():
+            f_ref[...] = f_ref[...] + col
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_scores(
+    q: jax.Array,
+    k: jax.Array,
+    valid_lo: jax.Array | int = 0,
+    valid_len: jax.Array | None = None,
+    *,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-key causal attention-mass column sums.
+
+    q [H, T, D], k [H_kv, T, D] → F [H, T] f32 with
+    F[h, t] = Σ_q softmax_prob(q, t) over valid causal pairs.
+    """
+    H, T, D = q.shape
+    H_kv = k.shape[0]
+    group = H // H_kv
+    scale = 1.0 / (D ** 0.5)
+    bq = min(block_q, _round_up(T, 128))
+    bk = min(block_k, _round_up(T, 128))
+    Tp = _round_up(T, max(bq, bk))
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        q, k = jnp.pad(q, pad), jnp.pad(k, pad)
+    if valid_len is None:
+        valid_len = T
+    scalars = jnp.asarray([valid_lo, valid_len], jnp.int32)
+    n_k = Tp // bk
+
+    kernel = functools.partial(_score_kernel, scale=scale, block_q=bq,
+                               block_k=bk, n_k=n_k)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(H, Tp // bq, 2 * n_k),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda h, i, jj, s: (h, i, 0)),
+                pl.BlockSpec(
+                    (1, bk, D),
+                    lambda h, i, jj, s, nk=n_k, g=group: (h // g, jj % nk, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bk), lambda h, i, jj, s, nk=n_k: (h, jj % nk)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, Tp), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, k)
+    return out[:, :T]

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import NEG_INF, chunked_attention
+from pqcache_tpu.ops.attention_xla import NEG_INF
+from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import DenseState, make_dense_state
 
@@ -58,8 +59,8 @@ class H2OPolicy:
 
     def prefill_attn(self, state, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
-        out, F = chunked_attention(
-            q, k, v, valid_lo=pad_len, causal=True, with_scores=True,
+        out, F = dense_prefill_attention(
+            q, k, v, pad_len, with_scores=True,
             score_mode=self.cfg.runtime.score_func)
         # GQA reduction of per-q-head column sums → per-kv-head accumulated
         # scores (baseline_compressor.py:169-171).

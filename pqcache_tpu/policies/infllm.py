@@ -28,7 +28,7 @@ from flax import struct
 
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import chunked_attention
+from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import DenseState, make_dense_state
 
@@ -65,8 +65,8 @@ class InfLLMPolicy:
 
     def prefill_attn(self, state: InfLLMState, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
-        out, F = chunked_attention(q, k, v, valid_lo=pad_len, causal=True,
-                                   with_scores=True)
+        out, F = dense_prefill_attention(q, k, v, pad_len,
+                                         with_scores=True)
         scores = jnp.sum(F.reshape(self.H_kv, self.group, P), axis=1)
 
         # per-block representative tokens = top-N_REPR by received attention

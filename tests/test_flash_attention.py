@@ -4,8 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pqcache_tpu.ops.attention_xla import dense_attention
-from pqcache_tpu.ops.flash_attention import flash_attention
+from pqcache_tpu.ops.attention_xla import chunked_attention, dense_attention
+from pqcache_tpu.ops.flash_attention import flash_attention, flash_scores
 
 
 def _rand(rng, *shape):
@@ -43,6 +43,18 @@ class TestFlashAttention:
                               block_k=128, interpret=True)
         np.testing.assert_allclose(np.asarray(out[:, :n]), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("T,pad", [(256, 0), (256, 60)])
+    def test_score_sweep_matches_xla(self, T, pad):
+        rng = np.random.default_rng(5)
+        H, H_kv, D = 4, 2, 128
+        q, k, v = _rand(rng, H, T, D), _rand(rng, H_kv, T, D), _rand(rng, H_kv, T, D)
+        _, ref = chunked_attention(q, k, v, valid_lo=pad, block=64,
+                                   with_scores=True)
+        out = flash_scores(q, k, valid_lo=pad, block_q=128, block_k=128,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
 
     def test_bf16_io(self):
         rng = np.random.default_rng(3)
