@@ -116,6 +116,52 @@ def _adc_kernel_v2(lut_ref, codes_ref, out_ref, *, n_subvec, n_cent):
         preferred_element_type=jnp.float32)
 
 
+def _adc_kernel_v2_batched(lut_ref, codes_ref, out_ref, *, n_subvec, n_cent):
+    # same as _adc_kernel_v2 with a leading batch block dim of 1
+    _adc_kernel_v2(lut_ref.at[0], codes_ref.at[0], out_ref.at[0],
+                   n_subvec=n_subvec, n_cent=n_cent)
+
+
+def _adc_v2_call(lut_bd, codes, *, S, C, bt, interpret):
+    """lut_bd [B, H, C*H_kv*S] bf16; codes [B, H_kv, S, Tp] → [B, H, Tp].
+
+    One kernel with the batch in the grid — a vmapped pallas_call would
+    otherwise lower to a sequential loop over the batch."""
+    B, H, SC = lut_bd.shape
+    _, H_kv, _, Tp = codes.shape
+    return pl.pallas_call(
+        functools.partial(_adc_kernel_v2_batched, n_subvec=S, n_cent=C),
+        grid=(B, Tp // bt),
+        in_specs=[
+            pl.BlockSpec((1, H, SC), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H_kv, S, bt), lambda b, t: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, bt), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp), jnp.float32),
+        interpret=interpret,
+    )(lut_bd, codes)
+
+
+def _adc_v2_prep(lut, codes, block_t):
+    H_kv, g, S, C = lut.shape[-4:]
+    H = H_kv * g
+    T = codes.shape[-1]
+    bt = min(block_t, _round_up(T, 128))
+    Tp = _round_up(T, bt)
+    if Tp != T:
+        pad = [(0, 0)] * (codes.ndim - 1) + [(0, Tp - T)]
+        codes = jnp.pad(codes, pad)
+    # block-diagonal LUT: row h only reads its kv head's code rows; column
+    # ordering (c, o, s) matches the kernel's tiled one-hot row ordering
+    eye = jnp.eye(H_kv, dtype=lut.dtype)
+    lut_bd = jnp.einsum("...ko,...kgsc->...kgcos", eye, lut).reshape(
+        lut.shape[:-4] + (H, C * H_kv * S)).astype(jnp.bfloat16)
+    return lut_bd, codes, bt, Tp
+
+
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def adc_scores_pallas_v2(
     lut: jax.Array,
@@ -125,33 +171,27 @@ def adc_scores_pallas_v2(
     interpret: bool = False,
 ) -> jax.Array:
     """Same contract as adc_scores_pallas: lut [H_kv, g, S, C],
-    codes [H_kv, S, T] → scores [H_kv, g, T] f32."""
+    codes [H_kv, S, T] → scores [H_kv, g, T] f32. vmap-batched calls run as
+    ONE kernel with the batch folded into the grid (custom_vmap)."""
     H_kv, g, S, C = lut.shape
-    H = H_kv * g
     T = codes.shape[-1]
-    bt = min(block_t, _round_up(T, 128))
-    Tp = _round_up(T, bt)
-    if Tp != T:
-        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Tp - T)))
 
-    # block-diagonal LUT: row h only reads its kv head's code rows; column
-    # ordering (c, o, s) matches the kernel's tiled one-hot row ordering
-    eye = jnp.eye(H_kv, dtype=lut.dtype)
-    lut_bd = jnp.einsum("ko,kgsc->kgcos", eye, lut).reshape(
-        H, C * H_kv * S).astype(jnp.bfloat16)
+    @jax.custom_batching.custom_vmap
+    def call(lut_, codes_):
+        lut_bd, codes_p, bt, Tp = _adc_v2_prep(lut_, codes_, block_t)
+        out = _adc_v2_call(lut_bd[None], codes_p[None], S=S, C=C, bt=bt,
+                           interpret=interpret)[0]
+        return out[:, :T].reshape(H_kv, g, T)
 
-    out = pl.pallas_call(
-        functools.partial(_adc_kernel_v2, n_subvec=S, n_cent=C),
-        grid=(Tp // bt,),
-        in_specs=[
-            pl.BlockSpec((H, H_kv * S * C), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H_kv, S, bt), lambda t: (0, 0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((H, bt), lambda t: (0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, Tp), jnp.float32),
-        interpret=interpret,
-    )(lut_bd, codes)
-    return out.reshape(H_kv, g, Tp)[:, :, :T]
+    @call.def_vmap
+    def _rule(axis_size, in_batched, lut_, codes_):
+        lut_b = lut_ if in_batched[0] else jnp.broadcast_to(
+            lut_[None], (axis_size,) + lut_.shape)
+        codes_b = codes_ if in_batched[1] else jnp.broadcast_to(
+            codes_[None], (axis_size,) + codes_.shape)
+        lut_bd, codes_p, bt, Tp = _adc_v2_prep(lut_b, codes_b, block_t)
+        out = _adc_v2_call(lut_bd, codes_p, S=S, C=C, bt=bt,
+                           interpret=interpret)
+        return out[:, :, :T].reshape(axis_size, H_kv, g, T), True
+
+    return call(lut, codes)

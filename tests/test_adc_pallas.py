@@ -34,6 +34,19 @@ def test_v2_matches_xla(T, block_t):
                                rtol=0.02, atol=0.02)
 
 
+def test_v2_vmap_batches_in_grid():
+    rng = np.random.default_rng(9)
+    B, H_kv, g, S, C, T = 3, 2, 2, 2, 16, 256
+    lut = jnp.asarray(rng.normal(size=(B, H_kv, g, S, C)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, C, size=(B, H_kv, S, T)), jnp.int8)
+    out = jax.vmap(lambda l, c: adc_scores_pallas_v2(l, c, interpret=True))(
+        lut, codes)
+    for b in range(B):
+        ref = adc_scores_xla(lut[b], codes[b])
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
+                                   rtol=0.02, atol=0.02)
+
+
 def test_single_subvec():
     rng = np.random.default_rng(1)
     H_kv, g, S, C, T = 1, 2, 1, 16, 128
