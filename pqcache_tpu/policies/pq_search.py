@@ -251,6 +251,18 @@ class PQSearchPolicy:
             else:
                 # [idx, head, token] advanced index reads the selected rows
                 kv_top = state.kv_tail[idx, heads[:, None], topk_idx]
+
+            if os.environ.get("PQ_CHECK_RECALL") == "1":
+                # runtime retrieval-recall oracle (the reference's
+                # CHECK_RECALL=1 mode, pq_search.py:324-328): exact top-k
+                # over the candidate keys vs the PQ selection, printed per
+                # layer-step. Debug only — reads the full tail.
+                k_cand = state.kv_tail[idx][..., :self.D]
+                exact_idx = pq.exact_topk(
+                    q.reshape(-1, self.D), k_cand, n_cand, b.topk,
+                    group=self.group)
+                rec = pq.topk_recall(topk_idx, exact_idx, group=self.group)
+                jax.debug.print("pq recall layer={i}: {r:.3f}", i=idx, r=rec)
         k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
 
         # Local window = sliding slice of the tail.
