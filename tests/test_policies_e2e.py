@@ -91,6 +91,19 @@ class TestEndToEnd:
         agree = sum(a == b for a, b in zip(ref.tokens, out.tokens))
         assert agree >= 5, (ref.tokens, out.tokens)
 
+    def test_pq_ip_metric_e2e(self, setup):
+        cfg, params, ids = setup
+        import dataclasses
+        ref = _engine(cfg, params, "original").generate(ids, max_new_tokens=12)
+        eng = _engine(cfg, params, "pq_search")
+        eng.cfg = dataclasses.replace(
+            eng.cfg, pq=dataclasses.replace(eng.cfg.pq, metric="ip"))
+        out = eng.generate(ids, max_new_tokens=12)
+        assert out.policy_name == "pq_search"
+        agree = sum(a == b for a, b in zip(ref.tokens, out.tokens))
+        assert out.tokens[0] == ref.tokens[0]
+        assert agree >= 5, (ref.tokens, out.tokens)
+
     def test_pq_decode_deterministic(self, setup):
         cfg, params, ids = setup
         eng = _engine(cfg, params, "pq_search")
