@@ -93,8 +93,8 @@ def flash_attention(
     valid_len: jax.Array | None = None,
     *,
     causal: bool = True,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,   # swept at 32k/v5e: 1024/1024 is 1.7x over 512/512
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """q [H, T, D], k/v [H_kv, T, D] → out [H, T, D] (q.dtype).
