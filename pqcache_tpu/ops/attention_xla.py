@@ -191,6 +191,43 @@ def chunked_attention(
     return out, scores
 
 
+def decode_window_attention_segments(q, segments):
+    """Single-step attention over multiple key/value segments WITHOUT
+    concatenating them (each concat copies the whole window). Segments are
+    processed independently and merged with the standard online-softmax
+    (max/sum) combination — numerically identical to attention over the
+    concatenation.
+
+    q [H, 1, D]; segments: list of (k [H_kv, W_i, D], v, mask [H_kv, W_i]
+    bool or None)."""
+    H, _, D = q.shape
+    H_kv = segments[0][0].shape[0]
+    group = H // H_kv
+    scale = 1.0 / (D ** 0.5)
+    qg = q.reshape(H_kv, group, D)
+
+    m = jnp.full((H_kv, group), NEG_INF, jnp.float32)
+    l = jnp.zeros((H_kv, group), jnp.float32)
+    acc = jnp.zeros((H_kv, group, D), jnp.float32)
+    for k_seg, v_seg, mask in segments:
+        logits = jnp.einsum("hgd,hwd->hgw", qg, k_seg,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = jnp.where(mask[:, None, :], logits, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        p = jnp.exp(logits - m_new[..., None])
+        if mask is not None:
+            p = jnp.where(mask[:, None, :], p, 0.0)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "hgw,hwd->hgd", p.astype(v_seg.dtype), v_seg,
+            preferred_element_type=jnp.float32)
+        m = m_new
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(H, 1, D).astype(q.dtype)
+
+
 def decode_window_attention(
     q: jax.Array,
     k_win: jax.Array,

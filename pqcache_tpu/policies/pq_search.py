@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core import pq
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import decode_window_attention
+from pqcache_tpu.ops.attention_xla import (
+    decode_window_attention, decode_window_attention_segments)
 from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import PQState, make_pq_state
@@ -272,15 +273,14 @@ class PQSearchPolicy:
         k_local, v_local = kv_local[..., :self.D], kv_local[..., self.D:]
 
         dt = state.kv_tail.dtype
-        k_win = jnp.concatenate(
-            [k_sink, k_local, k_top, k_new.astype(dt)], axis=1)
-        v_win = jnp.concatenate(
-            [v_sink, v_local, v_top, v_new.astype(dt)], axis=1)
-
-        ones = lambda n: jnp.ones((self.H_kv, n), bool)
-        win_mask = jnp.concatenate(
-            [ones(b.sink), ones(b.local), topk_idx < n_cand, ones(1)], axis=1)
-        out = decode_window_attention(q, k_win, v_win, win_mask)
+        # segmented online-softmax merge: no window concatenation
+        # (concat copied the whole [sink|local|topk|new] window per layer)
+        out = decode_window_attention_segments(q, [
+            (k_sink, v_sink, None),
+            (k_local, v_local, None),
+            (k_top, v_top, topk_idx < n_cand),
+            (k_new.astype(dt), v_new.astype(dt), None),
+        ])
 
         # Append + encode the new token (pq_search.py:343-354, collapsed:
         # encode at append time instead of at local-window exit).

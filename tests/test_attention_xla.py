@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from pqcache_tpu.ops.attention_xla import (
-    chunked_attention, decode_window_attention, dense_attention)
+    chunked_attention, decode_window_attention,
+    decode_window_attention_segments, dense_attention)
 
 
 def _rand_qkv(rng, H, H_kv, T, D):
@@ -75,6 +76,24 @@ class TestChunkedAttention:
             p = np.where(kpos <= qpos - R, p, 0.0)
             np.testing.assert_allclose(np.asarray(scores)[h], p.max(0),
                                        rtol=1e-3, atol=1e-5)
+
+    def test_segmented_window_matches_concat(self):
+        rng = np.random.default_rng(9)
+        H, H_kv, D = 8, 2, 16
+        q = jnp.asarray(rng.normal(size=(H, 1, D)).astype(np.float32))
+        segs, ks, vs, ms = [], [], [], []
+        for W in (4, 16, 10, 1):
+            k = jnp.asarray(rng.normal(size=(H_kv, W, D)).astype(np.float32))
+            v = jnp.asarray(rng.normal(size=(H_kv, W, D)).astype(np.float32))
+            mask = jnp.asarray(rng.random((H_kv, W)) > 0.2)
+            segs.append((k, v, mask))
+            ks.append(k); vs.append(v); ms.append(mask)
+        ref = decode_window_attention(
+            q, jnp.concatenate(ks, 1), jnp.concatenate(vs, 1),
+            jnp.concatenate(ms, 1))
+        out = decode_window_attention_segments(q, segs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
 
     def test_decode_window_matches_dense(self):
         rng = np.random.default_rng(3)
