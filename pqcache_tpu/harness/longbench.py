@@ -89,10 +89,49 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
     )
 
 
-def predict(args) -> None:
-    from transformers import AutoTokenizer
+class WhitespaceTokenizer:
+    """Asset-free tokenizer (hash-bucketed whitespace tokens) so the whole
+    predict pipeline can run without downloaded checkpoints — smoke testing
+    and CI for the harness itself."""
 
+    eos_token_id = 1
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text, **kw):
+        ids = [2 + (hash(w) % (self.vocab_size - 2)) for w in text.split()]
+        return {"input_ids": ids or [2]}
+
+    def decode(self, ids, **kw):
+        return " ".join(f"w{int(i)}" for i in ids)
+
+    def apply_chat_template(self, messages, **kw):
+        return " ".join(m["content"] for m in messages)
+
+
+def _load_model(args):
+    """checkpoint = HF directory, or 'random:tiny' / 'random:<preset>' for
+    an asset-free random-weight model with the whitespace tokenizer."""
+    if args.checkpoint.startswith("random:"):
+        import jax
+        from pqcache_tpu.config import MODEL_PRESETS, tiny_model_config
+        from pqcache_tpu.models import llama
+
+        name = args.checkpoint.split(":", 1)[1]
+        model_cfg = (tiny_model_config() if name == "tiny"
+                     else MODEL_PRESETS[name])
+        params = llama.init_params(model_cfg, jax.random.PRNGKey(0))
+        return model_cfg, params, WhitespaceTokenizer(model_cfg.vocab_size)
+    from transformers import AutoTokenizer
     from pqcache_tpu.models.loader import load_hf_checkpoint
+
+    model_cfg, params = load_hf_checkpoint(args.checkpoint)
+    tokenizer = AutoTokenizer.from_pretrained(args.checkpoint, use_fast=True)
+    return model_cfg, params, tokenizer
+
+
+def predict(args) -> None:
     from pqcache_tpu.runtime.generate import Engine
 
     model2maxlen = _load_json("model2maxlen.json")
@@ -100,9 +139,8 @@ def predict(args) -> None:
     dataset2maxlen = _load_json("dataset2maxlen.json")
 
     max_length = model2maxlen.get(args.model, args.max_seq_len)
-    model_cfg, params = load_hf_checkpoint(args.checkpoint)
+    model_cfg, params, tokenizer = _load_model(args)
     cfg = make_engine_config(args, model_cfg)
-    tokenizer = AutoTokenizer.from_pretrained(args.checkpoint, use_fast=True)
     engine = Engine(cfg, params)
     eos_ids = tuple(tokenizer.eos_token_id
                     if isinstance(tokenizer.eos_token_id, (list, tuple))

@@ -66,6 +66,43 @@ def test_score_aggregation(tmp_path):
     assert result["cfg_a"]["__avg__"] == 50.0
 
 
+def test_predict_pipeline_end_to_end(tmp_path):
+    """Full predict → score pipeline with the asset-free random model."""
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir)
+    rows = [{"input": f"question number {i}", "context": "ctx " * 50,
+             "answers": ["sports"], "all_classes": ["sports", "politics"],
+             "length": 50} for i in range(2)]
+    with open(data_dir / "trec.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    args = lb.parse_args([
+        "predict", "--checkpoint", "random:tiny", "--model", "tiny",
+        "--compressor", "pq_search", "--compress-ratio", "0.3",
+        "--sink-size", "4", "--n-subbits", "4",
+        "--max-seq-len", "256", "--prefill-bucket", "64",
+        "--datasets", "trec",
+        "--data-dir", str(data_dir), "--out-dir", str(tmp_path / "pred")])
+    args.fn(args)
+
+    out_files = list((tmp_path / "pred").rglob("*.jsonl"))
+    assert len(out_files) == 1
+    lines = [json.loads(l) for l in open(out_files[0])]
+    assert len(lines) == 2 and all("pred" in l for l in lines)
+
+    # resume: second run adds nothing
+    args.fn(args)
+    lines2 = [json.loads(l) for l in open(out_files[0])]
+    assert len(lines2) == 2
+
+    class A:
+        pred_dir = str(tmp_path / "pred")
+    lb.score(A())
+    result = json.load(open(tmp_path / "pred" / "result.json"))
+    assert len(result) == 1
+
+
 def test_resume_counts_existing_lines(tmp_path):
     # the predict loop skips already-written samples (vq_pred.py:118-129);
     # verified through its resume counter logic
