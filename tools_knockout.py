@@ -46,12 +46,19 @@ elif VARIANT == "nogather":
     # gather results by slicing local again (cheap, defeats the gather)
 elif VARIANT == "nowin":
     import pqcache_tpu.ops.attention_xla as axla
-    axla_decode = axla.decode_window_attention
     def fake_win(q, k_win, v_win, mask=None):
         return (q + jnp.sum(k_win[:, :1, :1]) * 0
                 + jnp.sum(v_win[:, :1, :1]) * 0).astype(q.dtype)
+    def fake_win_segments(q, segments):
+        acc = q
+        for k_seg, v_seg, _ in segments:
+            acc = acc + (jnp.sum(k_seg[:, :1, :1])
+                         + jnp.sum(v_seg[:, :1, :1])) * 0
+        return acc.astype(q.dtype)
     axla.decode_window_attention = fake_win
+    axla.decode_window_attention_segments = fake_win_segments
     pqs.decode_window_attention = fake_win
+    pqs.decode_window_attention_segments = fake_win_segments
 
 model = ModelConfig(
     name=f"ko{LAYERS}L", vocab_size=128256, hidden_size=4096,
