@@ -109,24 +109,31 @@ def main():
                 times.append(time.perf_counter() - t0)
             dt = min(times)
         else:
-            # broadcast to B slots; fused vmapped decode loop
-            bstate = jax.tree_util.tree_map(
-                lambda a: jnp.broadcast_to(a[None], (B,) + a.shape).copy(),
-                state)
+            # batch-as-heads: B slots folded into the kv-head axis (the
+            # vmapped decode loop serialized pathologically; see
+            # policies/pq_search.py decode_attn_batched)
+            bstate = policy.init_batched_state(B, jnp.bfloat16)
+            insert = jax.jit(policy.insert_slot, donate_argnums=(0,))
+            for slot in range(B):
+                bstate = insert(bstate, state, jnp.asarray(slot, jnp.int32))
+            del state
             decode = jax.jit(
-                lambda p, bs, t, pos: jax.vmap(
-                    lambda s, tt, pp: llama.decode_loop(
-                        model, p, policy, s, tt, pp, gen),
-                    in_axes=(0, 0, 0))(bs, t, pos),
+                lambda p, bs, t, pos: llama.decode_loop_batched(
+                    model, p, policy, bs, t, pos, gen),
                 donate_argnums=(1,))
             toks = jnp.full((B,), first, jnp.int32)
             poss = jnp.full((B,), ctx, jnp.int32)
             out, bstate = decode(params, bstate, toks, poss)  # compile+warm
             np.asarray(out)
-            t0 = time.perf_counter()
-            out, bstate = decode(params, bstate, toks + 0, poss + gen)
-            np.asarray(out)
-            dt = time.perf_counter() - t0
+            times = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                out, bstate = decode(params, bstate, toks + 0,
+                                     poss + gen * (rep + 1))
+                np.asarray(out)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
+            state = None
         results[policy_name] = {
             "tok_s": B * gen / dt,
             "per_step_ms": dt / gen * 1e3,

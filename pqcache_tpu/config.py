@@ -94,11 +94,27 @@ class PQConfig:
     # pq_search.py:322); >1 = block-granular selection (TPU fast path —
     # contiguous fetches, block×-smaller top-k; recall-oracle-checked).
     select_block: int = 1
+    # Compiled-program variant selection (these used to be PQ_* env vars read
+    # inside the jitted hot path — the anti-pattern SURVEY §5 flags in the
+    # reference; as config they select a compiled program explicitly).
+    adc_mode: str = "v2"              # "v2" | "v1" | "xla" ADC kernel variant
+    fetch_mode: str = "gather"        # "gather" | "masked" retrieval fetch
+    gather_mode: str = "xla"          # "xla" | "pallas" row-gather impl
+    check_recall: bool = False        # runtime recall oracle (debug print)
 
     def __post_init__(self):
         if self.n_subvec_per_head not in (1, 2, 4, 8, 16):
             # pq_search.py:104-105
             raise ValueError("PQ subvec must be in {1,2,4,8,16}")
+        if not 1 <= self.n_subbits <= 8:
+            # codes are stored uint8 — 2**8 centroids is the ceiling
+            raise ValueError("PQ n_subbits must be in [1, 8]")
+        if self.adc_mode not in ("v2", "v1", "xla"):
+            raise ValueError(f"unknown adc_mode {self.adc_mode}")
+        if self.fetch_mode not in ("gather", "masked"):
+            raise ValueError(f"unknown fetch_mode {self.fetch_mode}")
+        if self.gather_mode not in ("xla", "pallas"):
+            raise ValueError(f"unknown gather_mode {self.gather_mode}")
 
     @property
     def n_centroids(self) -> int:

@@ -285,6 +285,21 @@ def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
     return jnp.sum(gathered, axis=2).reshape(H, -1)
 
 
+def _valid_masks(n_valid: jax.Array, H_kv: int, group: int, T: int):
+    """Candidate-validity masks from a scalar n_valid (single sequence) or a
+    per-kv-head [H_kv] vector (batch-as-heads: slots folded into the head
+    axis carry per-slot candidate counts). Returns (valid_kv [H_kv or 1, T],
+    valid_q [H or 1, T])."""
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    if n_valid.ndim == 0:
+        v = (pos < n_valid)[None, :]
+        return v, v
+    valid_kv = pos[None, :] < n_valid[:, None]           # [H_kv, T]
+    valid_q = jnp.repeat(valid_kv, group, axis=0)        # [H, T]
+    return valid_kv, valid_q
+
+
 def group_scores(
     scores: jax.Array,
     n_valid: jax.Array,
@@ -296,18 +311,19 @@ def group_scores(
     """GQA-reduced per-kv-head candidate importances (the reduction inside
     mips_topk, without the selection): euc → softmax attention mass summed
     over the group (pq_search.py:319-321); ip → negative summed distance.
-    Returns [H_kv, T] with invalid positions at -inf."""
+    n_valid: scalar or [H_kv]. Returns [H_kv, T] with invalid at -inf."""
     H, T = scores.shape
     H_kv = H // group
-    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+    valid_kv, valid_q = _valid_masks(n_valid, H_kv, group, T)
     if metric == "euc":
-        masked = jnp.where(valid, scores / jnp.sqrt(float(head_dim)), -jnp.inf)
+        masked = jnp.where(valid_q, scores / jnp.sqrt(float(head_dim)),
+                           -jnp.inf)
         probs = jax.nn.softmax(masked, axis=-1)
-        probs = jnp.where(valid, probs, 0.0)
+        probs = jnp.where(valid_q, probs, 0.0)
         g = jnp.sum(probs.reshape(H_kv, group, T), axis=1)
     else:
         g = -jnp.sum(scores.reshape(H_kv, group, T), axis=1)
-    return jnp.where(valid, g, -jnp.inf)
+    return jnp.where(valid_kv, g, -jnp.inf)
 
 
 def mips_topk(
@@ -322,14 +338,16 @@ def mips_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """GQA-reduced top-k candidate selection (pq_search.py:318-322, 416-417).
 
-    scores: [H, T] raw per-q-head ADC scores; positions >= n_valid are padding.
-    euc: softmax(scores/√head_dim) per q-head, summed over each GQA group,
-    take largest k. ip: sum the (distance) scores over the group, take
-    *smallest* k. Returns (topk_idx [H_kv, k] i32, group_scores [H_kv, T]).
+    scores: [H, T] raw per-q-head ADC scores; positions >= n_valid are
+    padding (n_valid: scalar, or [H_kv] per-kv-head counts for
+    batch-as-heads). euc: softmax(scores/√head_dim) per q-head, summed over
+    each GQA group, take largest k. ip: sum the (distance) scores over the
+    group, take *smallest* k. Returns (topk_idx [H_kv, k] i32,
+    group_scores [H_kv, T]).
     """
     H, T = scores.shape
     H_kv = H // group
-    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+    valid_kv, valid_q = _valid_masks(n_valid, H_kv, group, T)
 
     def pick(sel):
         # sort-based exact top-k is O(T log T) per head on TPU; the
@@ -342,14 +360,15 @@ def mips_topk(
         return idx.astype(jnp.int32)
 
     if metric == "euc":
-        masked = jnp.where(valid, scores / jnp.sqrt(float(head_dim)), -jnp.inf)
+        masked = jnp.where(valid_q, scores / jnp.sqrt(float(head_dim)),
+                           -jnp.inf)
         probs = jax.nn.softmax(masked, axis=-1)
-        probs = jnp.where(valid, probs, 0.0)
+        probs = jnp.where(valid_q, probs, 0.0)
         g = jnp.sum(probs.reshape(H_kv, group, T), axis=1)
-        return pick(jnp.where(valid, g, -jnp.inf)), g
+        return pick(jnp.where(valid_kv, g, -jnp.inf)), g
     elif metric == "ip":
         g = jnp.sum(scores.reshape(H_kv, group, T), axis=1)
-        return pick(jnp.where(valid, -g, -jnp.inf)), g
+        return pick(jnp.where(valid_kv, -g, -jnp.inf)), g
     raise ValueError(f"unknown metric {metric}")
 
 
@@ -389,7 +408,13 @@ def mips_topk_blocks(
     else:
         g = jnp.sum(scores.reshape(H_kv, group, T), axis=1)
         gv = jnp.where(valid, -g, 0.0)  # smaller distance = better
-        blk = jnp.sum(gv.reshape(H_kv, T // block, block), axis=-1)
+        # mean over VALID tokens, not sum: negated-distance sums would
+        # systematically favor partially-valid boundary blocks (fewer terms
+        # → less negative mass) over full blocks regardless of content
+        cnt = jnp.sum(valid.astype(jnp.float32)
+                      .reshape(1, T // block, block), axis=-1)
+        blk = (jnp.sum(gv.reshape(H_kv, T // block, block), axis=-1)
+               / jnp.maximum(cnt, 1.0))
     blk_valid = (jnp.arange(T // block, dtype=jnp.int32)[None, :] * block
                  < n_valid)
     sel = jnp.where(blk_valid, blk, -jnp.inf)

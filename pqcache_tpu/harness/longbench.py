@@ -22,7 +22,8 @@ import numpy as np
 
 from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
                                 PQConfig, RuntimeConfig)
-from pqcache_tpu.harness.metrics import DATASET2METRIC, PAPER_DATASETS, scorer
+from pqcache_tpu.harness.metrics import (DATASET2METRIC, PAPER_DATASETS,
+                                         scorer, scorer_e)
 
 _CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "configs")
@@ -100,7 +101,11 @@ class WhitespaceTokenizer:
         self.vocab_size = vocab_size
 
     def __call__(self, text, **kw):
-        ids = [2 + (hash(w) % (self.vocab_size - 2)) for w in text.split()]
+        # deterministic hash: python's hash() is salted per process, which
+        # would make resume-by-line-count mix incompatible tokenizations
+        import zlib
+        ids = [2 + (zlib.crc32(w.encode("utf-8")) % (self.vocab_size - 2))
+               for w in text.split()]
         return {"input_ids": ids or [2]}
 
     def decode(self, ids, **kw):
@@ -217,18 +222,28 @@ def score(args) -> None:
             dataset = parts[-3]
             if dataset not in DATASET2METRIC:
                 continue
-            preds, answers, classes = [], [], None
+            preds, answers, lengths, classes = [], [], [], None
             with open(os.path.join(root, fn), encoding="utf-8") as f:
                 for line in f:
                     o = json.loads(line)
                     preds.append(o["pred"])
                     answers.append(o["answers"])
+                    lengths.append(o.get("length") or o.get("input_tokens", 0))
                     classes = o.get("all_classes")
-            val = scorer(dataset, preds, answers, classes)
+            if getattr(args, "e", False):
+                # LongBench-E length-bucketed scoring (eval.py:50-66)
+                val = scorer_e(dataset, preds, answers, lengths, classes)
+            else:
+                val = scorer(dataset, preds, answers, classes)
             results.setdefault(fn[:-6], {})[dataset] = val
     for config_str, per_ds in sorted(results.items()):
-        total = round(sum(per_ds.values()) / max(len(per_ds), 1), 2)
-        per_ds["__avg__"] = total
+        vals = list(per_ds.values())
+        if vals and isinstance(vals[0], dict):  # scorer_e buckets
+            per_ds["__avg__"] = {
+                b: round(sum(v[b] for v in vals) / len(vals), 2)
+                for b in ("0-4k", "4-8k", "8k+")}
+        else:
+            per_ds["__avg__"] = round(sum(vals) / max(len(vals), 1), 2)
     out = os.path.join(args.pred_dir, "result.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2, ensure_ascii=False)
@@ -244,7 +259,7 @@ def parse_args(argv=None):
     pp.add_argument("--checkpoint", required=True)
     pp.add_argument("--compressor", default="pq_search",
                     choices=["original", "pq_search", "h2o", "no_drop_lb",
-                             "sparq_f"])
+                             "sparq_f", "infllm"])
     pp.add_argument("--compress-ratio", dest="compress_ratio", type=float,
                     default=0.1)
     pp.add_argument("--recent-ratio", dest="recent_ratio", type=float,
@@ -272,6 +287,8 @@ def parse_args(argv=None):
 
     sp = sub.add_parser("score")
     sp.add_argument("--pred-dir", required=True)
+    sp.add_argument("--e", action="store_true",
+                    help="LongBench-E length-bucketed scoring (eval.py --e)")
     sp.set_defaults(fn=score)
     return p.parse_args(argv)
 

@@ -171,13 +171,34 @@ PAPER_DATASETS = [
 ]
 
 
-def scorer(dataset: str, predictions, answers, all_classes=None) -> float:
-    """Mean metric over samples ×100 (eval.py:50-77)."""
+def _sample_score(dataset: str, pred: str, gts, all_classes) -> float:
     metric = DATASET2METRIC[dataset]
-    total = 0.0
-    for pred, gts in zip(predictions, answers):
-        if dataset in ("trec", "triviaqa", "samsum", "lsht"):
-            pred = pred.lstrip("\n").split("\n")[0]
-        total += max((metric(pred, gt, all_classes=all_classes)
-                      for gt in gts), default=0.0)
+    if dataset in ("trec", "triviaqa", "samsum", "lsht"):
+        pred = pred.lstrip("\n").split("\n")[0]
+    return max((metric(pred, gt, all_classes=all_classes) for gt in gts),
+               default=0.0)
+
+
+def scorer(dataset: str, predictions, answers, all_classes=None) -> float:
+    """Mean metric over samples ×100 (eval.py:68-77)."""
+    total = sum(_sample_score(dataset, p, gts, all_classes)
+                for p, gts in zip(predictions, answers))
     return round(100 * total / max(len(predictions), 1), 2)
+
+
+def scorer_e(dataset: str, predictions, answers, lengths,
+             all_classes=None) -> dict:
+    """LongBench-E length-bucketed scoring (eval.py:50-66): per-sample max
+    metric, bucketed by context length into 0-4k / 4-8k / 8k+, mean ×100 per
+    bucket (NaN-free: empty buckets score 0.0 with count 0 recorded)."""
+    buckets: dict = {"0-4k": [], "4-8k": [], "8k+": []}
+    for pred, gts, length in zip(predictions, answers, lengths):
+        s = _sample_score(dataset, pred, gts, all_classes)
+        if length < 4000:
+            buckets["0-4k"].append(s)
+        elif length < 8000:
+            buckets["4-8k"].append(s)
+        else:
+            buckets["8k+"].append(s)
+    return {k: round(100 * sum(v) / len(v), 2) if v else 0.0
+            for k, v in buckets.items()}

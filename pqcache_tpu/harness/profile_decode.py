@@ -47,7 +47,10 @@ def run(name):
     cfg = EngineConfig(
         model=model,
         pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
-                    select_block=BLOCK),
+                    select_block=BLOCK,
+                    adc_mode=os.environ.get("PQ_ADC", "v2"),
+                    fetch_mode=os.environ.get("PQ_FETCH", "gather"),
+                    gather_mode=os.environ.get("PQ_GATHER", "xla")),
         budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
         runtime=RuntimeConfig(policy=name, prefill_bucket=1024,
                               max_new_tokens=64, max_seq_len=CTX * 2))
@@ -75,7 +78,7 @@ def run(name):
             n_cand=jnp.asarray(budget.n_cand_init, jnp.int32),
             pos=jnp.asarray(CTX, jnp.int32),
             codes=jnp.asarray(rng.integers(0, 64, size=st.codes.shape),
-                              jnp.int8),
+                              st.codes.dtype),
             centroids=jnp.asarray(
                 rng.normal(size=st.centroids.shape), jnp.float32),
             kv_tail=jnp.asarray(

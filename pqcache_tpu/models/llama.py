@@ -230,6 +230,91 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
     return logits, new_state
 
 
+# ---------------------------------------------------------------------------
+# Batch-as-heads decode: B sequence slots folded into the head axis.
+#
+# vmapping the single-sequence decode loop over slots scales pathologically
+# (B=2 ≈ 2.4× B=1 — the vmapped scan/carry composition serializes); instead
+# the batch is folded into the KV-HEAD axis, where everything retrieval-side
+# is already parallel: state arrays [L, H_kv, ...] become [L, B·H_kv, ...],
+# per-slot scalars become [B], and the ADC/top-k/gather/attention machinery
+# runs unchanged on the folded arrays (slot-major fold keeps the GQA
+# "kv head = q head // group" mapping intact: (b·H + h)//group =
+# b·H_kv + h//group). The MLP/embedding/LM-head side is ordinary [B, E]
+# batched matmuls — exactly what the MXU wants.
+
+def _apply_rope_batched(x: jax.Array, cos: jax.Array, sin: jax.Array):
+    """x [B, Hx, D]; cos/sin [B, D/2] (per-slot positions)."""
+    D = x.shape[-1]
+    x1, x2 = x[..., : D // 2], x[..., D // 2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    c, s = cos[:, None, :], sin[:, None, :]
+    return jnp.concatenate(
+        [xf1 * c - xf2 * s, xf2 * c + xf1 * s], axis=-1).astype(x.dtype)
+
+
+def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
+                        tokens: jax.Array, pos: jax.Array,
+                        axis_name=None) -> Tuple[jax.Array, Any]:
+    """One greedy-decode step for B slots. tokens/pos [B] i32.
+    Returns (logits [B, V], updated state)."""
+    L = cfg.num_layers
+    B = tokens.shape[0]
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hidden = jnp.take(params["embed"], tokens, axis=0)        # [B, E]
+    cos, sin = rope_cos_sin(cfg, pos.astype(jnp.int32))       # [B, D/2]
+
+    shared = policy.shared_pre_batched(state)
+
+    def body(carry, xs):
+        hidden, state = carry
+        lp, idx = xs
+        h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+        q = _apply_rope_batched(
+            (h_norm @ lp["wq"]).reshape(B, H, D), cos, sin)
+        k = _apply_rope_batched(
+            (h_norm @ lp["wk"]).reshape(B, Hkv, D), cos, sin)
+        v = (h_norm @ lp["wv"]).reshape(B, Hkv, D)
+        attn, state = policy.decode_attn_batched(state, idx, q, k, v, shared)
+        attn_out = attn.reshape(B, H * D) @ lp["wo"]
+        if axis_name is not None:
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        hidden = hidden + attn_out
+        h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
+        mlp_out = mlp(lp, h2)
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        return (hidden + mlp_out, state), None
+
+    (hidden, new_state), _ = jax.lax.scan(
+        body, (hidden, state),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+    new_state = policy.shared_post_batched(new_state, shared)
+
+    last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_state
+
+
+def decode_loop_batched(cfg: ModelConfig, params: dict, policy, state: Any,
+                        tokens: jax.Array, pos: jax.Array, n_steps: int,
+                        axis_name=None) -> Tuple[jax.Array, Any]:
+    """Greedy-decode n_steps tokens for B slots in ONE device program.
+    tokens/pos [B]. Returns (tokens [n_steps, B] i32, state)."""
+
+    def body(carry, _):
+        tok, p, st = carry
+        logits, st = decode_step_batched(cfg, params, policy, st, tok, p,
+                                         axis_name)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, p + 1, st), nxt
+
+    (_, _, state), toks = jax.lax.scan(
+        body, (tokens.astype(jnp.int32), pos.astype(jnp.int32), state),
+        None, length=n_steps)
+    return toks, state
+
+
 def decode_loop(cfg: ModelConfig, params: dict, policy, state: Any,
                 token: jax.Array, pos: jax.Array, n_steps: int,
                 axis_name=None) -> Tuple[jax.Array, Any]:

@@ -233,11 +233,16 @@ def decode_window_attention(
     k_win: jax.Array,
     v_win: jax.Array,
     win_mask: Optional[jax.Array] = None,
-) -> jax.Array:
+    *,
+    return_probs: bool = False,
+):
     """Single-step attention over the assembled [sink|local|topk|new] window
     (pq_search.py:336-341). q [H, 1, D]; k/v_win [H_kv, W, D];
     win_mask [H_kv, W] bool (True = attend). The window is small (≈ budget),
-    so materialized softmax is the right shape for the VPU/MXU."""
+    so materialized softmax is the right shape for the VPU/MXU.
+
+    return_probs=True additionally returns the GQA-group-summed attention
+    mass per window position [H_kv, W] f32 (streaming repr selection)."""
     H, _, D = q.shape
     H_kv, W, _ = k_win.shape
     group = H // H_kv
@@ -252,4 +257,7 @@ def decode_window_attention(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("hgw,hwd->hgd", probs.astype(v_win.dtype), v_win,
                      preferred_element_type=jnp.float32)
-    return out.reshape(H, 1, D).astype(q.dtype)
+    out = out.reshape(H, 1, D).astype(q.dtype)
+    if return_probs:
+        return out, jnp.sum(probs, axis=1)
+    return out

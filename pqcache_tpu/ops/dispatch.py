@@ -30,16 +30,17 @@ def dense_prefill_attention(
 ):
     """Causal self-attention over a left-padded prompt.
 
-    Returns (out [H, T, D], scores [H, T] | None). score_mode="max" (the
-    non-recent column max) runs via XLA; "sum" has a Pallas sweep.
+    Returns (out [H, T, D], scores [H, T] | None). Both score modes ("sum"
+    column sums and "max" non-recent column max) have Pallas sweeps.
     """
     if use_pallas is None:
         use_pallas = use_pallas_default()
     D = q.shape[-1]
-    if not use_pallas or D % 128 != 0 or (with_scores and score_mode != "sum"):
+    if not use_pallas or D % 128 != 0:
         return chunked_attention(q, k, v, valid_lo=pad_len, causal=True,
                                  with_scores=with_scores,
                                  score_mode=score_mode)
     out = flash_attention(q, k, v, valid_lo=pad_len, causal=True)
-    scores = (flash_scores(q, k, valid_lo=pad_len) if with_scores else None)
+    scores = (flash_scores(q, k, valid_lo=pad_len, score_mode=score_mode)
+              if with_scores else None)
     return out, scores

@@ -155,14 +155,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Score sweep: per-key attention-mass column sums (score_func="sum" of the
-# reference's flash_attn_with_score.py:59-104). Two-phase per q-block row:
-# phase 0 recomputes the online-softmax stats (m, l) for the row, phase 1
-# accumulates normalized probability column sums into F — the reference
-# kernel's two-stage structure, with F blocks revisited across q rows.
+# Score sweep: per-key aggregated attention columns, both modes of the
+# reference's flash_attn_with_score.py — "sum" (column sums, :59-104) and
+# "max" (non-recent column max with a RECENT_CNT exclusion window,
+# :106-155). Two-phase per q-block row: phase 0 recomputes the
+# online-softmax stats (m, l) for the row, phase 1 accumulates normalized
+# probability columns into F — the reference kernel's two-stage structure,
+# with F blocks revisited across q rows.
 
 def _score_kernel(scalars_ref, q_ref, k_ref, f_ref, m_scr, l_scr,
-                  *, scale, block_q, block_k, n_k):
+                  *, scale, block_q, block_k, n_k, score_mode="sum",
+                  recent_cnt=32):
     i = pl.program_id(1)
     jj = pl.program_id(2)
     phase = jj // n_k
@@ -203,7 +206,11 @@ def _score_kernel(scalars_ref, q_ref, k_ref, f_ref, m_scr, l_scr,
         m = m_scr[:, :1]
         l = jnp.maximum(l_scr[:, :1], 1e-30)
         p = jnp.where(mask, jnp.exp(s - m), 0.0) / l
-        col = jnp.sum(p, axis=0, keepdims=True)     # [1, block_k]
+        if score_mode == "sum":
+            col = jnp.sum(p, axis=0, keepdims=True)  # [1, block_k]
+        else:  # "max": exclude (q, k) pairs within the recent window
+            pair_ok = mask & (kpos <= qpos - recent_cnt)
+            col = jnp.max(jnp.where(pair_ok, p, 0.0), axis=0, keepdims=True)
 
         @pl.when(i == 0)
         def _first():
@@ -211,11 +218,13 @@ def _score_kernel(scalars_ref, q_ref, k_ref, f_ref, m_scr, l_scr,
 
         @pl.when(i > 0)
         def _rest():
-            f_ref[...] = f_ref[...] + col
+            f_ref[...] = (f_ref[...] + col if score_mode == "sum"
+                          else jnp.maximum(f_ref[...], col))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+    jax.jit, static_argnames=("block_q", "block_k", "interpret",
+                              "score_mode", "recent_cnt"))
 def flash_scores(
     q: jax.Array,
     k: jax.Array,
@@ -225,11 +234,16 @@ def flash_scores(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    score_mode: str = "sum",
+    recent_cnt: int = 32,
 ) -> jax.Array:
-    """Per-key causal attention-mass column sums.
+    """Per-key causal aggregated attention columns.
 
-    q [H, T, D], k [H_kv, T, D] → F [H, T] f32 with
-    F[h, t] = Σ_q softmax_prob(q, t) over valid causal pairs.
+    q [H, T, D], k [H_kv, T, D] → F [H, T] f32.
+    score_mode="sum": F[h, t] = Σ_q softmax_prob(q, t) over valid causal
+    pairs. score_mode="max": F[h, t] = max_q softmax_prob(q, t) over pairs
+    with t <= q - recent_cnt (the reference's non-recent column max,
+    flash_attn_with_score.py:106-155).
     """
     H, T, D = q.shape
     H_kv = k.shape[0]
@@ -247,7 +261,8 @@ def flash_scores(
     n_k = Tp // bk
 
     kernel = functools.partial(_score_kernel, scale=scale, block_q=bq,
-                               block_k=bk, n_k=n_k)
+                               block_k=bk, n_k=n_k, score_mode=score_mode,
+                               recent_cnt=recent_cnt)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

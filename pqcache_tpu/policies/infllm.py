@@ -15,9 +15,13 @@ the top blocks are gathered wholesale into the attention window
 [init | top blocks | local | new]. Everything is HBM-resident fixed-shape
 state (the reference's CPU-offload + LRU cache maps to the host tier).
 
-Generated tokens are covered by the local window; block formation over
-generated text (InfLLM's streaming block append) is not modeled — for
-generation lengths within the local window the behavior matches.
+Streaming block formation (InfLLM's block append for generated tokens,
+context_manager.py:196-815): attention mass received by local-window tokens
+is accumulated per step; whenever generation completes a context block, that
+block's representative tokens are selected by accumulated mass and the block
+becomes retrievable once it falls out of the local window. jit-compatible:
+the repr computation runs every step and is committed with a `where` on the
+block-boundary predicate.
 """
 
 from __future__ import annotations
@@ -40,6 +44,8 @@ class InfLLMState:
     dense: DenseState
     k_repr: jax.Array   # [L, H_kv, n_blocks, N_REPR, D]
     repr_valid: jax.Array  # [L, H_kv, n_blocks, N_REPR] bool
+    gen_scores: jax.Array  # [L, H_kv, T_max] f32 — decode attention mass
+                           # received per token (streaming repr selection)
 
 
 @register_policy("infllm")
@@ -51,7 +57,10 @@ class InfLLMPolicy:
         m = cfg.model
         self.H_kv, self.group, self.D = m.num_kv_heads, m.num_groups, m.head_dim
         self.block = cfg.cache.block_size
-        self.n_blocks = (budget.prefill_len + self.block - 1) // self.block
+        # block grid covers the GENERATED region too (streaming formation)
+        self.n_blocks = (self.max_len + self.block - 1) // self.block
+        self.n_prefill_blocks = ((budget.prefill_len + self.block - 1)
+                                 // self.block)
         # token budget → number of retrieved blocks
         self.n_sel = max(budget.topk // self.block, 1)
 
@@ -61,7 +70,8 @@ class InfLLMPolicy:
             dense=make_dense_state(self.cfg, self.max_len, dtype=dtype),
             k_repr=jnp.zeros((L, self.H_kv, self.n_blocks, N_REPR, self.D),
                              dtype),
-            repr_valid=jnp.zeros((L, self.H_kv, self.n_blocks, N_REPR), bool))
+            repr_valid=jnp.zeros((L, self.H_kv, self.n_blocks, N_REPR), bool),
+            gen_scores=jnp.zeros((L, self.H_kv, self.max_len), jnp.float32))
 
     def prefill_attn(self, state: InfLLMState, idx, q, k, v, pad_len, true_len):
         P = q.shape[1]
@@ -127,10 +137,11 @@ class InfLLMPolicy:
         blk_start = jnp.arange(self.n_blocks) * self.block
         retrievable = (blk_start + self.block <= local_lo)
         block_score = jnp.where(retrievable[None], block_score, -jnp.inf)
-        _, sel = jax.lax.top_k(block_score, self.n_sel)  # [H_kv, n_sel]
-        sel_ok = jnp.take_along_axis(
-            jnp.broadcast_to(retrievable[None], block_score.shape), sel,
-            axis=1)
+        sel_score, sel = jax.lax.top_k(block_score, self.n_sel)  # [H_kv, n_sel]
+        # a selected block participates only if it got a finite score (blocks
+        # that are pure padding or inside the local window carry -inf and can
+        # still be "selected" when fewer than n_sel finite blocks exist)
+        sel_ok = jnp.isfinite(sel_score)
 
         # gather whole blocks
         tok_idx = (sel[:, :, None] * self.block
@@ -139,7 +150,9 @@ class InfLLMPolicy:
         heads = jnp.arange(self.H_kv)[:, None]
         k_blocks = full_k[idx, heads, tok_idx]
         v_blocks = full_v[idx, heads, tok_idx]
-        blk_mask = jnp.repeat(sel_ok, self.block, axis=1)
+        # per-token validity: a block straddling `start` (left-pad boundary)
+        # must not attend its pad-region rows
+        blk_mask = jnp.repeat(sel_ok, self.block, axis=1) & (tok_idx >= start)
 
         # window = [sink | blocks | local | new]
         T = full_k.shape[2]
@@ -165,9 +178,52 @@ class InfLLMPolicy:
             [ones(b.sink), blk_mask, loc_mask], axis=1)
 
         from pqcache_tpu.ops.attention_xla import decode_window_attention
-        out = decode_window_attention(q, k_win, v_win, win_mask)
+        out, probs = decode_window_attention(q, k_win, v_win, win_mask,
+                                             return_probs=True)
+
+        # -- streaming block formation (context_manager.py:196-815) --------
+        # accumulate attention mass received by the local-window tokens
+        loc_probs = probs[:, b.sink + blk_mask.shape[1]:]  # [H_kv, local+1]
+        lo = jnp.maximum(local_lo, 0)
+        gen_l = state.gen_scores[idx]
+        gen_l = jax.lax.dynamic_update_slice(
+            gen_l,
+            jax.lax.dynamic_slice(
+                gen_l, (0, lo), (self.H_kv, b.local + 1)) + loc_probs,
+            (0, lo))
+        gen_scores = jax.lax.dynamic_update_slice(
+            state.gen_scores, gen_l[None], (idx, 0, 0))
+
+        # when this step completes a context block, select its representative
+        # tokens by accumulated mass and mark the block formed (committed
+        # with `where` on the boundary predicate — jit-friendly)
+        n_tok = length + 1
+        completed = (n_tok % self.block) == 0
+        cb = jnp.maximum(n_tok // self.block - 1, 0)
+        blk_lo = cb * self.block
+        blk_scores = jax.lax.dynamic_slice(
+            gen_l, (0, blk_lo), (self.H_kv, self.block))
+        sval, sidx = jax.lax.top_k(blk_scores, N_REPR)  # [H_kv, N_REPR]
+        abs_sidx = (sidx + blk_lo).astype(jnp.int32)
+        k_sel = jnp.take_along_axis(
+            full_k[idx], abs_sidx[..., None], axis=1)  # [H_kv, N_REPR, D]
+        old_repr = jax.lax.dynamic_slice(
+            state.k_repr, (idx, 0, cb, 0, 0),
+            (1, self.H_kv, 1, N_REPR, self.D))
+        old_valid = jax.lax.dynamic_slice(
+            state.repr_valid, (idx, 0, cb, 0), (1, self.H_kv, 1, N_REPR))
+        k_repr = jax.lax.dynamic_update_slice(
+            state.k_repr,
+            jnp.where(completed, k_sel[None, :, None], old_repr),
+            (idx, 0, cb, 0, 0))
+        repr_valid = jax.lax.dynamic_update_slice(
+            state.repr_valid,
+            jnp.where(completed, jnp.ones_like(old_valid), old_valid),
+            (idx, 0, cb, 0))
+
         return out, state.replace(
-            dense=d.replace(k_cache=full_k, v_cache=full_v))
+            dense=d.replace(k_cache=full_k, v_cache=full_v),
+            k_repr=k_repr, repr_valid=repr_valid, gen_scores=gen_scores)
 
     def shared_pre(self, state: InfLLMState):
         return {"length": state.dense.length, "start": state.dense.start}

@@ -55,8 +55,25 @@ class PQSearchPolicy:
         mode = cfg.runtime.kernels
         self.use_pallas = (jax.default_backend() == "tpu"
                            if mode == "auto" else mode == "pallas")
+        # Mosaic requires the LUT lane dimension (C·H_kv·S for the v2
+        # block-diagonal kernel) to be 128-aligned; small test models fall
+        # back to the XLA ADC (flagship widths: 64·8·2 = 1024 ✓).
+        if self.C * self.H_kv * self.S % 128 != 0:
+            self.use_pallas = False
         self.approx_topk = cfg.pq.approx_topk
         self.select_block = cfg.pq.select_block
+        self.adc_mode = cfg.pq.adc_mode
+        self.fetch_mode = cfg.pq.fetch_mode
+        self.gather_mode = cfg.pq.gather_mode
+        self.check_recall = cfg.pq.check_recall
+        # GQA=False: per-q-head top-k (no group reduction). The reference
+        # parses the flag but raises "wo GQA not supported currently"
+        # (pq_search.py:460-473); here it is a working quality mode — each q
+        # head retrieves its own candidate set (group× the gather volume).
+        self.gqa = cfg.runtime.gqa
+        if not self.gqa and (self.select_block > 1
+                             or self.fetch_mode != "gather"):
+            raise ValueError("gqa=False supports only per-token gather fetch")
         if budget.n_tail_max % max(self.select_block, 1):
             raise ValueError("n_tail_max must be divisible by select_block")
         # block mode retrieves whole blocks; round the token budget up
@@ -153,18 +170,16 @@ class PQSearchPolicy:
             lut = pq.adc_lut_euc(q_sub, centroids)
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
-        import os
-        adc_mode = os.environ.get("PQ_ADC", "v2")
-        if self.use_pallas and adc_mode != "xla":
+        if self.use_pallas and self.adc_mode != "xla":
             from pqcache_tpu.ops.adc_pallas import (adc_scores_pallas,
                                                     adc_scores_pallas_v2)
-            fn = adc_scores_pallas_v2 if adc_mode == "v2" else adc_scores_pallas
+            fn = (adc_scores_pallas_v2 if self.adc_mode == "v2"
+                  else adc_scores_pallas)
             lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
             scores = fn(lut4, codes).reshape(H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
-        fetch_mode = os.environ.get("PQ_FETCH", "gather")
-        if fetch_mode == "masked" and self.select_block <= 1:
+        if self.fetch_mode == "masked" and self.select_block <= 1:
             # Alternative HBM-tier path: selection as a THRESHOLDED MASK
             # over full-tail attention instead of a gather — the attended
             # set matches the reference's [sink|local|topk|new]
@@ -211,6 +226,10 @@ class PQSearchPolicy:
                     state.codes, new_codes[None], (idx, 0, 0, slot)))
             return out, new
 
+        if not self.gqa:
+            return self._decode_attn_nogqa(state, idx, q, k_new, v_new,
+                                           scores, n_cand, centroids,
+                                           k_sink, v_sink)
         if self.select_block > 1:
             # Block-granular fast path: block×-smaller top-k, contiguous
             # block fetches (selection granularity of the reference's own
@@ -243,8 +262,7 @@ class PQSearchPolicy:
             # gather: the hand-rolled DMA gather pays ~0.5 us of issue
             # overhead per row (scalar-core loop); PQ_GATHER=pallas for
             # research.
-            if (self.use_pallas
-                    and os.environ.get("PQ_GATHER", "xla") == "pallas"):
+            if self.use_pallas and self.gather_mode == "pallas":
                 from pqcache_tpu.ops.gather_pallas import gather_rows
                 L, _, N, _ = state.kv_tail.shape
                 kv_src = state.kv_tail.reshape(L * self.H_kv, N, 2 * self.D)
@@ -253,7 +271,7 @@ class PQSearchPolicy:
                 # [idx, head, token] advanced index reads the selected rows
                 kv_top = state.kv_tail[idx, heads[:, None], topk_idx]
 
-            if os.environ.get("PQ_CHECK_RECALL") == "1":
+            if self.check_recall:
                 # runtime retrieval-recall oracle (the reference's
                 # CHECK_RECALL=1 mode, pq_search.py:324-328): exact top-k
                 # over the candidate keys vs the PQ selection, printed per
@@ -300,6 +318,53 @@ class PQSearchPolicy:
                 state.codes, new_codes[None], (idx, 0, 0, slot)))
         return out, new
 
+    def _decode_attn_nogqa(self, state, idx, q, k_new, v_new, scores,
+                           n_cand, centroids, k_sink, v_sink):
+        """Per-q-head retrieval (GQA=False): every q head ranks the
+        candidates by its own ADC scores and gathers its own top-k rows from
+        its kv head's tail. The attention window is assembled per q head
+        (group=1 segments) — `group`× the gather volume of the GQA path, in
+        exchange for per-head selection quality."""
+        b = self.budget
+        H = q.shape[0]
+        topk_idx, _ = pq.mips_topk(
+            scores, n_cand, b.topk, group=1, head_dim=self.D,
+            metric=self.metric, approx=self.approx_topk)  # [H, topk]
+        topk_idx = jnp.sort(topk_idx, axis=-1)
+        kv_head = jnp.arange(H, dtype=jnp.int32) // self.group
+        kv_top = state.kv_tail[idx, kv_head[:, None], topk_idx]  # [H,k,2D]
+        k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
+
+        kv_local = jax.lax.dynamic_slice(
+            state.kv_tail, (idx, 0, n_cand, 0),
+            (1, self.H_kv, b.local, 2 * self.D))[0]
+        rep = lambda x: jnp.repeat(x, self.group, axis=0)  # [H_kv,..]→[H,..]
+        k_local = rep(kv_local[..., :self.D])
+        v_local = rep(kv_local[..., self.D:])
+
+        dt = state.kv_tail.dtype
+        out = decode_window_attention_segments(q, [
+            (rep(k_sink), rep(v_sink), None),
+            (k_local, v_local, None),
+            (k_top, v_top, topk_idx < n_cand),
+            (rep(k_new.astype(dt)), rep(v_new.astype(dt)), None),
+        ])
+
+        slot = n_cand + b.local
+        x_new = self._to_groups(k_new)
+        if self.metric == "ip":
+            x_new = pq.ip2l2_lift_with_phi(x_new, state.phi[idx])
+        cent_flat = centroids.reshape(self.H_kv * self.S, self.C, -1)
+        new_codes = pq.pq_encode(x_new, cent_flat).reshape(
+            self.H_kv, self.S, 1).astype(state.codes.dtype)
+        kv_new = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
+        new = state.replace(
+            kv_tail=jax.lax.dynamic_update_slice(
+                state.kv_tail, kv_new[None], (idx, 0, slot, 0)),
+            codes=jax.lax.dynamic_update_slice(
+                state.codes, new_codes[None], (idx, 0, 0, slot)))
+        return out, new
+
     def shared_pre(self, state: PQState):
         return {"n_cand": state.n_cand}
 
@@ -307,4 +372,116 @@ class PQSearchPolicy:
         # One token appended per step: the oldest local token becomes a
         # retrieval candidate (the reference's add_new_token ring advance,
         # cache_manager.py:224-226).
+        return state.replace(n_cand=state.n_cand + 1, pos=state.pos + 1)
+
+    # -- batch-as-heads serving -------------------------------------------
+    #
+    # B sequence slots folded into the kv-head axis: state [L, B·H_kv, ...],
+    # counters [B]. The retrieval machinery (ADC, GQA top-k, gather,
+    # segmented attention) is head-parallel already, so the folded arrays
+    # run through the SAME kernels — per-slot candidate counts become
+    # per-head validity rows (core/pq._valid_masks) and the local-window
+    # slice becomes part of one combined [top-k | local] row gather. This
+    # replaces vmapping the single-sequence decode (B=2 cost ≈ 2.4× B=1 —
+    # the vmapped scan composition serializes; the reference cannot batch at
+    # all, mistral_patch.py:61).
+
+    def init_batched_state(self, B: int, dtype=jnp.bfloat16) -> PQState:
+        return make_pq_state(self.cfg, self.budget, dtype=dtype, batch=B)
+
+    def insert_slot(self, bstate: PQState, state: PQState,
+                    slot: jax.Array) -> PQState:
+        """Write a prefilled single-sequence state into slot `slot`."""
+        H_kv, S = self.H_kv, self.S
+        slot = jnp.asarray(slot, jnp.int32)
+        up1 = lambda b, s, scale: jax.lax.dynamic_update_slice_in_dim(
+            b, s, slot * scale, axis=1)
+        return bstate.replace(
+            k_sink=up1(bstate.k_sink, state.k_sink, H_kv),
+            v_sink=up1(bstate.v_sink, state.v_sink, H_kv),
+            kv_tail=up1(bstate.kv_tail, state.kv_tail, H_kv),
+            codes=up1(bstate.codes, state.codes, H_kv),
+            centroids=up1(bstate.centroids, state.centroids, H_kv),
+            phi=up1(bstate.phi, state.phi, H_kv * S),
+            n_cand=bstate.n_cand.at[slot].set(state.n_cand),
+            pos=bstate.pos.at[slot].set(state.pos))
+
+    def decode_attn_batched(self, state: PQState, idx, q, k_new, v_new,
+                            shared):
+        """q [B, H, D]; k_new/v_new [B, H_kv, D]. Returns ([B, H, D], state)."""
+        b = self.budget
+        B, H, _ = q.shape
+        BH_kv = B * self.H_kv
+        n_cand_h = jnp.repeat(shared["n_cand"], self.H_kv)   # [B·H_kv]
+        heads = jnp.arange(BH_kv, dtype=jnp.int32)
+
+        centroids = state.centroids[idx]      # [B·H_kv, S, C, d_lift]
+        codes = state.codes[idx]              # [B·H_kv, S, N]
+        k_sink, v_sink = state.k_sink[idx], state.v_sink[idx]
+
+        qf = q.reshape(B * H, self.D)
+        q_sub = qf.reshape(B * H, self.S, self.d_sub)
+        if self.metric == "euc":
+            lut = pq.adc_lut_euc(q_sub, centroids)           # [B·H, S, C]
+        else:
+            lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
+        if self.use_pallas and self.adc_mode != "xla":
+            from pqcache_tpu.ops.adc_pallas import adc_scores_pallas_v2
+            lut5 = lut.reshape(B, self.H_kv, self.group, self.S, -1)
+            codes4 = codes.reshape(B, self.H_kv, self.S, -1)
+            scores = jax.vmap(adc_scores_pallas_v2)(lut5, codes4)
+            scores = scores.reshape(B * H, -1)
+        else:
+            scores = pq.adc_gather_scores(lut, codes)        # [B·H, N]
+
+        topk_idx, _ = pq.mips_topk(
+            scores, n_cand_h, b.topk, group=self.group, head_dim=self.D,
+            metric=self.metric, approx=self.approx_topk)     # [B·H_kv, k]
+        topk_idx = jnp.sort(topk_idx, axis=-1)
+
+        # ONE row gather fetches [top-k | local window] together (per-slot
+        # local windows start at n_cand[b], so the single-sequence sliding
+        # slice becomes gather rows here)
+        local_idx = (n_cand_h[:, None]
+                     + jnp.arange(b.local, dtype=jnp.int32)[None, :])
+        idx_all = jnp.concatenate([topk_idx, local_idx], axis=1)
+        kv_rows = state.kv_tail[idx, heads[:, None], idx_all]
+        k_rows, v_rows = kv_rows[..., :self.D], kv_rows[..., self.D:]
+        mask = jnp.concatenate(
+            [topk_idx < n_cand_h[:, None],
+             jnp.ones((BH_kv, b.local), bool)], axis=1)
+
+        dt = state.kv_tail.dtype
+        k_new_f = k_new.reshape(BH_kv, 1, self.D).astype(dt)
+        v_new_f = v_new.reshape(BH_kv, 1, self.D).astype(dt)
+        out = decode_window_attention_segments(
+            qf.reshape(B * H, 1, self.D), [
+                (k_sink, v_sink, None),
+                (k_rows, v_rows, mask),
+                (k_new_f, v_new_f, None),
+            ])
+
+        # append + encode the new token per slot (scatter rows: per-slot
+        # write positions n_cand[b] + local)
+        x_new = self._to_groups(k_new_f[:, 0][:, None, :].reshape(
+            BH_kv, 1, self.D))
+        if self.metric == "ip":
+            x_new = pq.ip2l2_lift_with_phi(x_new, state.phi[idx])
+        cent_flat = centroids.reshape(BH_kv * self.S, self.C, -1)
+        new_codes = pq.pq_encode(x_new, cent_flat).reshape(
+            BH_kv, self.S).astype(state.codes.dtype)
+
+        slot_pos = n_cand_h + b.local                        # [B·H_kv]
+        kv_new = jnp.concatenate([k_new_f, v_new_f], axis=-1)[:, 0]
+        kv_tail = state.kv_tail.at[idx, heads, slot_pos].set(kv_new)
+        codes_up = state.codes.at[
+            idx, heads[:, None], jnp.arange(self.S)[None, :],
+            slot_pos[:, None]].set(new_codes)
+        new = state.replace(kv_tail=kv_tail, codes=codes_up)
+        return out.reshape(B, H, self.D), new
+
+    def shared_pre_batched(self, state: PQState):
+        return {"n_cand": state.n_cand}
+
+    def shared_post_batched(self, state: PQState, shared):
         return state.replace(n_cand=state.n_cand + 1, pos=state.pos + 1)

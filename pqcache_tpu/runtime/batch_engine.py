@@ -1,20 +1,24 @@
-"""Slot-based continuous batching engine.
+"""Slot-based continuous batching engine (batch-as-heads).
 
 The reference hard-asserts batch size 1 (mistral_patch.py:61,
-pq_search.py:234); serving throughput there comes from nothing. Here the
-decode step is vmapped over a fixed pool of B sequence slots (every policy
-is written batch-free over fixed-shape state, so vmap is exact), and
-scheduling is iteration-level at chunk granularity:
+pq_search.py:234); serving throughput there comes from nothing. Round 1
+vmapped the single-sequence decode over a slot pool, which scaled
+pathologically (B=2 ≈ 2.4× B=1 — the vmapped scan/carry composition
+serializes). This engine instead folds the B slots into the KV-HEAD axis
+(state [L, B·H_kv, ...], counters [B] — see policies/pq_search.py
+`decode_attn_batched`): attention/ADC/top-k/gather are head-parallel
+already, and the MLP/embedding side becomes ordinary [B, E] matmuls.
+
+Scheduling is iteration-level at chunk granularity (Orca/vLLM-style):
 
   * prefill runs per-sequence (single-sequence program, reused across
     slots) and the resulting state is inserted into the batched state at a
-    free slot;
+    free slot (one dynamic_update_slice per array along the head axis);
   * the fused decode loop advances ALL active slots `chunk` tokens in one
     device program;
   * between chunks, finished sequences retire and waiting sequences are
-    admitted into their slots — continuous batching in the
-    iteration-level-scheduling sense (Orca/vLLM), with the chunk length
-    bounding admission latency.
+    admitted into their slots, with the chunk length bounding admission
+    latency.
 
 All slots share one (bucketed) prefill length P and therefore one budget —
 the usual padded-batch discipline. Finished slots keep computing until
@@ -60,6 +64,9 @@ class BatchEngine:
         self.dtype = dtype
         self.budget = compute_budget(cfg.budget, prefill_len, max_new_tokens)
         self.policy = get_policy(cfg, self.budget)
+        if not hasattr(self.policy, "decode_attn_batched"):
+            raise ValueError(
+                f"policy {cfg.runtime.policy!r} has no batch-as-heads decode")
 
         m = cfg.model
 
@@ -69,23 +76,19 @@ class BatchEngine:
             return jnp.argmax(logits).astype(jnp.int32), st
 
         def decode_chunk(params, bstate, toks, poss, n_steps):
-            def one(state, tok, pos):
-                return llama.decode_loop(cfg.model, params, self.policy,
-                                         state, tok, pos, n_steps)
-            return jax.vmap(one, in_axes=(0, 0, 0))(bstate, toks, poss)
+            out, bstate = llama.decode_loop_batched(
+                m, params, self.policy, bstate, toks, poss, n_steps)
+            return out.T, bstate          # [B, chunk]
 
         self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
         self._decode = jax.jit(decode_chunk, donate_argnums=(1,),
                                static_argnums=(4,))
         self._insert = jax.jit(
-            lambda bstate, state, slot: jax.tree_util.tree_map(
-                lambda b, s: jax.lax.dynamic_update_index_in_dim(
-                    b, s, slot, 0), bstate, state),
+            lambda bstate, state, slot: self.policy.insert_slot(
+                bstate, state, slot),
             donate_argnums=(0,))
 
-        state0 = self.policy.init_state(dtype)
-        self.bstate = jax.tree_util.tree_map(
-            lambda a: jnp.stack([a] * self.B), state0)
+        self.bstate = self.policy.init_batched_state(self.B, dtype)
         self.slots: List[_Slot] = [_Slot() for _ in range(self.B)]
 
     def _admit(self, seq_id: int, ids: np.ndarray) -> int:

@@ -78,6 +78,14 @@ class HostKVStore:
         self.k_host[layer][:, pos] = k
         self.v_host[layer][:, pos] = v
         self.valid[layer] = max(self.valid[layer], pos + 1)
+        # If this token's block is HBM-cache resident, refresh the cached
+        # copy in place — otherwise fetch() would classify the position as a
+        # hit and return the stale (zero) row.
+        slot = self.block_slot[layer][pos // self.block]
+        if slot >= 0:
+            off = pos % self.block
+            self.cache_k[layer][slot, :, off] = k
+            self.cache_v[layer][slot, :, off] = v
 
     # -- reads ------------------------------------------------------------
 
@@ -122,9 +130,13 @@ class HostKVStore:
         admitted blocks into the HBM cache (cache_manager.py:364-418)."""
         counts = np.bincount(blocks.ravel(), minlength=self.max_blocks)
         top = np.argsort(-counts)[: self.cache_topk]
-        last_valid_block = self.valid[layer] // self.block
+        # Only FULLY-written blocks are admissible (strict <): the growing
+        # tail block would otherwise be cached early and later appended
+        # tokens would hit stale rows (append_token refreshes resident
+        # blocks, but admission of half-written blocks is still wasted work).
+        n_full_blocks = self.valid[layer] // self.block
         qualified = np.asarray(
-            [b for b in top if counts[b] > 0 and b <= last_valid_block],
+            [b for b in top if counts[b] > 0 and b < n_full_blocks],
             np.int32)
         if qualified.size == 0:
             return

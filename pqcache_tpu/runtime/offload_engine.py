@@ -38,7 +38,7 @@ class OffloadPQState:
     v_sink: jax.Array
     k_local: jax.Array   # [L, H_kv, local, D] ring buffer
     v_local: jax.Array
-    codes: jax.Array     # [L, H_kv, S, N_cand_max] int8
+    codes: jax.Array     # [L, H_kv, S, N_cand_max] uint8
     centroids: jax.Array  # [L, H_kv, S, C, d_lift]
     phi: jax.Array
     n_cand: jax.Array
@@ -71,7 +71,7 @@ class OffloadEngine:
         return OffloadPQState(
             k_sink=z(L, H_kv, b.sink, D), v_sink=z(L, H_kv, b.sink, D),
             k_local=z(L, H_kv, b.local, D), v_local=z(L, H_kv, b.local, D),
-            codes=jnp.zeros((L, H_kv, self.S, b.n_tail_max), jnp.int8),
+            codes=jnp.zeros((L, H_kv, self.S, b.n_tail_max), jnp.uint8),
             centroids=jnp.zeros((L, H_kv, self.S, self.C, d_lift),
                                 jnp.float32),
             phi=jnp.zeros((L, H_kv * self.S, 1, 1), jnp.float32),
@@ -106,7 +106,7 @@ class OffloadEngine:
         centroids = res.centroids.reshape(
             cfg.num_kv_heads, self.S, self.C, xb.shape[-1])
         codes_src = res.codes.reshape(
-            cfg.num_kv_heads, self.S, P - b.sink).astype(jnp.int8)
+            cfg.num_kv_heads, self.S, P - b.sink).astype(jnp.uint8)
 
         # local ring holds the most recent `local` real tokens, in order
         start_local = n_valid_tail - b.local
@@ -195,7 +195,7 @@ class OffloadEngine:
             x_new = pq.ip2l2_lift_with_phi(x_new, state.phi[idx])
         cent_flat = state.centroids[idx].reshape(H_kv * self.S, self.C, -1)
         ev_codes = pq.pq_encode(x_new, cent_flat).reshape(
-            H_kv, self.S, 1).astype(jnp.int8)
+            H_kv, self.S, 1).astype(jnp.uint8)
 
         state = state.replace(
             k_local=jax.lax.dynamic_update_slice(

@@ -51,7 +51,8 @@ class PQState:
     kv_tail: jax.Array    # [L, H_kv, N_tail, 2*D] — K and V interleaved per
                           # row so one top-k gather fetches both (row = 512B
                           # instead of 2×256B; XLA gather cost ∝ row count)
-    codes: jax.Array      # [L, H_kv, S, N_tail] int8 (C <= 256 centroids)
+    codes: jax.Array      # [L, H_kv, S, N_tail] uint8 (C <= 256 centroids;
+                          # int8 would wrap codes 128..255 for n_subbits=8)
     centroids: jax.Array  # [L, H_kv, S, C, d_lift] f32 (d_lift = d_sub (+1 for ip))
     phi: jax.Array        # [L, H_kv * S, 1, 1] f32 — ip2l2 lift constant (euc: zeros)
     n_cand: jax.Array     # i32 scalar: valid retrieval candidates in tail
@@ -74,7 +75,11 @@ class DenseState:
     mask: Optional[jax.Array] = None    # [L, H_kv, T_max] bool keep-mask (h2o)
 
 
-def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16) -> PQState:
+def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
+                  *, batch: int = 0) -> PQState:
+    """batch=0: single-sequence state (scalar counters). batch=B>0:
+    batch-as-heads serving state — B slots folded into the kv-head axis
+    ([L, B·H_kv, ...]) with per-slot counters [B]."""
     m = cfg.model
     S = cfg.pq.n_subvec_per_head
     C = cfg.pq.n_centroids
@@ -82,29 +87,33 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16) -> PQSt
     d_lift = d_sub + (1 if cfg.pq.metric == "ip" else 0)
     L, H_kv, D = m.num_layers, m.num_kv_heads, m.head_dim
     N_tail = budget.n_tail_max
+    Hf = max(batch, 1) * H_kv
+    cshape = (batch,) if batch else ()
     z = lambda *s: jnp.zeros(s, dtype)
     return PQState(
-        k_sink=z(L, H_kv, budget.sink, D),
-        v_sink=z(L, H_kv, budget.sink, D),
-        kv_tail=z(L, H_kv, N_tail, 2 * D),
-        codes=jnp.zeros((L, H_kv, S, N_tail), jnp.int8),
-        centroids=jnp.zeros((L, H_kv, S, C, d_lift), jnp.float32),
-        phi=jnp.zeros((L, H_kv * S, 1, 1), jnp.float32),
-        n_cand=jnp.zeros((), jnp.int32),
-        pos=jnp.zeros((), jnp.int32),
+        k_sink=z(L, Hf, budget.sink, D),
+        v_sink=z(L, Hf, budget.sink, D),
+        kv_tail=z(L, Hf, N_tail, 2 * D),
+        codes=jnp.zeros((L, Hf, S, N_tail), jnp.uint8),
+        centroids=jnp.zeros((L, Hf, S, C, d_lift), jnp.float32),
+        phi=jnp.zeros((L, Hf * S, 1, 1), jnp.float32),
+        n_cand=jnp.zeros(cshape, jnp.int32),
+        pos=jnp.zeros(cshape, jnp.int32),
     )
 
 
 def make_dense_state(cfg: EngineConfig, max_len: int, *, with_scores: bool = False,
-                     dtype=jnp.bfloat16) -> DenseState:
+                     dtype=jnp.bfloat16, batch: int = 0) -> DenseState:
     m = cfg.model
     L, H_kv, D = m.num_layers, m.num_kv_heads, m.head_dim
+    Hf = max(batch, 1) * H_kv
+    cshape = (batch,) if batch else ()
     return DenseState(
-        k_cache=jnp.zeros((L, H_kv, max_len, D), dtype),
-        v_cache=jnp.zeros((L, H_kv, max_len, D), dtype),
-        length=jnp.zeros((), jnp.int32),
-        start=jnp.zeros((), jnp.int32),
-        pos=jnp.zeros((), jnp.int32),
-        scores=jnp.zeros((L, H_kv, max_len), jnp.float32) if with_scores else None,
-        mask=jnp.ones((L, H_kv, max_len), bool) if with_scores else None,
+        k_cache=jnp.zeros((L, Hf, max_len, D), dtype),
+        v_cache=jnp.zeros((L, Hf, max_len, D), dtype),
+        length=jnp.zeros(cshape, jnp.int32),
+        start=jnp.zeros(cshape, jnp.int32),
+        pos=jnp.zeros(cshape, jnp.int32),
+        scores=jnp.zeros((L, Hf, max_len), jnp.float32) if with_scores else None,
+        mask=jnp.ones((L, Hf, max_len), bool) if with_scores else None,
     )

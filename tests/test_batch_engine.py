@@ -65,3 +65,40 @@ def test_batch_same_prompt_slots_agree(setup):
                      max_new_tokens=6, dtype=jnp.float32)
     out = be.run([(0, ids), (1, ids)], chunk=3)
     assert out[0] == out[1]
+
+
+def test_batch_as_heads_matches_single_exact(setup):
+    # prompt length == prefill_len == the single engine's bucket → same
+    # budget → the batch-as-heads decode must reproduce the single-sequence
+    # tokens exactly (f32, exact top-k)
+    ecfg, params = setup
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, ecfg.model.vocab_size, size=256).astype(np.int32)
+    b = rng.integers(0, ecfg.model.vocab_size, size=256).astype(np.int32)
+    ref_a = Engine(ecfg, params, dtype=jnp.float32).generate(
+        a, max_new_tokens=8).tokens
+    ref_b = Engine(ecfg, params, dtype=jnp.float32).generate(
+        b, max_new_tokens=8).tokens
+    be = BatchEngine(ecfg, params, batch_size=3, prefill_len=256,
+                     max_new_tokens=8, dtype=jnp.float32)
+    out = be.run([(0, a), (1, b), (2, a)], chunk=4)
+    assert out[0] == ref_a, (out[0], ref_a)
+    assert out[1] == ref_b, (out[1], ref_b)
+    assert out[2] == ref_a
+
+
+def test_batch_original_policy_matches_single(setup):
+    import dataclasses
+    ecfg, params = setup
+    ecfg = dataclasses.replace(
+        ecfg, runtime=dataclasses.replace(ecfg.runtime, policy="original"))
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, ecfg.model.vocab_size, size=256).astype(np.int32)
+    b = rng.integers(0, ecfg.model.vocab_size, size=200).astype(np.int32)
+    ref_a = Engine(ecfg, params, dtype=jnp.float32).generate(
+        a, max_new_tokens=6).tokens
+    be = BatchEngine(ecfg, params, batch_size=2, prefill_len=256,
+                     max_new_tokens=6, dtype=jnp.float32)
+    out = be.run([(0, a), (1, b)], chunk=3)
+    assert out[0] == ref_a, (out[0], ref_a)
+    assert len(out[1]) == 6

@@ -69,3 +69,20 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=0.05, atol=0.05)
+
+
+class TestMaxScoreSweep:
+    @pytest.mark.parametrize("T,pad", [(256, 0), (256, 60)])
+    def test_max_score_matches_xla(self, T, pad):
+        # score_mode="max": non-recent column max (reference
+        # flash_attn_with_score.py:106-155, RECENT_CNT exclusion)
+        rng = np.random.default_rng(6)
+        H, H_kv, D = 4, 2, 128
+        q, k, v = (_rand(rng, H, T, D), _rand(rng, H_kv, T, D),
+                   _rand(rng, H_kv, T, D))
+        _, ref = chunked_attention(q, k, v, valid_lo=pad, block=64,
+                                   with_scores=True, score_mode="max")
+        out = flash_scores(q, k, valid_lo=pad, block_q=128, block_k=128,
+                           score_mode="max", interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)

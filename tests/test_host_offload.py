@@ -70,3 +70,32 @@ def test_append_token_visible():
     k_top, v_top = s.fetch(0, np.array([[100], [100]]))
     np.testing.assert_allclose(np.asarray(k_top)[:, 0], new)
     np.testing.assert_allclose(np.asarray(v_top)[:, 0], new * 2)
+
+
+def test_append_refreshes_resident_block():
+    # ADVICE r01 (high): after a block is admitted to the HBM cache, tokens
+    # appended into that block must be served fresh, not stale cached zeros.
+    s = _store()
+    rng = np.random.default_rng(7)
+    k = rng.normal(size=(2, 512, 8)).astype(np.float32)
+    s.offload_layer(0, k[:, :96], k[:, :96])  # blocks 0..2 fully valid
+    idx = np.tile(np.arange(64, 72)[None], (2, 1))
+    for _ in range(3):
+        s.fetch(0, idx)  # admit block 2 (tokens 64..95)
+    assert s.block_slot[0][2] >= 0
+    new = np.full((2, 8), 9.0, np.float32)
+    s.append_token(0, 80, new, new * 3)  # inside resident block 2
+    k_top, v_top = s.fetch(0, np.array([[80], [80]]))
+    np.testing.assert_allclose(np.asarray(k_top)[:, 0], new)
+    np.testing.assert_allclose(np.asarray(v_top)[:, 0], new * 3)
+
+
+def test_partial_tail_block_not_admitted():
+    # the growing tail block (partially written) must not enter the cache
+    s = _store()
+    k = np.ones((2, 512, 8), np.float32)
+    s.offload_layer(0, k[:, :40], k[:, :40])  # block 1 only 8/32 valid
+    idx = np.tile(np.arange(32, 40)[None], (2, 1))
+    for _ in range(3):
+        s.fetch(0, idx)
+    assert s.block_slot[0][1] < 0  # block 1 not resident

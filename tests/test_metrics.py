@@ -49,3 +49,15 @@ def test_gsm8k_answer_match():
     assert answer_correct("so the total is 42 dollars", "#### 42")
     assert not answer_correct("maybe 41", "#### 42")
     assert answer_correct("1,234 apples", "#### 1234")
+
+
+def test_scorer_e_buckets():
+    # LongBench-E length-bucketed scoring (eval.py:50-66)
+    preds = ["Paris", "London", "Paris"]
+    answers = [["Paris"], ["Paris"], ["Paris"]]
+    lengths = [1000, 5000, 9000]
+    out = M.scorer_e("qasper", preds, answers, lengths)
+    assert out == {"0-4k": 100.0, "4-8k": 0.0, "8k+": 100.0}
+    # empty bucket scores 0.0 instead of NaN
+    out2 = M.scorer_e("qasper", ["Paris"], [["Paris"]], [100])
+    assert out2["4-8k"] == 0.0 and out2["0-4k"] == 100.0

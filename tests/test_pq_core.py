@@ -148,3 +148,32 @@ class TestADC:
         # logit ranking differ; recall should still be high.
         r = float(pq.topk_recall(pq_idx, exact_idx, group=group))
         assert r > 0.5, r
+
+
+def test_codes_uint8_roundtrip_subbits8():
+    # n_subbits=8 → 256 centroids; codes 128..255 must survive the uint8
+    # state dtype (int8 storage wrapped them negative — ADVICE r01)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    G, N, d, C = 2, 400, 4, 256
+    x = jnp.asarray(rng.normal(size=(G, N, d)), jnp.float32)
+    res = pq.kmeans(x, C, iters=3)
+    assert int(jnp.max(res.codes)) > 127  # exercises the wrap regime
+    codes8 = res.codes.astype(jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(codes8.astype(jnp.int32)),
+                                  np.asarray(res.codes))
+    # LUT gather with uint8 codes matches int32 codes
+    lut = jnp.asarray(rng.normal(size=(G, 1, C)), jnp.float32)
+    s8 = pq.adc_gather_scores(lut.reshape(G, 1, C),
+                              codes8[:, None, :])
+    s32 = pq.adc_gather_scores(lut.reshape(G, 1, C),
+                               res.codes[:, None, :])
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s32))
+
+
+def test_pqconfig_validates_subbits():
+    from pqcache_tpu.config import PQConfig
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PQConfig(n_subbits=9)
+    PQConfig(n_subbits=8)  # supported with uint8 codes
