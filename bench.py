@@ -43,6 +43,8 @@ def main():
     ctx = int(os.environ.get("BENCH_CTX", "32768"))
     gen = int(os.environ.get("BENCH_GEN", "32"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
+    # retrieval granularity (PQConfig.select_block); 1 = per-token parity
+    sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "1"))
     # headline = single sequence (the reference's own protocol — it is
     # hard-limited to batch 1, mistral_patch.py:61); B>1 measured as detail
     B = int(os.environ.get("BENCH_BATCH", "1"))
@@ -64,7 +66,8 @@ def main():
     for policy_name in ("pq_search", "original"):
         cfg = EngineConfig(
             model=model,
-            pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+            pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
+                        select_block=sel_block),
             budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
                                 sink_size=32),
             runtime=RuntimeConfig(policy=policy_name, prefill_bucket=1024,
@@ -157,6 +160,7 @@ def main():
             "pq_prefill_s": round(results["pq_search"]["prefill_s"], 3),
             "base_prefill_s": round(results["original"]["prefill_s"], 3),
             "ctx": ctx, "layers": layers, "batch": B,
+            "select_block": sel_block,
         },
     }))
 

@@ -156,7 +156,11 @@ class RuntimeConfig:
     max_new_tokens: int = 512         # static decode-state reservation
     policy: Policy = "pq_search"
     gqa: bool = True                  # GQA-aware score reduction (run_llama.sh:18)
-    kernels: str = "auto"             # "auto" | "pallas" | "xla"
+    kernels: str = "auto"   # "auto" | "pallas" | "xla" | "pallas-interpret"
+    # mesh axis this config's policy shards heads over (set by
+    # parallel/tp_decode.local_model_config; makes per-shard k-means
+    # seeding reproduce the single-device draws via global group ids)
+    shard_axis: Optional[str] = None
     # sparq knobs (vq_pred.py:47, 50)
     sparq_topr: int = 32
     sparq_mean_v_trick: bool = False

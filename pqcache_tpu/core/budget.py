@@ -37,10 +37,11 @@ class Budget:
     def n_tail_max(self) -> int:
         """Capacity of the non-sink token store: all prefill tokens after the
         sink plus every token we may generate (mirrors the reserved shared
-        code buffer of multi_core_compressor_v2.py:47-51). Rounded up to 32
-        so row-tile DMA gathers stay in bounds for every dtype."""
+        code buffer of multi_core_compressor_v2.py:47-51). Rounded up to 256
+        so row-tile DMA gathers stay in bounds for every dtype and every
+        block-selection granularity (select_block ≤ 256) divides it."""
         n = self.prefill_len - self.sink + self.max_new_tokens
-        return (n + 31) // 32 * 32
+        return (n + 255) // 256 * 256
 
     @property
     def n_cand_init(self) -> int:

@@ -126,14 +126,18 @@ def _assign_chunked(x, w, centroids, chunk: int):
     return codes, sums, counts, pdist
 
 
-def _kmeanspp_init(x, valid_len, n_clusters, key, pool: int = 4096):
+def _kmeanspp_init(x, valid_len, n_clusters, key, pool: int = 4096,
+                   group_offset=0):
     """k-means++ (D² sampling) initialization over a bounded candidate pool.
 
     The reference initializes with a plain random point subset shared across
     groups (multi_core_compressor_v2.py:136-139), which regularly lands two
     seeds in one natural cluster and none in another — Lloyd then converges
     to merged/split clusters. D² seeding avoids that for ~1 Lloyd iteration's
-    worth of FLOPs. Deterministic given `key`; per-group independent.
+    worth of FLOPs. Deterministic given `key`; per-group independent, with
+    each group's noise keyed by its GLOBAL id (group_offset + local index)
+    so a head-sharded (shard_map) clustering reproduces the single-device
+    centroids exactly.
 
     x: [G, N, d] f32 → centroids [G, C, d].
     """
@@ -145,11 +149,14 @@ def _kmeanspp_init(x, valid_len, n_clusters, key, pool: int = 4096):
     # pool entries may collide after the fold; dedup not needed — D² weight
     # of a duplicate is 0 once one copy is chosen.
     first = jnp.take(x, pool_idx[:1], axis=1)       # [G, 1, d]
+    group_ids = jnp.asarray(group_offset, jnp.int32) + jnp.arange(G)
 
     def step(carry, key_i):
         min_d2, = carry
-        g = -jnp.log(-jnp.log(
-            jax.random.uniform(key_i, (G, P), minval=1e-12, maxval=1.0)))
+        keys_g = jax.vmap(lambda gi: jax.random.fold_in(key_i, gi))(group_ids)
+        g = -jnp.log(-jnp.log(jax.vmap(
+            lambda kk: jax.random.uniform(kk, (P,), minval=1e-12,
+                                          maxval=1.0))(keys_g)))
         # Gumbel-max sample ∝ min_d2
         logit = jnp.where(min_d2 > 0, jnp.log(jnp.maximum(min_d2, 1e-30)), -jnp.inf)
         pick = jnp.argmax(logit + g, axis=-1)       # [G]
@@ -172,6 +179,9 @@ def kmeans(
     valid_len: Optional[jax.Array] = None,
     chunk: int = 4096,
     init: str = "kmeans++",
+    axis_name: Optional[str] = None,
+    valid_mask: Optional[jax.Array] = None,
+    group_offset=0,
 ) -> KMeansResult:
     """Batched Lloyd k-means over G independent groups.
 
@@ -181,6 +191,13 @@ def kmeans(
     (multi_core_compressor_v2.py:130-139). Runs exactly `iters` Lloyd
     iterations (static); empty clusters are relocated to the current
     farthest-from-centroid points (sklearn's strategy).
+
+    axis_name: distributed Lloyd for SEQUENCE-SHARDED data — `x` is this
+    shard's points; per-iteration cluster sums/counts are psum-reduced over
+    the mesh axis so every shard iterates identical (replicated) centroids.
+    Seeding pools candidates from every shard (all_gather of a small pool).
+    valid_mask [G or 1, N]: explicit per-point validity (overrides
+    valid_len; used by sharded callers whose valid region is not a prefix).
     """
     G, N, d = x.shape
     x = x.astype(jnp.float32)
@@ -192,12 +209,22 @@ def kmeans(
     Npad = _round_up(N, chunk)
     if Npad != N:
         x = jnp.pad(x, ((0, 0), (0, Npad - N), (0, 0)))
-    w = (jnp.arange(Npad, dtype=jnp.int32)[None, :] < valid_len).astype(jnp.float32)
-    w = jnp.broadcast_to(w, (G, Npad))
+    if valid_mask is not None:
+        w = valid_mask.astype(jnp.float32)
+        if Npad != N:
+            w = jnp.pad(w, ((0, 0), (0, Npad - N)))
+        w = jnp.broadcast_to(w, (G, Npad))
+    else:
+        w = (jnp.arange(Npad, dtype=jnp.int32)[None, :]
+             < valid_len).astype(jnp.float32)
+        w = jnp.broadcast_to(w, (G, Npad))
 
     key = jax.random.PRNGKey(seed)
-    if init == "kmeans++":
-        centroids0 = _kmeanspp_init(x, valid_len, n_clusters, key)
+    if axis_name is not None:
+        centroids0 = _kmeanspp_init_sharded(x, w, n_clusters, key, axis_name)
+    elif init == "kmeans++":
+        centroids0 = _kmeanspp_init(x, valid_len, n_clusters, key,
+                                    group_offset=group_offset)
     else:
         perm = jax.random.permutation(key, Npad)[:n_clusters]
         init_idx = perm % jnp.maximum(valid_len, 1)
@@ -205,10 +232,28 @@ def kmeans(
 
     def body(_, centroids):
         _, sums, counts, pdist = _assign_chunked(x, w, centroids, chunk)
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
+            counts = jax.lax.psum(counts, axis_name)
         new = sums / jnp.maximum(counts, 1.0)[..., None]
         # Empty-cluster relocation, sklearn-style: the e-th empty cluster
         # (by cluster index) is relocated to the e-th farthest valid point.
+        # (Sharded: relocation draws from THIS shard's farthest points —
+        # shards agree on emptiness but relocate independently; the next
+        # psum'd iteration re-synchronizes assignments, and relocated
+        # centroids only ever absorb local outliers.)
         empty = counts <= 0.0  # [G, C]
+        if axis_name is not None:
+            # keep centroids replicated: let the lowest-index shard with
+            # valid points win the relocation via a psum-mean
+            far_val, far_idx = jax.lax.top_k(
+                jnp.where(w > 0, pdist, -1.0), n_clusters)
+            rank = jnp.cumsum(empty.astype(jnp.int32), axis=-1) - 1
+            rank = jnp.clip(rank, 0, n_clusters - 1)
+            reloc_idx = jnp.take_along_axis(far_idx, rank, axis=-1)
+            reloc = jnp.take_along_axis(x, reloc_idx[..., None], axis=1)
+            reloc = jax.lax.pmean(reloc, axis_name)
+            return jnp.where(empty[..., None], reloc, new)
         far_val, far_idx = jax.lax.top_k(
             jnp.where(w > 0, pdist, -1.0), n_clusters)  # [G, C]
         rank = jnp.cumsum(empty.astype(jnp.int32), axis=-1) - 1  # [G, C]
@@ -220,6 +265,42 @@ def kmeans(
     centroids = jax.lax.fori_loop(0, iters, body, centroids0)
     codes, _, _, _ = _assign_chunked(x, w, centroids, chunk)
     return KMeansResult(centroids=centroids, codes=codes[:, :N])
+
+
+def _kmeanspp_init_sharded(x, w, n_clusters, key, axis_name, pool: int = 512):
+    """k-means++ D² seeding over sequence-sharded points: each shard
+    contributes a fixed-size candidate pool; pools are all_gathered (small:
+    pool × d floats) and the D² Gumbel sampling runs replicated."""
+    G, N, d = x.shape
+    P = min(N, pool)
+    kperm, kpick = jax.random.split(key)
+    r = jax.lax.axis_index(axis_name)
+    # per-shard distinct pool positions (valid-biased: invalid pool entries
+    # get zero D² weight below)
+    pool_idx = jax.random.permutation(
+        jax.random.fold_in(kperm, r), N)[:P]
+    xp_loc = jnp.take(x, pool_idx, axis=1)               # [G, P, d]
+    wp_loc = jnp.take(w, pool_idx, axis=1)               # [G, P]
+    xp = jax.lax.all_gather(xp_loc, axis_name, axis=1,
+                            tiled=True)                  # [G, sp*P, d]
+    wp = jax.lax.all_gather(wp_loc, axis_name, axis=1, tiled=True)
+    first = xp[:, :1]
+
+    def step(carry, key_i):
+        min_d2, = carry
+        g = -jnp.log(-jnp.log(jax.random.uniform(
+            key_i, (1, xp.shape[1]), minval=1e-12, maxval=1.0)))
+        logit = jnp.where((min_d2 > 0) & (wp > 0),
+                          jnp.log(jnp.maximum(min_d2, 1e-30)), -jnp.inf)
+        pick = jnp.argmax(logit + g, axis=-1)
+        c = jnp.take_along_axis(xp, pick[:, None, None], axis=1)
+        d2 = jnp.sum((xp - c) ** 2, axis=-1)
+        return (jnp.minimum(min_d2, d2),), c[:, 0]
+
+    min_d2_0 = jnp.sum((xp - first) ** 2, axis=-1)
+    keys = jax.random.split(kpick, n_clusters - 1)
+    (_,), rest = jax.lax.scan(step, (min_d2_0,), keys)
+    return jnp.concatenate([first, rest.transpose(1, 0, 2)], axis=1)
 
 
 def pq_encode(x: jax.Array, centroids: jax.Array) -> jax.Array:
@@ -392,31 +473,39 @@ def mips_topk_blocks(
     by the recall oracle); the reference's own HBM cache works at the same
     block granularity (cache_manager.py:119-123).
 
+    n_valid: scalar, or [H_kv] per-kv-head counts (batch-as-heads).
     Returns (block_idx [H_kv, k_blocks] i32, group_scores [H_kv, T]).
     """
     H, T = scores.shape
     H_kv = H // group
     assert T % block == 0, (T, block)
     k_blocks = max((k_tokens + block - 1) // block, 1)
-    valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_valid
+    valid_kv, valid_q = _valid_masks(n_valid, H_kv, group, T)
     if metric == "euc":
-        masked = jnp.where(valid, scores / jnp.sqrt(float(head_dim)), -jnp.inf)
+        masked = jnp.where(valid_q, scores / jnp.sqrt(float(head_dim)),
+                           -jnp.inf)
         probs = jax.nn.softmax(masked, axis=-1)
-        probs = jnp.where(valid, probs, 0.0)
+        probs = jnp.where(valid_q, probs, 0.0)
         g = jnp.sum(probs.reshape(H_kv, group, T), axis=1)
         blk = jnp.sum(g.reshape(H_kv, T // block, block), axis=-1)
     else:
         g = jnp.sum(scores.reshape(H_kv, group, T), axis=1)
-        gv = jnp.where(valid, -g, 0.0)  # smaller distance = better
+        gv = jnp.where(valid_kv, -g, 0.0)  # smaller distance = better
         # mean over VALID tokens, not sum: negated-distance sums would
         # systematically favor partially-valid boundary blocks (fewer terms
         # → less negative mass) over full blocks regardless of content
-        cnt = jnp.sum(valid.astype(jnp.float32)
-                      .reshape(1, T // block, block), axis=-1)
+        cnt = jnp.sum(jnp.broadcast_to(valid_kv, (H_kv, T))
+                      .astype(jnp.float32)
+                      .reshape(H_kv, T // block, block), axis=-1)
         blk = (jnp.sum(gv.reshape(H_kv, T // block, block), axis=-1)
                / jnp.maximum(cnt, 1.0))
+    n_valid_b = jnp.asarray(n_valid, jnp.int32)
+    if n_valid_b.ndim == 0:
+        n_valid_b = n_valid_b[None, None]
+    else:
+        n_valid_b = n_valid_b[:, None]
     blk_valid = (jnp.arange(T // block, dtype=jnp.int32)[None, :] * block
-                 < n_valid)
+                 < n_valid_b)
     sel = jnp.where(blk_valid, blk, -jnp.inf)
     if approx:
         _, idx = jax.lax.approx_max_k(sel, k_blocks, recall_target=0.98)

@@ -191,7 +191,7 @@ def chunked_attention(
     return out, scores
 
 
-def decode_window_attention_segments(q, segments):
+def decode_window_attention_segments(q, segments, partials=()):
     """Single-step attention over multiple key/value segments WITHOUT
     concatenating them (each concat copies the whole window). Segments are
     processed independently and merged with the standard online-softmax
@@ -199,7 +199,9 @@ def decode_window_attention_segments(q, segments):
     concatenation.
 
     q [H, 1, D]; segments: list of (k [H_kv, W_i, D], v, mask [H_kv, W_i]
-    bool or None)."""
+    bool or None). `partials`: precomputed online-softmax partials
+    (m [H_kv, g], l [H_kv, g], acc [H_kv, g, D]) from fused kernels
+    (ops/block_attn_pallas.py), merged with the same combination."""
     H, _, D = q.shape
     H_kv = segments[0][0].shape[0]
     group = H // H_kv
@@ -209,6 +211,13 @@ def decode_window_attention_segments(q, segments):
     m = jnp.full((H_kv, group), NEG_INF, jnp.float32)
     l = jnp.zeros((H_kv, group), jnp.float32)
     acc = jnp.zeros((H_kv, group, D), jnp.float32)
+    for pm, pl_, pacc in partials:
+        m_new = jnp.maximum(m, pm)
+        c_old = jnp.exp(m - m_new)
+        c_p = jnp.exp(jnp.maximum(pm, NEG_INF) - m_new)
+        l = l * c_old + pl_ * c_p
+        acc = acc * c_old[..., None] + pacc * c_p[..., None]
+        m = m_new
     for k_seg, v_seg, mask in segments:
         logits = jnp.einsum("hgd,hwd->hgw", qg, k_seg,
                             preferred_element_type=jnp.float32) * scale

@@ -1,0 +1,175 @@
+"""Fused block-retrieval attention kernel (Pallas TPU).
+
+The decode hot path must fetch the top-k selected KV rows from the
+HBM-resident tail and attend over them. XLA's row gather issues a
+scalar-core DMA per 512 B row (~2 GB/s effective — the dominant decode
+overhead at 32k), and materializes the gathered window before a separate
+attention pass reads it again.
+
+This kernel does both in one pass at BLOCK granularity: the top-k selection
+runs block-granular (pq.mips_topk_blocks), and the kernel's BlockSpec
+index_map reads the SELECTED blocks directly out of the stacked
+[L, H_kv, N, 2D] tail via scalar-prefetched indices — Pallas double-buffers
+the per-block DMA against the attention compute of the previous block, so
+the HBM traffic is exactly the selected blocks at streaming bandwidth, and
+no gathered copy is ever written back. Per (head, block) step it runs the
+online-softmax update
+    s = q_h · K_blk^T   →  (m, l, acc) scratch update  →  acc += p · V_blk
+and emits per-head partials (m, l, acc) that merge with the
+[sink | local | new] segments through the standard online-softmax
+combination (ops/attention_xla.decode_window_attention_segments).
+
+Reference anchor: the decode fetch+attend flow of pq_search.py:265-360 and
+the block-granular residency of cache_manager.py:119-123, fused the TPU way.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(scal_ref, q_ref, kv_ref, m_ref, l_ref, acc_ref,
+            m_scr, l_scr, acc_scr, *, bs, D, nb_sel, n_heads, scale):
+    h = pl.program_id(0)
+    j = pl.program_id(1)
+    n_cand = scal_ref[1 + h]                      # per-head (per-slot) count
+    blk = scal_ref[1 + n_heads + h * nb_sel + j]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale          # [g, D]
+    kv = kv_ref[0, 0]                                  # [bs, 2D]
+    k = kv[:, :D].astype(jnp.float32)
+    v = kv[:, D:].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [g, bs]
+    tok = blk * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+    mask = tok < n_cand
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_scr[:] = jnp.broadcast_to(
+        l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+        l_scr.shape)
+    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == nb_sel - 1)
+    def _finalize():
+        m_ref[0] = m_scr[:]
+        l_ref[0] = l_scr[:]
+        acc_ref[0] = acc_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def block_topk_attention(
+    q: jax.Array,
+    kv_tail: jax.Array,
+    layer: jax.Array,
+    blk_idx: jax.Array,
+    n_cand: jax.Array,
+    *,
+    block: int,
+    interpret: bool = False,
+):
+    """Attention partials of q over the selected candidate blocks.
+
+    q [H, 1, D]; kv_tail [L, H_kv, N, 2D] (N % block == 0) — H_kv may be a
+    FOLDED B·H_kv (batch-as-heads); layer: i32 scalar;
+    blk_idx [H_kv, nb_sel] i32 (sorted or not); n_cand: i32 scalar or
+    [H_kv] per-head counts — tokens at index >= n_cand are masked.
+
+    Returns (m [H_kv, g], l [H_kv, g], acc [H_kv, g, D]) f32 online-softmax
+    partials (logits scaled by 1/sqrt(D)) for segment merging.
+    """
+    H, _, D = q.shape
+    L, H_kv, N, D2 = kv_tail.shape
+    group = H // H_kv
+    nb_sel = blk_idx.shape[1]
+    assert N % block == 0 and D2 == 2 * D
+    scale = 1.0 / (D ** 0.5)
+
+    n_cand = jnp.asarray(n_cand, jnp.int32)
+    if n_cand.ndim == 0:
+        n_cand = jnp.broadcast_to(n_cand, (H_kv,))
+    scalars = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        n_cand,
+        blk_idx.astype(jnp.int32).reshape(-1),
+    ])
+    qg = q.reshape(H_kv, group, D)
+
+    grid = (H_kv, nb_sel)
+    kernel = functools.partial(_kernel, bs=block, D=D, nb_sel=nb_sel,
+                               n_heads=H_kv, scale=scale)
+    m, l, acc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, group, D), lambda h, j, s: (h, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, block, D2),
+                    lambda h, j, s, nb=nb_sel, hk=H_kv: (
+                        s[0], h, s[1 + hk + h * nb + j], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, group, 128), lambda h, j, s: (h, 0, 0)),
+                pl.BlockSpec((1, group, 128), lambda h, j, s: (h, 0, 0)),
+                pl.BlockSpec((1, group, D), lambda h, j, s: (h, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((group, 128), jnp.float32),
+                pltpu.VMEM((group, 128), jnp.float32),
+                pltpu.VMEM((group, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((H_kv, group, 128), jnp.float32),
+            jax.ShapeDtypeStruct((H_kv, group, 128), jnp.float32),
+            jax.ShapeDtypeStruct((H_kv, group, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, qg, kv_tail)
+    return m[:, :, 0], l[:, :, 0], acc
+
+
+def block_topk_attention_xla(q, kv_tail, layer, blk_idx, n_cand, *, block):
+    """XLA reference with identical contract (tests / non-TPU)."""
+    H, _, D = q.shape
+    L, H_kv, N, _ = kv_tail.shape
+    group = H // H_kv
+    heads = jnp.arange(H_kv)
+    nb_sel = blk_idx.shape[1]
+    rows = (blk_idx[:, :, None] * block
+            + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+            ).reshape(H_kv, nb_sel * block)
+    kv = kv_tail[layer, heads[:, None], rows]         # [H_kv, nb*bs, 2D]
+    k, v = kv[..., :D].astype(jnp.float32), kv[..., D:].astype(jnp.float32)
+    qg = q.reshape(H_kv, group, D).astype(jnp.float32) / (D ** 0.5)
+    s = jnp.einsum("hgd,hwd->hgw", qg, k, preferred_element_type=jnp.float32)
+    n_cand = jnp.asarray(n_cand, jnp.int32)
+    mask = rows < (n_cand[:, None] if n_cand.ndim else n_cand)
+    s = jnp.where(mask[:, None, :], s, NEG_INF)
+    m = jnp.max(s, axis=-1)
+    p = jnp.where(mask[:, None, :], jnp.exp(s - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("hgw,hwd->hgd", p, v, preferred_element_type=jnp.float32)
+    return m, l, acc

@@ -27,11 +27,14 @@ def dense_prefill_attention(
     with_scores: bool = False,
     score_mode: str = "sum",
     use_pallas: Optional[bool] = None,
+    interpret: bool = False,
 ):
     """Causal self-attention over a left-padded prompt.
 
     Returns (out [H, T, D], scores [H, T] | None). Both score modes ("sum"
     column sums and "max" non-recent column max) have Pallas sweeps.
+    interpret=True runs the Pallas kernels in interpret mode (CPU-mesh
+    validation of the sharded kernel path).
     """
     if use_pallas is None:
         use_pallas = use_pallas_default()
@@ -40,7 +43,9 @@ def dense_prefill_attention(
         return chunked_attention(q, k, v, valid_lo=pad_len, causal=True,
                                  with_scores=with_scores,
                                  score_mode=score_mode)
-    out = flash_attention(q, k, v, valid_lo=pad_len, causal=True)
-    scores = (flash_scores(q, k, valid_lo=pad_len, score_mode=score_mode)
+    out = flash_attention(q, k, v, valid_lo=pad_len, causal=True,
+                          interpret=interpret)
+    scores = (flash_scores(q, k, valid_lo=pad_len, score_mode=score_mode,
+                           interpret=interpret)
               if with_scores else None)
     return out, scores

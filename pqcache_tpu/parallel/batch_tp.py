@@ -1,0 +1,195 @@
+"""dp×tp batched serving engine: batch-as-heads decode under shard_map.
+
+Combines the two parallel axes over one mesh:
+  * `dp` shards the SLOT pool: each data-parallel group owns B/dp sequence
+    slots (its own prompts, counters, and KV/PQ state);
+  * `tp` shards the heads within every slot (Megatron psums on the
+    attention-output and MLP-down projections, as in parallel/tp_decode.py).
+
+State layout: the batched state is kept 5-D at rest —
+[L, B, H_kv, ...] with PartitionSpec (None, "dp", "tp", ...) — and each
+device FOLDS its local [L, B_loc, H_kv_loc, ...] block to the
+batch-as-heads layout [L, B_loc·H_kv_loc, ...] inside the shard_map body
+(reshape, free). This keeps the global layout independent of the mesh
+shape while the per-device compute is exactly the single-device batched
+engine (policies/pq_search.py decode_attn_batched).
+
+Prefill runs in dp WAVES: wave w prefills dp sequences concurrently (each
+dp group its own prompt, tp-sharded compute) and inserts them at local
+slot w.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core.budget import compute_budget
+from pqcache_tpu.models import llama
+from pqcache_tpu.policies.base import get_policy
+from pqcache_tpu.parallel.tp_decode import PARAM_SPECS, local_model_config
+from pqcache_tpu.runtime.state import PQState
+
+
+# 5-D state specs: [L, B, H_kv, ...] → (None, "dp", "tp", ...)
+BATCH_STATE_SPECS = PQState(
+    k_sink=P(None, "dp", "tp", None, None),
+    v_sink=P(None, "dp", "tp", None, None),
+    kv_tail=P(None, "dp", "tp", None, None),
+    codes=P(None, "dp", "tp", None, None),
+    centroids=P(None, "dp", "tp", None, None, None),
+    phi=P(None, "dp", "tp", None, None),
+    n_cand=P("dp"), pos=P("dp"),
+)
+
+
+def _unfold(state: PQState, B: int) -> PQState:
+    """[L, B·H_kv, ...] folded → [L, B, H_kv, ...] at-rest layout."""
+    def go(a):
+        if a.ndim <= 1:
+            return a
+        return a.reshape(a.shape[0], B, a.shape[1] // B, *a.shape[2:])
+    return jax.tree_util.tree_map(go, state)
+
+
+def _fold(state: PQState) -> PQState:
+    """[L, B, H_kv, ...] at-rest → [L, B·H_kv, ...] batch-as-heads."""
+    def go(a):
+        if a.ndim <= 1:
+            return a
+        return a.reshape(a.shape[0], a.shape[1] * a.shape[2], *a.shape[3:])
+    return jax.tree_util.tree_map(go, state)
+
+
+class BatchTPEngine:
+    """B sequence slots over a (dp, tp) mesh; batch-as-heads decode."""
+
+    def __init__(self, cfg: EngineConfig, params: dict, mesh: Mesh,
+                 prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16):
+        self.mesh = mesh
+        self.dp = mesh.shape["dp"]
+        self.tp = mesh.shape["tp"]
+        self.cfg_local = local_model_config(cfg, self.tp)
+        self.P = prefill_len
+        self.max_new = max_new_tokens
+        self.dtype = dtype
+        self.params = params
+        self.budget = compute_budget(cfg.budget, prefill_len, max_new_tokens)
+        self.policy = get_policy(self.cfg_local, self.budget)
+
+        local_m = self.cfg_local.model
+        policy = self.policy
+        sspec = BATCH_STATE_SPECS
+
+        def prefill_wave(p, bstate, tokens, pad, tlen, lslot):
+            """One dp wave: each dp group prefills ITS prompt (tokens local
+            [1, P]) and inserts the result at local slot `lslot`."""
+            single = policy.init_state(dtype)
+            logits, st = llama.prefill(local_m, p, policy, single,
+                                       tokens[0], pad[0], tlen[0],
+                                       axis_name="tp")
+            first = jnp.argmax(logits).astype(jnp.int32)
+
+            def ins(b, s):
+                # b [L, B_loc, H_kv_loc, ...]; s [L, H_kv_loc, ...]
+                return jax.lax.dynamic_update_slice(
+                    b, s[:, None].astype(b.dtype),
+                    (0, lslot) + (0,) * (b.ndim - 2))
+            new = PQState(
+                k_sink=ins(bstate.k_sink, st.k_sink),
+                v_sink=ins(bstate.v_sink, st.v_sink),
+                kv_tail=ins(bstate.kv_tail, st.kv_tail),
+                codes=ins(bstate.codes, st.codes),
+                centroids=ins(bstate.centroids, st.centroids),
+                phi=ins(bstate.phi, st.phi),
+                n_cand=bstate.n_cand.at[lslot].set(st.n_cand),
+                pos=bstate.pos.at[lslot].set(st.pos))
+            return first[None], new
+
+        def decode_chunk(p, bstate, toks, poss, n):
+            folded = _fold(bstate)
+            out, folded = llama.decode_loop_batched(
+                local_m, p, policy, folded, toks, poss, n, axis_name="tp")
+            B_loc = bstate.n_cand.shape[0]
+            return out.T, _unfold(folded, B_loc)   # [B_loc, n]
+
+        self.chunk = min(16, max(max_new_tokens - 1, 1))
+        self._prefill = jax.jit(shard_map(
+            prefill_wave, mesh=mesh,
+            in_specs=(PARAM_SPECS, sspec, P("dp", None), P("dp"), P("dp"),
+                      P()),
+            out_specs=(P("dp"), sspec), check_rep=False))
+        self._decode = jax.jit(shard_map(
+            lambda p, s, t, pos, n=self.chunk: decode_chunk(p, s, t, pos, n),
+            mesh=mesh,
+            in_specs=(PARAM_SPECS, sspec, P("dp"), P("dp")),
+            out_specs=(P("dp", None), sspec), check_rep=False))
+
+    def init_state(self, B: int) -> PQState:
+        """Global 5-D zero state for B slots (B divisible by dp)."""
+        from pqcache_tpu.runtime.state import make_pq_state
+        import dataclasses
+        cfg_g = dataclasses.replace(
+            self.cfg_local,
+            model=dataclasses.replace(
+                self.cfg_local.model,
+                num_kv_heads=self.cfg_local.model.num_kv_heads * self.tp,
+                num_heads=self.cfg_local.model.num_heads * self.tp))
+        folded = make_pq_state(cfg_g, self.budget, dtype=self.dtype, batch=B)
+        return _unfold(folded, B)
+
+    def generate_batch(self, prompts: list, max_new_tokens: int,
+                       eos_ids=()) -> list:
+        """Prefill + decode B = len(prompts) sequences (B % dp == 0).
+        Returns a list of token lists."""
+        B = len(prompts)
+        assert B % self.dp == 0, (B, self.dp)
+        if max_new_tokens > self.max_new:
+            raise ValueError("max_new_tokens exceeds engine reservation")
+        B_loc = B // self.dp
+        bstate = self.init_state(B)
+
+        firsts = np.zeros((B,), np.int32)
+        for w in range(B_loc):
+            toks = np.zeros((self.dp, self.P), np.int32)
+            pads = np.zeros((self.dp,), np.int32)
+            tlens = np.zeros((self.dp,), np.int32)
+            for g in range(self.dp):
+                ids = np.asarray(prompts[g * B_loc + w], np.int32)
+                pads[g] = self.P - len(ids)
+                tlens[g] = len(ids)
+                toks[g, pads[g]:] = ids
+            first, bstate = self._prefill(
+                self.params, bstate, jnp.asarray(toks), jnp.asarray(pads),
+                jnp.asarray(tlens), jnp.asarray(w, jnp.int32))
+            f = np.asarray(first)
+            for g in range(self.dp):
+                firsts[g * B_loc + w] = f[g]
+
+        # slot order on device: dp-major (group g, local slot w)
+        outs = [[int(firsts[i])] for i in range(B)]
+        poss = np.asarray([len(np.asarray(p)) for p in prompts], np.int32)
+        done = [outs[i][0] in eos_ids for i in range(B)]
+        while any(len(o) < max_new_tokens and not d
+                  for o, d in zip(outs, done)):
+            cur = jnp.asarray([o[-1] for o in outs], jnp.int32)
+            toks, bstate = self._decode(
+                self.params, bstate, cur, jnp.asarray(poss))
+            t_np = np.asarray(toks)  # [B, chunk]
+            poss = poss + self.chunk
+            for i in range(B):
+                if done[i]:
+                    continue
+                for t in t_np[i]:
+                    outs[i].append(int(t))
+                    if int(t) in eos_ids or len(outs[i]) >= max_new_tokens:
+                        done[i] = True
+                        break
+        return [o[:max_new_tokens] for o in outs]

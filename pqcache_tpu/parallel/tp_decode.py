@@ -40,7 +40,9 @@ def local_model_config(cfg: EngineConfig, tp: int):
                          f"({m.num_heads}/{m.num_kv_heads})")
     local_m = dataclasses.replace(
         m, num_heads=m.num_heads // tp, num_kv_heads=m.num_kv_heads // tp)
-    return dataclasses.replace(cfg, model=local_m)
+    return dataclasses.replace(
+        cfg, model=local_m,
+        runtime=dataclasses.replace(cfg.runtime, shard_axis="tp"))
 
 
 PARAM_SPECS = {
@@ -77,9 +79,12 @@ class TPEngine:
                  prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16):
         self.mesh = mesh
         tp = mesh.shape["tp"]
+        self.cfg_global = cfg
         self.cfg_local = local_model_config(cfg, tp)
         self.P = prefill_len
+        self.max_new = max_new_tokens
         budget = compute_budget(cfg.budget, prefill_len, max_new_tokens)
+        self.budget = budget
         self.policy = get_policy(self.cfg_local, budget)
         self.dtype = dtype
         self.params = params  # global (unsharded) pytree; shard_map splits
@@ -101,35 +106,28 @@ class TPEngine:
             prefill_body, mesh=mesh,
             in_specs=(PARAM_SPECS, sspec, P(), P(), P()),
             out_specs=(P(), sspec), check_rep=False))
+        # fixed-size decode CHUNKS so generation length is per-call and EOS
+        # can stop between device calls (one dispatch per chunk, not per
+        # token — mirrors runtime/generate.py)
+        self.chunk = min(16, max(max_new_tokens - 1, 1))
         self._decode = jax.jit(shard_map(
-            lambda p, s, t, pos, n=max_new_tokens - 1: decode_body(
-                p, s, t, pos, n),
+            lambda p, s, t, pos, n=self.chunk: decode_body(p, s, t, pos, n),
             mesh=mesh,
             in_specs=(PARAM_SPECS, sspec, P(), P()),
             out_specs=(P(), sspec), check_rep=False))
 
     def init_state(self):
-        # global-shape state; shard_map slices the head dimension
-        return self.policy_global_state()
+        """Global-shape zero state; shard_map slices the head dimension.
+        Allocated directly at global shape (no tile-by-tp copies)."""
+        from pqcache_tpu.runtime.state import make_pq_state
+        return make_pq_state(self.cfg_global, self.budget, dtype=self.dtype)
 
-    def policy_global_state(self):
-        tp = self.mesh.shape["tp"]
-        local = self.policy.init_state(self.dtype)
-
-        # build a GLOBAL state by tiling the local template over heads
-        def glob(a, axis):
-            if axis is None:
-                return a
-            reps = [1] * a.ndim
-            reps[axis] = tp
-            return jnp.tile(a, reps)
-
-        axes = PQState(k_sink=1, v_sink=1, kv_tail=1, codes=1, centroids=1,
-                      phi=1, n_cand=None, pos=None)
-        return jax.tree_util.tree_map(glob, local, axes)
-
-    def generate(self, prompt_ids, max_new_tokens: int):
+    def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
         import numpy as np
+        if max_new_tokens > self.max_new:
+            raise ValueError(
+                f"max_new_tokens {max_new_tokens} exceeds the engine "
+                f"reservation {self.max_new}")
         ids = np.asarray(prompt_ids, np.int32)
         true_len = int(ids.shape[0])
         pad = self.P - true_len
@@ -139,6 +137,17 @@ class TPEngine:
         first, state = self._prefill(
             self.params, state, jnp.asarray(tokens),
             jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
-        toks, state = self._decode(
-            self.params, state, first, jnp.asarray(true_len, jnp.int32))
-        return [int(first)] + np.asarray(toks).tolist()[: max_new_tokens - 1]
+        out = [int(first)]
+        pos = true_len
+        stop = out[0] in eos_ids
+        while len(out) < max_new_tokens and not stop:
+            toks, state = self._decode(
+                self.params, state, jnp.asarray(out[-1], jnp.int32),
+                jnp.asarray(pos, jnp.int32))
+            pos += self.chunk
+            for t in np.asarray(toks).tolist():
+                out.append(int(t))
+                if int(t) in eos_ids or len(out) >= max_new_tokens:
+                    stop = True
+                    break
+        return out[:max_new_tokens]

@@ -53,8 +53,11 @@ class PQSearchPolicy:
         self.H_kv = m.num_kv_heads
         self.D = m.head_dim
         mode = cfg.runtime.kernels
-        self.use_pallas = (jax.default_backend() == "tpu"
-                           if mode == "auto" else mode == "pallas")
+        # "pallas-interpret" exercises the Pallas kernels in interpret mode
+        # (CPU-mesh validation of the sharded kernel path)
+        self.use_pallas = (jax.default_backend() == "tpu" if mode == "auto"
+                           else mode in ("pallas", "pallas-interpret"))
+        self.interpret = mode == "pallas-interpret"
         # Mosaic requires the LUT lane dimension (C·H_kv·S for the v2
         # block-diagonal kernel) to be 128-aligned; small test models fall
         # back to the XLA ADC (flagship widths: 64·8·2 = 1024 ✓).
@@ -100,7 +103,9 @@ class PQSearchPolicy:
         the model's layer-scan carry (writes land at [idx] in place)."""
         b = self.budget
         P = q.shape[1]
-        out, _ = dense_prefill_attention(q, k, v, pad_len)
+        out, _ = dense_prefill_attention(q, k, v, pad_len,
+                                         use_pallas=self.use_pallas,
+                                         interpret=self.interpret)
 
         # Left-padded prompt → roll so real tokens start at index 0; the
         # rolled-around garbage lands after the valid region where n_cand /
@@ -127,8 +132,15 @@ class PQSearchPolicy:
             iters = int(min(3 + P // 4096, 25))
         else:
             iters = self.cfg.pq.kmeans_iters
+        # under shard_map TP each shard seeds with its GLOBAL group ids so
+        # the sharded clustering equals the single-device one exactly
+        goff = 0
+        if self.cfg.runtime.shard_axis is not None:
+            goff = (jax.lax.axis_index(self.cfg.runtime.shard_axis)
+                    * self.H_kv * self.S)
         res = pq.kmeans(xb, self.C, iters=iters,
-                        seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail)
+                        seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail,
+                        group_offset=goff)
         centroids = res.centroids.reshape(
             self.H_kv, self.S, self.C, xb.shape[-1])
         codes_src = res.codes.reshape(
@@ -176,7 +188,7 @@ class PQSearchPolicy:
             fn = (adc_scores_pallas_v2 if self.adc_mode == "v2"
                   else adc_scores_pallas)
             lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
-            scores = fn(lut4, codes).reshape(H, -1)
+            scores = fn(lut4, codes, interpret=self.interpret).reshape(H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)  # [H, N_tail]
         if self.fetch_mode == "masked" and self.select_block <= 1:
@@ -238,14 +250,29 @@ class PQSearchPolicy:
             blk_idx, _ = pq.mips_topk_blocks(
                 scores, n_cand, b.topk, group=self.group, head_dim=self.D,
                 block=bs, metric=self.metric, approx=self.approx_topk)
-            L, _, N, _ = state.kv_tail.shape
-            kv_resh = state.kv_tail.reshape(
-                L, self.H_kv, N // bs, bs * 2 * self.D)
-            kv_top = kv_resh[idx, heads[:, None], blk_idx].reshape(
-                self.H_kv, self.topk_eff, 2 * self.D)
+            blk_idx = jnp.sort(blk_idx, axis=-1)
+            if self.use_pallas and self.D % 128 == 0:
+                # fused retrieval kernel: DMA the selected blocks straight
+                # out of the stacked tail and attend in the same pass — no
+                # materialized gather (ops/block_attn_pallas.py)
+                from pqcache_tpu.ops.block_attn_pallas import (
+                    block_topk_attention)
+                m_p, l_p, acc_p = block_topk_attention(
+                    q, state.kv_tail, idx, blk_idx, n_cand, block=bs,
+                    interpret=self.interpret)
+                return self._finish_decode(
+                    state, idx, q, k_new, v_new, n_cand, centroids,
+                    k_sink, v_sink, None, None, None,
+                    partials=[(m_p, l_p, acc_p)])
+            # expand blocks to row indices and gather rows DIRECTLY from the
+            # carried tail — reshaping the scan-carried buffer before a
+            # traced-layer index forced XLA to materialize a copy of the
+            # whole [L, H_kv, N, 2D] stack per layer (measured 82 vs 16
+            # ms/step at 32k/8L)
             topk_idx = (blk_idx[:, :, None] * bs
                         + jnp.arange(bs, dtype=jnp.int32)[None, None, :]
                         ).reshape(self.H_kv, self.topk_eff)
+            kv_top = state.kv_tail[idx, heads[:, None], topk_idx]
         else:
             topk_idx, _ = pq.mips_topk(
                 scores, n_cand, b.topk, group=self.group, head_dim=self.D,
@@ -283,6 +310,16 @@ class PQSearchPolicy:
                 rec = pq.topk_recall(topk_idx, exact_idx, group=self.group)
                 jax.debug.print("pq recall layer={i}: {r:.3f}", i=idx, r=rec)
         k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
+        return self._finish_decode(state, idx, q, k_new, v_new, n_cand,
+                                   centroids, k_sink, v_sink, k_top, v_top,
+                                   topk_idx)
+
+    def _finish_decode(self, state, idx, q, k_new, v_new, n_cand, centroids,
+                       k_sink, v_sink, k_top, v_top, topk_idx, partials=()):
+        """Shared decode tail: [sink|local|topk|new] segmented attention
+        (topk either as a gathered segment or as fused-kernel partials) +
+        new-token append/encode."""
+        b = self.budget
 
         # Local window = sliding slice of the tail.
         kv_local = jax.lax.dynamic_slice(
@@ -293,12 +330,11 @@ class PQSearchPolicy:
         dt = state.kv_tail.dtype
         # segmented online-softmax merge: no window concatenation
         # (concat copied the whole [sink|local|topk|new] window per layer)
-        out = decode_window_attention_segments(q, [
-            (k_sink, v_sink, None),
-            (k_local, v_local, None),
-            (k_top, v_top, topk_idx < n_cand),
-            (k_new.astype(dt), v_new.astype(dt), None),
-        ])
+        segs = [(k_sink, v_sink, None), (k_local, v_local, None)]
+        if k_top is not None:
+            segs.append((k_top, v_top, topk_idx < n_cand))
+        segs.append((k_new.astype(dt), v_new.astype(dt), None))
+        out = decode_window_attention_segments(q, segs, partials=partials)
 
         # Append + encode the new token (pq_search.py:343-354, collapsed:
         # encode at append time instead of at local-window exit).
@@ -426,30 +462,58 @@ class PQSearchPolicy:
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
         if self.use_pallas and self.adc_mode != "xla":
+            import functools
             from pqcache_tpu.ops.adc_pallas import adc_scores_pallas_v2
             lut5 = lut.reshape(B, self.H_kv, self.group, self.S, -1)
             codes4 = codes.reshape(B, self.H_kv, self.S, -1)
-            scores = jax.vmap(adc_scores_pallas_v2)(lut5, codes4)
+            scores = jax.vmap(functools.partial(
+                adc_scores_pallas_v2, interpret=self.interpret))(lut5, codes4)
             scores = scores.reshape(B * H, -1)
         else:
             scores = pq.adc_gather_scores(lut, codes)        # [B·H, N]
 
-        topk_idx, _ = pq.mips_topk(
-            scores, n_cand_h, b.topk, group=self.group, head_dim=self.D,
-            metric=self.metric, approx=self.approx_topk)     # [B·H_kv, k]
-        topk_idx = jnp.sort(topk_idx, axis=-1)
+        partials = []
+        topk_idx = None
+        if self.select_block > 1:
+            bs = self.select_block
+            blk_idx, _ = pq.mips_topk_blocks(
+                scores, n_cand_h, b.topk, group=self.group,
+                head_dim=self.D, block=bs, metric=self.metric,
+                approx=self.approx_topk)                     # [B·H_kv, kb]
+            blk_idx = jnp.sort(blk_idx, axis=-1)
+            if self.use_pallas and self.D % 128 == 0:
+                from pqcache_tpu.ops.block_attn_pallas import (
+                    block_topk_attention)
+                m_p, l_p, acc_p = block_topk_attention(
+                    qf.reshape(B * H, 1, self.D), state.kv_tail, idx,
+                    blk_idx, n_cand_h, block=bs, interpret=self.interpret)
+                partials = [(m_p, l_p, acc_p)]
+            else:
+                topk_idx = (blk_idx[:, :, None] * bs
+                            + jnp.arange(bs, dtype=jnp.int32)[None, None, :]
+                            ).reshape(BH_kv, self.topk_eff)
+        else:
+            topk_idx, _ = pq.mips_topk(
+                scores, n_cand_h, b.topk, group=self.group,
+                head_dim=self.D, metric=self.metric,
+                approx=self.approx_topk)                     # [B·H_kv, k]
+            topk_idx = jnp.sort(topk_idx, axis=-1)
 
         # ONE row gather fetches [top-k | local window] together (per-slot
         # local windows start at n_cand[b], so the single-sequence sliding
-        # slice becomes gather rows here)
+        # slice becomes gather rows here); with the fused kernel the top-k
+        # part is already folded into `partials`
         local_idx = (n_cand_h[:, None]
                      + jnp.arange(b.local, dtype=jnp.int32)[None, :])
-        idx_all = jnp.concatenate([topk_idx, local_idx], axis=1)
+        if topk_idx is not None:
+            idx_all = jnp.concatenate([topk_idx, local_idx], axis=1)
+            mask = jnp.concatenate(
+                [topk_idx < n_cand_h[:, None],
+                 jnp.ones((BH_kv, b.local), bool)], axis=1)
+        else:
+            idx_all, mask = local_idx, None
         kv_rows = state.kv_tail[idx, heads[:, None], idx_all]
         k_rows, v_rows = kv_rows[..., :self.D], kv_rows[..., self.D:]
-        mask = jnp.concatenate(
-            [topk_idx < n_cand_h[:, None],
-             jnp.ones((BH_kv, b.local), bool)], axis=1)
 
         dt = state.kv_tail.dtype
         k_new_f = k_new.reshape(BH_kv, 1, self.D).astype(dt)
@@ -459,7 +523,7 @@ class PQSearchPolicy:
                 (k_sink, v_sink, None),
                 (k_rows, v_rows, mask),
                 (k_new_f, v_new_f, None),
-            ])
+            ], partials=partials)
 
         # append + encode the new token per slot (scatter rows: per-slot
         # write positions n_cand[b] + local)

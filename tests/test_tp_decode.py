@@ -47,3 +47,38 @@ def test_tp2_matches_single_device():
     agree = sum(a == b for a, b in zip(ref.tokens, out))
     assert out[:5] == ref.tokens[:5], (ref.tokens, out)
     assert agree >= 6, (ref.tokens, out)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_batch_tp_engine_dp2_tp4():
+    # dp×tp batched serving: 4 slots over a (dp=2, tp=4) mesh, batch-as-
+    # heads decode per device; per-slot tokens must track the single-device
+    # engine (long exact prefix; psum ulp effects as above)
+    from pqcache_tpu.parallel.batch_tp import BatchTPEngine
+    cfg_m = tiny_model_config(num_layers=2, num_heads=8, num_kv_heads=4,
+                              hidden_size=64)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(9),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5, sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla"),
+    )
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, cfg_m.vocab_size, size=256).astype(np.int32)
+               for _ in range(4)]
+    refs = [Engine(ecfg, params, dtype=jnp.float32).generate(
+        p, max_new_tokens=8).tokens for p in prompts]
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    eng = BatchTPEngine(ecfg, params, mesh, prefill_len=256,
+                        max_new_tokens=8, dtype=jnp.float32)
+    outs = eng.generate_batch(prompts, max_new_tokens=8)
+    for ref, out in zip(refs, outs):
+        agree = sum(a == b for a, b in zip(ref, out))
+        assert out[:5] == ref[:5], (ref, out)
+        assert agree >= 6, (ref, out)

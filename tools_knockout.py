@@ -27,6 +27,7 @@ VARIANT = os.environ.get("VARIANT", "full")
 CTX = int(os.environ.get("CTX", "32768"))
 LAYERS = int(os.environ.get("LAYERS", "8"))
 STEPS = int(os.environ.get("STEPS", "16"))
+BLOCK = int(os.environ.get("BLOCK", "1"))
 
 if VARIANT == "noadc":
     # fixed top-k indices; ADC/softmax/topk removed
@@ -39,6 +40,29 @@ if VARIANT == "noadc":
     # also skip the score computation entirely
     pqs.pq.adc_gather_scores = lambda lut, codes: jnp.zeros(
         (lut.shape[0] * (32 // 8), codes.shape[-1]), jnp.float32)
+elif VARIANT == "noscore_blk":
+    # block mode: constant block selection — XLA dead-code-eliminates the
+    # whole ADC+softmax+top-k chain; measures base + fused block attention
+    def fake_blocks(scores, n_valid, k_tokens, *, block, **kw):
+        H_kv = 8
+        kb = max((k_tokens + block - 1) // block, 1)
+        idx = jnp.tile(jnp.arange(kb, dtype=jnp.int32)[None], (H_kv, 1))
+        return idx, None
+    pqs.pq.mips_topk_blocks = fake_blocks
+elif VARIANT == "noblkattn":
+    # block mode: fused block attention replaced by a null partial that
+    # still consumes blk_idx (keeps ADC+top-k alive); measures
+    # base + score/top-k
+    import pqcache_tpu.ops.block_attn_pallas as bap
+    def fake_bta(q, kv_tail, layer, blk_idx, n_cand, *, block,
+                 interpret=False):
+        H, _, D = q.shape
+        H_kv = kv_tail.shape[1]
+        g = H // H_kv
+        dep = (jnp.sum(blk_idx) * 0).astype(jnp.float32)
+        return (jnp.zeros((H_kv, g)) + dep, jnp.ones((H_kv, g)),
+                jnp.zeros((H_kv, g, D)))
+    bap.block_topk_attention = fake_bta
 elif VARIANT == "nogather":
     import pqcache_tpu.ops.attention_xla as axla
     _orig = axla.decode_window_attention
@@ -49,7 +73,7 @@ elif VARIANT == "nowin":
     def fake_win(q, k_win, v_win, mask=None):
         return (q + jnp.sum(k_win[:, :1, :1]) * 0
                 + jnp.sum(v_win[:, :1, :1]) * 0).astype(q.dtype)
-    def fake_win_segments(q, segments):
+    def fake_win_segments(q, segments, partials=()):
         acc = q
         for k_seg, v_seg, _ in segments:
             acc = acc + (jnp.sum(k_seg[:, :1, :1])
@@ -67,7 +91,8 @@ model = ModelConfig(
     max_position_embeddings=131072)
 cfg = EngineConfig(
     model=model,
-    pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+    pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
+                select_block=BLOCK),
     budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
     runtime=RuntimeConfig(policy="pq_search", prefill_bucket=1024,
                           max_new_tokens=64, max_seq_len=CTX * 2))
