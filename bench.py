@@ -1,20 +1,22 @@
 """Headline benchmark: pq_search vs full-attention decode throughput at long
 context, on whatever accelerator JAX sees.
 
-Default protocol: BATCHED decode (B sequences at 32k ctx), the serving case
-(BASELINE.md: concurrent long-context streams). Batch-1 decode of a dense
-model is weight-bandwidth-bound, which hides KV costs; with B streams the
-weights amortize and the dense baseline pays B× the KV reads while PQCache
-pays B× (codes + top-k gathers) — the regime PQCache exists for. One
-sequence is prefilled (PQ codebooks trained on-MXU in the prefill program)
-and its state is broadcast to all B slots; decode runs as one fused vmapped
-loop.
+Default protocol: BATCHED decode (B concurrent sequences at 32k ctx), the
+serving case (BASELINE.md: concurrent long-context streams). Batch-1
+decode of a dense model is weight-bandwidth-bound, which hides KV costs;
+with B streams the weights amortize and the dense baseline pays B× the KV
+reads while PQCache pays B× (codes + selected-block DMA) — the regime
+PQCache exists for. One sequence is prefilled (PQ codebooks trained on-MXU
+in the prefill program), its state is inserted into all B slots of the
+batch-as-heads engine, and decode runs as one fused loop with the
+block-retrieval Pallas kernel.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R, ...}
 
 Env knobs: BENCH_CTX (32768), BENCH_GEN (32), BENCH_LAYERS (8),
-BENCH_BATCH (4), BENCH_MODE (batched|single).
+BENCH_BATCH (4; 1 = the reference's single-stream protocol),
+BENCH_PQ_BLOCK (128; 1 = per-token parity selection).
 """
 
 import json
@@ -43,11 +45,16 @@ def main():
     ctx = int(os.environ.get("BENCH_CTX", "32768"))
     gen = int(os.environ.get("BENCH_GEN", "32"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
-    # retrieval granularity (PQConfig.select_block); 1 = per-token parity
-    sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "1"))
-    # headline = single sequence (the reference's own protocol — it is
-    # hard-limited to batch 1, mistral_patch.py:61); B>1 measured as detail
-    B = int(os.environ.get("BENCH_BATCH", "1"))
+    # retrieval granularity (PQConfig.select_block): 128 = the TPU fast
+    # path (fused block-retrieval kernel; recall-oracle-gated), 1 = the
+    # reference's per-token parity mode
+    sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "128"))
+    # headline = batched serving (B concurrent 32k streams on one chip,
+    # batch-as-heads decode) — the regime PQCache exists for; the
+    # reference is hard-limited to batch 1 (mistral_patch.py:61).
+    # BENCH_BATCH=1 BENCH_PQ_BLOCK=1 reproduces the reference's
+    # single-stream per-token protocol.
+    B = int(os.environ.get("BENCH_BATCH", "4"))
 
     # Llama-3.1 widths at reduced depth: per-layer cost identical to the
     # flagship; depth scaled so random weights + B KV states fit one chip.

@@ -20,8 +20,8 @@ import sys
 import time
 import numpy as np
 
-from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
-                                PQConfig, RuntimeConfig)
+from pqcache_tpu.config import (BudgetConfig, CacheConfig, EngineConfig,
+                                ModelConfig, PQConfig, RuntimeConfig)
 from pqcache_tpu.harness.metrics import (DATASET2METRIC, PAPER_DATASETS,
                                          scorer, scorer_e)
 
@@ -77,6 +77,12 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             compress_ratio=args.compress_ratio,
             recent_ratio=args.recent_ratio,
             sink_size=args.sink_size,
+        ),
+        cache=CacheConfig(
+            offload=args.offload,
+            block_size=args.cache_block_size,
+            hbm_cache_tokens=args.global_cache_size,
+            cache_topk_blocks=args.cache_topk,
         ),
         runtime=RuntimeConfig(
             policy=args.compressor,
@@ -275,6 +281,13 @@ def parse_args(argv=None):
     pp.add_argument("--gqa", type=lambda s: s == "True", default=True)
     pp.add_argument("--max-seq-len", dest="max_seq_len", type=int,
                     default=33000)
+    # host-offload tier knobs (vq_pred.py:253-257 cache geometry)
+    pp.add_argument("--offload", action="store_true",
+                    help="host-offload tier: KV in host RAM + HBM block "
+                         "cache (contexts beyond per-chip HBM)")
+    pp.add_argument("--cache-block-size", type=int, default=128)
+    pp.add_argument("--global-cache-size", type=int, default=4096)
+    pp.add_argument("--cache-topk", type=int, default=32)
     pp.add_argument("--prefill-bucket", type=int, default=2048)
     pp.add_argument("--datasets", nargs="*", default=None)
     pp.add_argument("--data-dir", default="./data")

@@ -51,6 +51,12 @@ class Engine:
         self.dtype = dtype
         self._prefill_cache = {}
         self._decode_cache = {}
+        # host-offload tier (CacheConfig.offload): KV in host RAM with an
+        # HBM block cache — see runtime/offload_engine.py
+        self._off_engine = None
+        if cfg.cache.offload and cfg.runtime.policy == "pq_search":
+            from pqcache_tpu.runtime.offload_engine import OffloadEngine
+            self._off_engine = OffloadEngine(cfg, params, dtype)
 
     # -- jit caches --------------------------------------------------------
 
@@ -117,6 +123,13 @@ class Engine:
             raise ValueError(f"prompt {true_len} exceeds max_seq_len {P}")
 
         policy_name = self.pick_policy(true_len, P)
+        if self._off_engine is not None and policy_name == "pq_search":
+            t0 = time.perf_counter()
+            toks = self._off_engine.generate(ids, max_new, eos_ids=eos_ids)
+            return GenerateResult(
+                tokens=toks, prefill_seconds=0.0,
+                decode_seconds=time.perf_counter() - t0,
+                policy_name="pq_search_offload")
         policy, budget, prefill_jit, decode_jit = self._fns(P, policy_name)
 
         pad = P - true_len

@@ -3,11 +3,19 @@
 For contexts whose KV exceeds per-chip HBM, this engine mirrors the
 reference's execution shape (pq_search.py decode path): per layer, the
 device computes ADC scores over the HBM-resident PQ codes and the top-k
-indices; the host fetches exactly those KV rows through the LFU-managed
-block cache (runtime/host_offload.py); the device then runs windowed
-attention and the rest of the layer. The local window and sink stay in HBM
-(a ring buffer, cache_manager.py:212-228), and each step's evicted local
-token is appended to the host store with its PQ code.
+indices; the host classifies hits vs the DEVICE-resident block cache,
+stages only the miss rows, and the device assembles the window (cache
+gather + miss scatter) and runs attention plus the rest of the layer
+(runtime/host_offload.py). The local window and sink stay in HBM (a ring
+buffer, cache_manager.py:212-228), and each step's evicted local token is
+appended to the host store with its PQ code.
+
+Dispatch structure: attention of layer l and the Q/K/V + ADC/top-k of
+layer l+1 are fused into ONE device program, so each decode layer costs a
+single host round trip (the classify -> stage -> launch sequence); LFU
+admission and block promotion run on the store's worker thread overlapped
+with device compute (the reference's side-stream promotion,
+cache_manager.py:364-418).
 
 The within-HBM path (policies/pq_search.py + runtime/generate.py) is the
 fast path; this tier trades per-token host round trips for unbounded
@@ -29,7 +37,7 @@ from pqcache_tpu.core.budget import Budget, compute_budget
 from pqcache_tpu.models import llama
 from pqcache_tpu.ops.attention_xla import decode_window_attention
 from pqcache_tpu.ops.dispatch import dense_prefill_attention
-from pqcache_tpu.runtime.host_offload import HostKVStore
+from pqcache_tpu.runtime.host_offload import HostKVStore, assemble_rows
 
 
 @struct.dataclass
@@ -79,7 +87,7 @@ class OffloadEngine:
             ring_ptr=jnp.zeros((), jnp.int32),
             pos=jnp.zeros((), jnp.int32))
 
-    # -- jitted per-layer programs ---------------------------------------
+    # -- jitted device programs -------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill_layer(self, lp, state, idx, hidden, cos, sin, pad_len,
@@ -136,10 +144,12 @@ class OffloadEngine:
         hidden = hidden + attn @ lp["wo"]
         h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
         hidden = hidden + llama.mlp(lp, h2)
-        return hidden, state, k_tail, v_tail
+        # interleaved K||V tail rows for the host store
+        kv_tail = jnp.concatenate([k_tail, v_tail], axis=-1)
+        return hidden, state, kv_tail
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode_part_a(self, lp, state, idx, hidden, cos, sin):
+    def _score_and_topk(self, lp, state, idx, hidden, cos, sin):
+        """Q/K/V projection + ADC scoring + top-k for layer `idx` (traced)."""
         cfg = self.cfg.model
         b = self.budget
         h_norm = llama.rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
@@ -157,16 +167,24 @@ class OffloadEngine:
             scores, state.n_cand, b.topk, group=cfg.num_groups,
             head_dim=cfg.head_dim, metric=self.metric,
             approx=self.cfg.pq.approx_topk)
-        return q, k_new, v_new, topk_idx
+        return q, k_new, v_new, jnp.sort(topk_idx, axis=-1)
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _decode_part_b(self, lp, state, idx, hidden, q, k_new, v_new,
-                       k_top, v_top, topk_idx):
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode_first(self, lp, state, hidden, cos, sin):
+        return self._score_and_topk(lp, state, jnp.asarray(0, jnp.int32),
+                                    hidden, cos, sin)
+
+    def _attn_and_tail(self, lp, state, idx, hidden, q, k_new, v_new,
+                       topk_idx, slots, staged, miss_h, miss_c, cache):
+        """Window assembly + attention + layer tail + ring append (traced)."""
         cfg = self.cfg.model
         b = self.budget
         H_kv, D = cfg.num_kv_heads, cfg.head_dim
         dt = state.k_local.dtype
         n_cand = state.n_cand
+        k_top, v_top = assemble_rows(
+            cache, topk_idx, slots, staged, miss_h, miss_c,
+            block=self.cfg.cache.block_size)
         k_win = jnp.concatenate(
             [state.k_sink[idx], state.k_local[idx], k_top.astype(dt),
              k_new.astype(dt)], axis=1)
@@ -204,7 +222,39 @@ class OffloadEngine:
                 state.v_local, v_new.astype(dt)[None], (idx, 0, ptr, 0)),
             codes=jax.lax.dynamic_update_slice(
                 state.codes, ev_codes[None], (idx, 0, 0, n_cand)))
-        return hidden, state, evicted_k, evicted_v
+        kv_ev = jnp.concatenate([evicted_k[:, 0], evicted_v[:, 0]], axis=-1)
+        return hidden, state, kv_ev
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def _decode_fused(self, lp, lp_next, state, idx, hidden, cos, sin, q,
+                      k_new, v_new, topk_idx, slots, staged, miss_h, miss_c,
+                      cache):
+        """Attention + tail of layer `idx` fused with the score/top-k of
+        layer idx+1 -- one host round trip per decode layer."""
+        hidden, state, kv_ev = self._attn_and_tail(
+            lp, state, idx, hidden, q, k_new, v_new, topk_idx, slots,
+            staged, miss_h, miss_c, cache)
+        q2, k2, v2, topk2 = self._score_and_topk(
+            lp_next, state, idx + 1, hidden, cos, sin)
+        return hidden, state, kv_ev, q2, k2, v2, topk2
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def _decode_last(self, lp, params_out, state, idx, hidden, q, k_new,
+                     v_new, topk_idx, slots, staged, miss_h, miss_c, cache):
+        """Final layer + LM head + argmax in one program."""
+        hidden, state, kv_ev = self._attn_and_tail(
+            lp, state, idx, hidden, q, k_new, v_new, topk_idx, slots,
+            staged, miss_h, miss_c, cache)
+        cfg = self.cfg.model
+        last = llama.rms_norm(hidden, params_out["final_norm"],
+                              cfg.rms_norm_eps)
+        logits = (last @ params_out["lm_head"]).astype(jnp.float32)[0]
+        nxt = jnp.argmax(logits).astype(jnp.int32)
+        state = state.replace(
+            n_cand=state.n_cand + 1,
+            ring_ptr=(state.ring_ptr + 1) % self.budget.local,
+            pos=state.pos + 1)
+        return state, kv_ev, nxt
 
     # -- helpers ----------------------------------------------------------
 
@@ -238,55 +288,68 @@ class OffloadEngine:
         pad_j = jnp.asarray(pad, jnp.int32)
         tl_j = jnp.asarray(true_len, jnp.int32)
 
+        layer_params = [
+            jax.tree_util.tree_map(lambda a: a[l], self.params["layers"])
+            for l in range(m.num_layers)]
+
         hidden = jnp.take(self.params["embed"], jnp.asarray(tokens), axis=0)
         positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_j, 0)
         cos, sin = llama.rope_cos_sin(m, positions)
         for l in range(m.num_layers):
-            lp = jax.tree_util.tree_map(lambda a: a[l],
-                                        self.params["layers"])
-            hidden, state, k_tail, v_tail = self._prefill_layer(
-                lp, state, jnp.asarray(l, jnp.int32), hidden, cos, sin,
-                pad_j, tl_j)
-            store.offload_layer(l, np.asarray(k_tail, np.float32),
-                                np.asarray(v_tail, np.float32))
+            hidden, state, kv_tail = self._prefill_layer(
+                layer_params[l], state, jnp.asarray(l, jnp.int32), hidden,
+                cos, sin, pad_j, tl_j)
+            kv_np = np.asarray(kv_tail)           # bf16 host copy
+            store.offload_layer(l, kv_np[..., :m.head_dim],
+                                kv_np[..., m.head_dim:])
         last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
                               m.rms_norm_eps)
         logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
         next_tok = int(jnp.argmax(logits))
         out_tokens = [next_tok]
 
+        params_out = {"final_norm": self.params["final_norm"],
+                      "lm_head": self.params["lm_head"]}
+        L = m.num_layers
         pos = true_len
+        n_cand_py = max(true_len - b.sink - b.local, 0)
         for _ in range(max_new_tokens - 1):
             if next_tok in eos_ids:
                 break
             hidden = jnp.take(self.params["embed"],
                               jnp.asarray([next_tok], jnp.int32), axis=0)
-            cos, sin = llama.rope_cos_sin(
-                m, jnp.asarray([pos], jnp.int32))
-            for l in range(m.num_layers):
-                lp = jax.tree_util.tree_map(lambda a: a[l],
-                                            self.params["layers"])
+            cos, sin = llama.rope_cos_sin(m, jnp.asarray([pos], jnp.int32))
+            q, k_new, v_new, topk = self._decode_first(
+                layer_params[0], state, hidden, cos, sin)
+            kv_evs = []
+            for l in range(L):
+                topk_np = np.asarray(topk)        # sync: indices to host
+                slots, hit = store.classify(l, topk_np)
+                staged, mh, mc = store.stage_misses(l, topk_np, hit)
+                store.admit_async(l, topk_np // store.block)
                 li = jnp.asarray(l, jnp.int32)
-                q, k_new, v_new, topk_idx = self._decode_part_a(
-                    lp, state, li, hidden, cos, sin)
-                idx_np = np.asarray(topk_idx)
-                k_top, v_top = store.fetch(l, idx_np)
-                hidden, state, ev_k, ev_v = self._decode_part_b(
-                    lp, state, li, hidden, q, k_new, v_new,
-                    k_top.astype(self.dtype), v_top.astype(self.dtype),
-                    topk_idx)
-                store.append_token(l, int(state.n_cand),
-                                   np.asarray(ev_k, np.float32)[:, 0],
-                                   np.asarray(ev_v, np.float32)[:, 0])
-            state = state.replace(
-                n_cand=state.n_cand + 1,
-                ring_ptr=(state.ring_ptr + 1) % b.local,
-                pos=state.pos + 1)
-            last = llama.rms_norm(hidden, self.params["final_norm"],
-                                  m.rms_norm_eps)
-            logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
-            next_tok = int(jnp.argmax(logits))
+                if l < L - 1:
+                    (hidden, state, kv_ev, q, k_new, v_new, topk
+                     ) = self._decode_fused(
+                        layer_params[l], layer_params[l + 1], state, li,
+                        hidden, cos, sin, q, k_new, v_new, topk,
+                        jnp.asarray(slots), staged, mh, mc,
+                        store.cache_kv[l])
+                else:
+                    state, kv_ev, nxt = self._decode_last(
+                        layer_params[l], params_out, state, li, hidden, q,
+                        k_new, v_new, topk, jnp.asarray(slots), staged, mh,
+                        mc, store.cache_kv[l])
+                kv_evs.append(kv_ev)
+            # evicted local tokens -> host store (one tiny D2H per layer)
+            for l, kv_ev in enumerate(kv_evs):
+                ev = np.asarray(kv_ev)
+                store.append_token(l, n_cand_py, ev[:, :m.head_dim],
+                                   ev[:, m.head_dim:])
+            n_cand_py += 1
+            next_tok = int(nxt)
             out_tokens.append(next_tok)
             pos += 1
+        store.flush()
         self.store = store
         return out_tokens

@@ -23,9 +23,9 @@ def test_fetch_returns_host_rows():
     for h in range(2):
         for j, t in enumerate(idx[h]):
             np.testing.assert_allclose(np.asarray(k_top)[h, j], k[h, t],
-                                       rtol=1e-6)
+                                       rtol=2e-2, atol=1e-3)
             np.testing.assert_allclose(np.asarray(v_top)[h, j], v[h, t],
-                                       rtol=1e-6)
+                                       rtol=2e-2, atol=1e-3)
 
 
 def test_repeated_fetch_hits_cache():
@@ -42,7 +42,7 @@ def test_repeated_fetch_hits_cache():
     for h in range(2):
         for j, t in enumerate(idx[h]):
             np.testing.assert_allclose(np.asarray(k_top)[h, j], k[h, t],
-                                       rtol=1e-6)
+                                       rtol=2e-2, atol=1e-3)
 
 
 def test_cache_correct_after_eviction_churn():
@@ -56,7 +56,7 @@ def test_cache_correct_after_eviction_churn():
         for h in range(2):
             for j, t in enumerate(idx[h]):
                 np.testing.assert_allclose(np.asarray(k_top)[h, j], k[h, t],
-                                           rtol=1e-6, err_msg=f"start={start}")
+                                           rtol=2e-2, atol=1e-3, err_msg=f"start={start}")
     # proxy map stays consistent: at most n_cache_blocks valid slots
     assert (s.block_slot[0] >= 0).sum() <= s.n_cache_blocks
 

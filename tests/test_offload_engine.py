@@ -44,3 +44,21 @@ def test_offload_matches_hbm_engine(setup):
     assert agree >= 8, (hbm.tokens, off)
     # the LFU block cache must have absorbed repeat traffic
     assert off_eng.store.hits > 0
+
+
+def test_engine_offload_flag_routes_to_tier(setup):
+    # CacheConfig.offload=True must be reachable through the standard
+    # Engine (and thus the longbench CLI --offload flag)
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    ecfg_off = dataclasses.replace(
+        ecfg, cache=CacheConfig(offload=True, block_size=32,
+                                hbm_cache_tokens=128, cache_topk_blocks=4))
+    hbm = Engine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=8)
+    off = Engine(ecfg_off, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=8)
+    assert off.policy_name == "pq_search_offload"
+    agree = sum(a == b for a, b in zip(hbm.tokens, off.tokens))
+    assert agree >= 6, (hbm.tokens, off.tokens)
