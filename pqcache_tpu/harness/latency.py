@@ -38,7 +38,8 @@ def run(args) -> list[dict]:
         for ctx in args.ctx:
             cfg = EngineConfig(
                 model=model,
-                pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+                pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
+                            select_block=args.select_block),
                 budget=BudgetConfig(compress_ratio=args.compress,
                                     recent_ratio=0.5, sink_size=32),
                 runtime=RuntimeConfig(policy=policy, prefill_bucket=1024,
@@ -73,6 +74,8 @@ def parse_args(argv=None):
                    default=[4096, 8192, 16384, 24576])
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--compress", type=float, default=0.2)
+    p.add_argument("--select-block", type=int, default=1,
+                   help="retrieval granularity (128 = fused-kernel path)")
     p.add_argument("--policies", nargs="*",
                    default=["pq_search", "original"])
     return p.parse_args(argv)

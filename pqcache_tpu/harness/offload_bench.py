@@ -1,0 +1,96 @@
+"""Host-offload tier benchmark: step time, hit rate, wall decomposition.
+
+Measures the offload engine (KV in host RAM, HBM block cache, native LFU)
+against the HBM-resident engine at the same config — the analog of the
+reference's latency decomposition for its CPU-offload hierarchy
+(test_latency.py + global_timer pq/non-pq/transfer splits).
+
+The decode's own retrieval pattern provides the block reuse (consecutive
+queries of one sequence select overlapping top blocks — the locality the
+reference's LFU exploits, cache_manager.py:364-380).
+
+Prints one JSON line. Env: CTX (32768), LAYERS (8), GEN (24),
+CACHE_TOKENS (8192), BLOCK (128).
+
+NOTE (dev environment): through the axon tunnel every device dispatch
+pays ~30 ms round-trip latency, and the offload tier dispatches per layer
+by design (the reference's per-layer fetch does too, on a local PCIe bus).
+The `wait_s` component is therefore tunnel-dominated here; `host_s` is
+the true host-side cost of the tier (classify + stage + admit).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+from pqcache_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import (BudgetConfig, CacheConfig, EngineConfig,
+                                ModelConfig, PQConfig, RuntimeConfig)
+from pqcache_tpu.models import llama
+from pqcache_tpu.runtime.generate import Engine
+from pqcache_tpu.runtime.offload_engine import OffloadEngine
+
+CTX = int(os.environ.get("CTX", "32768"))
+LAYERS = int(os.environ.get("LAYERS", "8"))
+GEN = int(os.environ.get("GEN", "24"))
+CACHE_TOKENS = int(os.environ.get("CACHE_TOKENS", "8192"))
+BLOCK = int(os.environ.get("BLOCK", "128"))
+
+
+def main():
+    model = ModelConfig(
+        name=f"off{LAYERS}L", vocab_size=128256, hidden_size=4096,
+        intermediate_size=14336, num_layers=LAYERS, num_heads=32,
+        num_kv_heads=8, head_dim=128, rope_theta=500000.0,
+        rope_scaling_factor=8.0, max_position_embeddings=131072)
+    cfg = EngineConfig(
+        model=model,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6),
+        budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
+                            sink_size=32),
+        cache=CacheConfig(offload=True, block_size=BLOCK,
+                          hbm_cache_tokens=CACHE_TOKENS,
+                          cache_topk_blocks=64),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=1024,
+                              max_new_tokens=GEN + 2, max_seq_len=CTX + 2048))
+    params = llama.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, model.vocab_size, size=CTX).astype(np.int32)
+
+    # HBM-resident reference (same config, fused on-device decode)
+    import dataclasses
+    cfg_hbm = dataclasses.replace(
+        cfg, cache=dataclasses.replace(cfg.cache, offload=False))
+    hbm = Engine(cfg_hbm, params)
+    r = hbm.generate(ids, max_new_tokens=GEN)          # compile
+    r = hbm.generate(ids, max_new_tokens=GEN)
+    hbm_ms = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1e3
+
+    off = OffloadEngine(cfg, params)
+    off.generate(ids, max_new_tokens=4)                # compile
+    t0 = time.perf_counter()
+    toks = off.generate(ids, max_new_tokens=GEN)
+    dt = time.perf_counter() - t0
+    tm = off.timings
+    steps = max(tm["steps"], 1)
+    print(json.dumps({
+        "metric": f"offload-tier decode @ {CTX} ctx ({LAYERS}L)",
+        "per_step_ms": round(tm["decode_s"] / steps * 1e3, 2),
+        "hbm_tier_per_step_ms": round(hbm_ms, 2),
+        "hit_rate": round(off.store.hit_rate, 4),
+        "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
+        "device_wait_ms_per_step": round(tm["wait_s"] / steps * 1e3, 2),
+        "cache_tokens": CACHE_TOKENS, "block": BLOCK,
+        "tokens": len(toks), "total_s": round(dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,14 +51,14 @@ def _bucket(n: int, lo: int = 64) -> int:
 
 
 def assemble_rows(cache: jax.Array, token_idx: jax.Array, slots: jax.Array,
-                  staged: jax.Array, miss_head: jax.Array,
-                  miss_col: jax.Array, *, block: int
+                  staged: jax.Array, miss_meta: jax.Array, *, block: int
                   ) -> Tuple[jax.Array, jax.Array]:
     """ON-DEVICE row assembly: hits gathered from the device block cache,
     misses scattered in from the bucketed staging buffer (jit-traceable).
 
     cache [n_slots, H_kv, block, 2D]; token_idx/slots [H_kv, k];
-    staged [M, 2D]; miss_head/miss_col [M] (out-of-bounds-padded → mode="drop").
+    staged [M, 2D]; miss_meta [2, M] = (head, col) rows, packed into ONE
+    transfer (out-of-bounds-padded → mode="drop").
     Returns (k_top, v_top) [H_kv, k, D].
     """
     H_kv = token_idx.shape[0]
@@ -66,7 +66,7 @@ def assemble_rows(cache: jax.Array, token_idx: jax.Array, slots: jax.Array,
     heads = jnp.arange(H_kv)[:, None]
     cache_rows = cache[jnp.clip(slots, 0), heads, token_idx % block]
     rows = jnp.where((slots >= 0)[..., None], cache_rows, 0)
-    rows = rows.at[miss_head, miss_col].set(
+    rows = rows.at[miss_meta[0], miss_meta[1]].set(
         staged.astype(rows.dtype), mode="drop")
     return rows[..., :D], rows[..., D:]
 
@@ -149,10 +149,11 @@ class HostKVStore:
 
         Host gather cost and H2D volume are proportional to the miss count
         (the reference's pinned staging path, cache_manager.py:339-362).
-        Returns (staged [M, 2D] device, miss_head [M], miss_col [M]);
-        padding lanes carry a LARGE positive sentinel — scatter drops
-        out-of-bounds rows (negative padding would WRAP to the last row
-        under NumPy index semantics and clobber real data).
+        Returns (staged [M, 2D] device, miss_meta [2, M] device = (head,
+        col) rows packed into one transfer); padding lanes carry a LARGE
+        positive sentinel — scatter drops out-of-bounds rows (negative
+        padding would WRAP to the last row under NumPy index semantics and
+        clobber real data).
         """
         mh, mc = np.nonzero(~hit)
         m = len(mh)
@@ -160,19 +161,17 @@ class HostKVStore:
         staged = np.zeros((M, 2 * self.D), self.dtype)
         if m:
             staged[:m] = self.kv_host[layer][mh, token_idx[mh, mc]]
-        pad = np.int32(2 ** 30)
-        meta_h = np.full((M,), pad, np.int32)
-        meta_c = np.full((M,), pad, np.int32)
-        meta_h[:m], meta_c[:m] = mh, mc
-        return (jnp.asarray(staged), jnp.asarray(meta_h), jnp.asarray(meta_c))
+        meta = np.full((2, M), np.int32(2 ** 30), np.int32)
+        meta[0, :m], meta[1, :m] = mh, mc
+        return jnp.asarray(staged), jnp.asarray(meta)
 
     def assemble(self, layer: int, token_idx: jax.Array, slots: jax.Array,
-                 staged: jax.Array, miss_head: jax.Array,
-                 miss_col: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                 staged: jax.Array, miss_meta: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array]:
         """ON-DEVICE row assembly for the eager fetch() path; the engine
         calls the pure `assemble_rows` inside its jitted layer step."""
         return assemble_rows(self.cache_kv[layer], token_idx, slots, staged,
-                             miss_head, miss_col, block=self.block)
+                             miss_meta, block=self.block)
 
     def fetch(self, layer: int, token_idx: np.ndarray
               ) -> Tuple[jax.Array, jax.Array]:
@@ -184,10 +183,10 @@ class HostKVStore:
         """
         token_idx = np.asarray(token_idx)
         slots, hit = self.classify(layer, token_idx)
-        staged, mh, mc = self.stage_misses(layer, token_idx, hit)
+        staged, meta = self.stage_misses(layer, token_idx, hit)
         self.admit_async(layer, token_idx // self.block)
         return self.assemble(layer, jnp.asarray(token_idx),
-                             jnp.asarray(slots), staged, mh, mc)
+                             jnp.asarray(slots), staged, meta)
 
     # -- LFU admission + async promotion ----------------------------------
 

@@ -175,7 +175,7 @@ class OffloadEngine:
                                     hidden, cos, sin)
 
     def _attn_and_tail(self, lp, state, idx, hidden, q, k_new, v_new,
-                       topk_idx, slots, staged, miss_h, miss_c, cache):
+                       topk_idx, slots, staged, miss_meta, cache):
         """Window assembly + attention + layer tail + ring append (traced)."""
         cfg = self.cfg.model
         b = self.budget
@@ -183,7 +183,7 @@ class OffloadEngine:
         dt = state.k_local.dtype
         n_cand = state.n_cand
         k_top, v_top = assemble_rows(
-            cache, topk_idx, slots, staged, miss_h, miss_c,
+            cache, topk_idx, slots, staged, miss_meta,
             block=self.cfg.cache.block_size)
         k_win = jnp.concatenate(
             [state.k_sink[idx], state.k_local[idx], k_top.astype(dt),
@@ -227,24 +227,24 @@ class OffloadEngine:
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
     def _decode_fused(self, lp, lp_next, state, idx, hidden, cos, sin, q,
-                      k_new, v_new, topk_idx, slots, staged, miss_h, miss_c,
+                      k_new, v_new, topk_idx, slots, staged, miss_meta,
                       cache):
         """Attention + tail of layer `idx` fused with the score/top-k of
         layer idx+1 -- one host round trip per decode layer."""
         hidden, state, kv_ev = self._attn_and_tail(
             lp, state, idx, hidden, q, k_new, v_new, topk_idx, slots,
-            staged, miss_h, miss_c, cache)
+            staged, miss_meta, cache)
         q2, k2, v2, topk2 = self._score_and_topk(
             lp_next, state, idx + 1, hidden, cos, sin)
         return hidden, state, kv_ev, q2, k2, v2, topk2
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
     def _decode_last(self, lp, params_out, state, idx, hidden, q, k_new,
-                     v_new, topk_idx, slots, staged, miss_h, miss_c, cache):
+                     v_new, topk_idx, slots, staged, miss_meta, cache):
         """Final layer + LM head + argmax in one program."""
         hidden, state, kv_ev = self._attn_and_tail(
             lp, state, idx, hidden, q, k_new, v_new, topk_idx, slots,
-            staged, miss_h, miss_c, cache)
+            staged, miss_meta, cache)
         cfg = self.cfg.model
         last = llama.rms_norm(hidden, params_out["final_norm"],
                               cfg.rms_norm_eps)
@@ -267,8 +267,13 @@ class OffloadEngine:
     # -- public API --------------------------------------------------------
 
     def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
+        import time
         cfg = self.cfg
         m = cfg.model
+        # per-step wall decomposition: host = classify/stage/admit python
+        # work; wait = blocking on device results (includes tunnel latency)
+        self.timings = {"host_s": 0.0, "wait_s": 0.0, "decode_s": 0.0,
+                        "steps": 0}
         ids = np.asarray(prompt_ids, np.int32)
         true_len = int(ids.shape[0])
         from pqcache_tpu.runtime.generate import bucket_length
@@ -316,6 +321,7 @@ class OffloadEngine:
         for _ in range(max_new_tokens - 1):
             if next_tok in eos_ids:
                 break
+            t_step = time.perf_counter()
             hidden = jnp.take(self.params["embed"],
                               jnp.asarray([next_tok], jnp.int32), axis=0)
             cos, sin = llama.rope_cos_sin(m, jnp.asarray([pos], jnp.int32))
@@ -323,23 +329,27 @@ class OffloadEngine:
                 layer_params[0], state, hidden, cos, sin)
             kv_evs = []
             for l in range(L):
+                t0 = time.perf_counter()
                 topk_np = np.asarray(topk)        # sync: indices to host
+                t1 = time.perf_counter()
+                self.timings["wait_s"] += t1 - t0
                 slots, hit = store.classify(l, topk_np)
-                staged, mh, mc = store.stage_misses(l, topk_np, hit)
+                staged, meta = store.stage_misses(l, topk_np, hit)
                 store.admit_async(l, topk_np // store.block)
+                self.timings["host_s"] += time.perf_counter() - t1
                 li = jnp.asarray(l, jnp.int32)
                 if l < L - 1:
                     (hidden, state, kv_ev, q, k_new, v_new, topk
                      ) = self._decode_fused(
                         layer_params[l], layer_params[l + 1], state, li,
                         hidden, cos, sin, q, k_new, v_new, topk,
-                        jnp.asarray(slots), staged, mh, mc,
+                        jnp.asarray(slots), staged, meta,
                         store.cache_kv[l])
                 else:
                     state, kv_ev, nxt = self._decode_last(
                         layer_params[l], params_out, state, li, hidden, q,
-                        k_new, v_new, topk, jnp.asarray(slots), staged, mh,
-                        mc, store.cache_kv[l])
+                        k_new, v_new, topk, jnp.asarray(slots), staged,
+                        meta, store.cache_kv[l])
                 kv_evs.append(kv_ev)
             # evicted local tokens -> host store (one tiny D2H per layer)
             for l, kv_ev in enumerate(kv_evs):
@@ -350,6 +360,8 @@ class OffloadEngine:
             next_tok = int(nxt)
             out_tokens.append(next_tok)
             pos += 1
+            self.timings["decode_s"] += time.perf_counter() - t_step
+            self.timings["steps"] += 1
         store.flush()
         self.store = store
         return out_tokens

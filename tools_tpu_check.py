@@ -17,7 +17,7 @@ import numpy as np
 CHILD = os.environ.get("TPU_CHECK_CHILD") == "1"
 
 
-def build(policy="pq_search", kernels="auto"):
+def build(policy="pq_search", kernels="auto", select_block=1):
     import jax
     import jax.numpy as jnp
     from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
@@ -32,7 +32,7 @@ def build(policy="pq_search", kernels="auto"):
     cfg = EngineConfig(
         model=model,
         pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
-                    approx_topk=False),
+                    approx_topk=False, select_block=select_block),
         budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
                             sink_size=16),
         runtime=RuntimeConfig(policy=policy, prefill_bucket=512,
@@ -50,10 +50,12 @@ def main():
     enable_compilation_cache()
     # same device, pallas kernels vs pure-XLA: isolates kernel correctness
     # from cross-device bf16 numerics
-    for kernels in ("auto", "xla"):
-        eng, ids = build(kernels=kernels)
+    for kernels, blk in (("auto", 1), ("xla", 1), ("auto", 128),
+                         ("xla", 128)):
+        eng, ids = build(kernels=kernels, select_block=blk)
         res = eng.generate(ids, max_new_tokens=12)
-        print(json.dumps({"kernels": kernels, "tokens": res.tokens,
+        print(json.dumps({"kernels": kernels, "select_block": blk,
+                          "tokens": res.tokens,
                           "policy": res.policy_name}), flush=True)
 
 
