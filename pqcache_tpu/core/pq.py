@@ -514,6 +514,40 @@ def mips_topk_blocks(
     return idx.astype(jnp.int32), g
 
 
+def topk_from_block_mass(
+    blk_mass: jax.Array,
+    n_valid: jax.Array,
+    k_tokens: int,
+    *,
+    group: int,
+    block: int,
+    approx: bool = True,
+) -> jax.Array:
+    """Block selection from pre-reduced per-q-head block attention mass
+    (the fused adc_block_scores_pallas kernel's output): group-sum
+    [H → H_kv], mask blocks past n_valid, top-⌈k/block⌉.
+
+    blk_mass [H, NB] f32 (rows ~sum to 1); n_valid scalar or [H_kv].
+    Returns block_idx [H_kv, k_blocks] i32 — same contract as
+    mips_topk_blocks' first return.
+    """
+    H, NB = blk_mass.shape
+    H_kv = H // group
+    k_blocks = max((k_tokens + block - 1) // block, 1)
+    g = jnp.sum(blk_mass.reshape(H_kv, group, NB), axis=1)
+    n_valid_b = jnp.asarray(n_valid, jnp.int32)
+    n_valid_b = (n_valid_b[None, None] if n_valid_b.ndim == 0
+                 else n_valid_b[:, None])
+    blk_valid = (jnp.arange(NB, dtype=jnp.int32)[None, :] * block
+                 < n_valid_b)
+    sel = jnp.where(blk_valid, g, -jnp.inf)
+    if approx:
+        _, idx = jax.lax.approx_max_k(sel, k_blocks, recall_target=0.98)
+    else:
+        _, idx = jax.lax.top_k(sel, k_blocks)
+    return idx.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Convenience: full exact-vs-PQ recall oracle (retrieval quality test)
 

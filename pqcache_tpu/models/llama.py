@@ -210,19 +210,28 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
     cos, sin = rope_cos_sin(cfg, pos[None].astype(jnp.int32))
 
     shared = policy.shared_pre(state)
+    # deferred-append contract: decode_attn returns (out, payload) and the
+    # state stays read-only through the layer scan; all layers' appends
+    # commit in ONE stacked update after the scan (policies/pq_search.py
+    # commit_appends) — L× fewer tiny scatter/encode ops per step.
+    deferred = getattr(policy, "deferred_appends", False)
 
     def body(carry, xs):
         hidden, state = carry
         lp, idx = xs
         attn_fn = lambda q, k, v: policy.decode_attn(
             state, idx, q, k, v, shared)
-        hidden, state = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin,
-                                   axis_name)
-        return (hidden, state), None
+        hidden, ls_out = _layer_fwd(cfg, lp, hidden, attn_fn, cos, sin,
+                                    axis_name)
+        if deferred:
+            return (hidden, state), ls_out
+        return (hidden, ls_out), None
 
-    (hidden, new_state), _ = jax.lax.scan(
+    (hidden, new_state), payloads = jax.lax.scan(
         body, (hidden, state),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+    if deferred:
+        new_state = policy.commit_appends(new_state, payloads, shared)
     new_state = policy.shared_post(new_state, shared)
 
     last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
@@ -265,6 +274,7 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
     cos, sin = rope_cos_sin(cfg, pos.astype(jnp.int32))       # [B, D/2]
 
     shared = policy.shared_pre_batched(state)
+    deferred = getattr(policy, "deferred_appends", False)
 
     def body(carry, xs):
         hidden, state = carry
@@ -275,7 +285,8 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
         k = _apply_rope_batched(
             (h_norm @ lp["wk"]).reshape(B, Hkv, D), cos, sin)
         v = (h_norm @ lp["wv"]).reshape(B, Hkv, D)
-        attn, state = policy.decode_attn_batched(state, idx, q, k, v, shared)
+        attn, ls_out = policy.decode_attn_batched(state, idx, q, k, v,
+                                                  shared)
         attn_out = attn.reshape(B, H * D) @ lp["wo"]
         if axis_name is not None:
             attn_out = jax.lax.psum(attn_out, axis_name)
@@ -284,11 +295,16 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
         mlp_out = mlp(lp, h2)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
-        return (hidden + mlp_out, state), None
+        if deferred:
+            return (hidden + mlp_out, state), ls_out
+        return (hidden + mlp_out, ls_out), None
 
-    (hidden, new_state), _ = jax.lax.scan(
+    (hidden, new_state), payloads = jax.lax.scan(
         body, (hidden, state),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+    if deferred:
+        new_state = policy.commit_appends_batched(new_state, payloads,
+                                                  shared)
     new_state = policy.shared_post_batched(new_state, shared)
 
     last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)

@@ -162,6 +162,162 @@ def _adc_v2_prep(lut, codes, block_t):
     return lut_bd, codes, bt, Tp
 
 
+# ---------------------------------------------------------------------------
+# v3: ADC scores → online softmax → per-block attention mass, one kernel.
+#
+# The block-granular decode path only consumes PER-BLOCK importances
+# (mips_topk_blocks): materializing the [H, T] score row, re-reading it for
+# the softmax, and re-reading the probs for the block reduction is three
+# kernel dispatches and ~8 MB of HBM round trips per layer-step. This kernel
+# keeps the whole chain in VMEM: per candidate chunk it runs the v2
+# one-hot-matmul ADC, folds the chunk into a running row max + per-block
+# exp-sum scratch (the block reduction is a second MXU matmul against a
+# block-indicator built from iotas — no unaligned lane stores), and emits
+# the normalized per-(q-head, block) attention mass [H, NB]. The caller
+# group-sums [H → H_kv] and top-ks over the ~T/block entries.
+
+def _adc_block_call(lut_bd, codes, n_cand, *, S, C, sel_block, scale, bt,
+                    NBp, interpret):
+    """lut_bd [B, H, C*H_kv*S] bf16; codes [B, H_kv, S, Tp]; n_cand [B] i32
+    → normalized per-block mass [B, H, NBp] f32."""
+    B, H, SC = lut_bd.shape
+    _, H_kv, _, Tp = codes.shape
+    n_chunks = Tp // bt
+    grid = (B, n_chunks)
+
+    def k2(scal_ref, lut_ref, codes_ref, out_ref, m_scr, u_scr):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[:] = jnp.full_like(m_scr, -1e30)
+            u_scr[:] = jnp.zeros_like(u_scr)
+
+        BT = codes_ref.shape[-1]
+        codes2 = codes_ref[0].astype(jnp.int32).reshape(H_kv * S, BT)
+        rep = pltpu.repeat(codes2, C, axis=0)
+        cent = jax.lax.broadcasted_iota(
+            jnp.int32, (C * H_kv * S, BT), 0) // (H_kv * S)
+        onehot = (rep == cent).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            lut_ref[0], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        tok = j * BT + jax.lax.broadcasted_iota(jnp.int32, (1, BT), 1)
+        mask = tok < scal_ref[b]
+        s = jnp.where(mask, s, -1e30)
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        u_scr[:] = u_scr[:] * jnp.exp(m_prev - m_new)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        nb_chunk = BT // sel_block
+        t_blk = jax.lax.broadcasted_iota(
+            jnp.int32, (BT, NBp), 0) // sel_block + j * nb_chunk
+        b_ids = jax.lax.broadcasted_iota(jnp.int32, (BT, NBp), 1)
+        ind = (t_blk == b_ids).astype(jnp.bfloat16)
+        u_scr[:] = u_scr[:] + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), ind, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_chunks - 1)
+        def _finalize():
+            z = jnp.sum(u_scr[:], axis=-1, keepdims=True)
+            out_ref[0] = u_scr[:] / jnp.maximum(z, 1e-30)
+
+    return pl.pallas_call(
+        k2,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, H, SC), lambda b, j, s: (b, 0, 0)),
+                pl.BlockSpec((1, H_kv, S, bt), lambda b, j, s: (b, 0, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, H, NBp), lambda b, j, s: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H, 128), jnp.float32),
+                pltpu.VMEM((H, NBp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, NBp), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(n_cand, jnp.int32).reshape(B), lut_bd, codes)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sel_block", "head_dim", "block_t",
+                                    "interpret"))
+def adc_block_scores_pallas(
+    lut: jax.Array,
+    codes: jax.Array,
+    n_cand: jax.Array,
+    *,
+    sel_block: int,
+    head_dim: int,
+    block_t: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ADC → softmax → per-block attention mass (euc metric).
+
+    lut [H_kv, g, S, C] f32; codes [H_kv, S, T] int8/int32 (T % sel_block
+    == 0); n_cand i32 scalar — tokens at index >= n_cand carry no mass.
+
+    Returns per-q-head normalized block mass [H, T // sel_block] f32
+    (rows sum to 1 over valid blocks). Group-sum + top-k stay with the
+    caller (tiny [H, ~T/block] ops). Equivalent XLA chain:
+    softmax(adc_scores/√D) masked → reshape-sum over sel_block.
+    """
+    H_kv, g, S, C = lut.shape
+    T = codes.shape[-1]
+    assert T % sel_block == 0
+    NB = T // sel_block
+    lut_bd, codes_p, bt, Tp = _adc_v2_prep(lut, codes, block_t)
+    if Tp % bt or bt % sel_block:
+        raise ValueError((Tp, bt, sel_block))
+    # scratch/output lane width padded to 128; grid stays Tp//bt chunks —
+    # indicator columns beyond Tp//sel_block are simply never matched
+    NBp = _round_up(Tp // sel_block, 128)
+    out = _adc_block_call(
+        lut_bd[None], codes_p[None],
+        jnp.asarray(n_cand, jnp.int32).reshape(1),
+        S=S, C=C, sel_block=sel_block, scale=1.0 / (head_dim ** 0.5),
+        bt=bt, NBp=NBp, interpret=interpret)[0]
+    return out[:, :NB]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sel_block", "head_dim", "block_t",
+                                    "interpret"))
+def adc_block_scores_pallas_batched(
+    lut: jax.Array,
+    codes: jax.Array,
+    n_cand: jax.Array,
+    *,
+    sel_block: int,
+    head_dim: int,
+    block_t: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batch-as-heads variant: lut [B, H_kv, g, S, C]; codes [B, H_kv, S, T];
+    n_cand [B] i32 per-slot counts → [B, H, T // sel_block] f32. One kernel,
+    batch in the grid (a vmapped call would serialize)."""
+    B, H_kv, g, S, C = lut.shape
+    T = codes.shape[-1]
+    assert T % sel_block == 0
+    NB = T // sel_block
+    lut_bd, codes_p, bt, Tp = _adc_v2_prep(lut, codes, block_t)
+    if Tp % bt or bt % sel_block:
+        raise ValueError((Tp, bt, sel_block))
+    NBp = _round_up(Tp // sel_block, 128)
+    out = _adc_block_call(
+        lut_bd, codes_p, jnp.asarray(n_cand, jnp.int32).reshape(B),
+        S=S, C=C, sel_block=sel_block, scale=1.0 / (head_dim ** 0.5),
+        bt=bt, NBp=NBp, interpret=interpret)
+    return out[:, :, :NB]
+
+
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def adc_scores_pallas_v2(
     lut: jax.Array,

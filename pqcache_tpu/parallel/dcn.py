@@ -1,0 +1,253 @@
+"""Multi-host serving: DCN-aware meshes + host-local data feeding.
+
+BASELINE.md's scaling north star is many concurrent long-context streams
+over multiple hosts. The reference has no distributed story at all (its
+engine is single-GPU, batch-1, with CPU offload over PCIe); on TPU pods
+the natural layout is
+
+    dp (slot pool)  →  OUTER axis, spans hosts over DCN
+    tp (heads)      →  INNER axis, stays inside a host's ICI domain
+
+so the per-token Megatron psums of the tp engine ride ICI only, and the
+dp axis needs NO collectives during decode at all (each dp group owns its
+slots end-to-end) — DCN carries nothing but the initial parameter
+broadcast and the per-chunk host-side token exchange.
+
+This module provides the multihost-safe plumbing around
+parallel/batch_tp.BatchTPEngine:
+
+  * `init_distributed()` — jax.distributed bootstrap (no-op single-host).
+  * `serving_mesh(dp, tp)` — hybrid DCN×ICI device mesh
+    (mesh_utils.create_hybrid_device_mesh) when multiple processes are
+    present, plain ICI mesh otherwise. Axis names ("dp", "tp") match the
+    engines' specs.
+  * `host_local_rows()` / `read_local_rows()` — build a dp-sharded global
+    array from per-process rows and read back only the addressable ones:
+    no host ever materializes another host's prompts or tokens.
+  * `DistributedBatchTPEngine.generate_batch_local()` — the multi-host
+    serving loop: every process feeds its OWN prompts, decode-chunk
+    termination is agreed via a process allgather of done flags.
+
+All paths execute identically under a single process (where local ==
+global) — which is how tests/test_dcn.py validates them on the 8-device
+CPU mesh; on a real multi-host pod the same code runs unchanged after
+init_distributed().
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pqcache_tpu.parallel.batch_tp import BatchTPEngine
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Bootstrap jax.distributed for a multi-host run. With no arguments,
+    relies on the cluster environment (TPU pod metadata / SLURM); a no-op
+    when already initialized or when running single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # single host, nothing to coordinate
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def serving_mesh(dp: int, tp: int, *, devices=None) -> Mesh:
+    """(dp, tp) mesh with dp spanning hosts over DCN when multi-process.
+
+    Multi-process: dp must be a multiple of the process count; each
+    process contributes dp/n_proc × tp of its local devices, and
+    create_hybrid_device_mesh orders the DCN axis outermost so dp indices
+    are process-contiguous (host h owns dp groups
+    [h·dp/n_proc, (h+1)·dp/n_proc)).
+    """
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        if dp % n_proc:
+            raise ValueError(f"dp={dp} must be a multiple of process "
+                             f"count {n_proc}")
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp // n_proc, tp),
+            dcn_mesh_shape=(n_proc, 1),
+            devices=devices)
+    else:
+        devs = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+    return Mesh(devs, axis_names=("dp", "tp"))
+
+
+def _proc_rows(mesh: Mesh, n_rows: int) -> tuple[int, int]:
+    """This process's contiguous [start, stop) range of a dp-sharded
+    leading axis of length n_rows."""
+    n_proc = jax.process_count()
+    assert n_rows % n_proc == 0, (n_rows, n_proc)
+    per = n_rows // n_proc
+    pid = jax.process_index()
+    return pid * per, (pid + 1) * per
+
+
+def host_local_rows(mesh: Mesh, spec: P, global_shape: tuple,
+                    local_rows: np.ndarray, dtype=None) -> jax.Array:
+    """Global dp-sharded array assembled from per-process rows.
+
+    `local_rows` holds ONLY this process's slice of the leading axis
+    (shape [n_global/n_proc, ...]); jax.make_array_from_callback invokes
+    the callback for addressable shards alone, so no host touches remote
+    rows. Single-process this is equivalent to jnp.asarray(local_rows)
+    with the given sharding.
+    """
+    local_rows = np.asarray(local_rows, dtype)
+    start, stop = _proc_rows(mesh, global_shape[0])
+    assert local_rows.shape[0] == stop - start, (local_rows.shape,
+                                                 global_shape)
+    sharding = NamedSharding(mesh, spec)
+
+    def cb(index):
+        r = index[0]
+        lo = 0 if r.start is None else r.start
+        hi = global_shape[0] if r.stop is None else r.stop
+        assert start <= lo and hi <= stop, (
+            "callback asked for non-addressable rows", index)
+        return local_rows[(slice(lo - start, hi - start),) + tuple(index[1:])]
+
+    return jax.make_array_from_callback(global_shape, sharding, cb)
+
+
+def read_local_rows(arr: jax.Array, n_rows: int) -> tuple[np.ndarray, int]:
+    """Addressable rows of a dp-sharded array as one ndarray, plus this
+    process's global row offset. Rows within the local range arrive in
+    global order."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    seen = {}
+    for s in shards:
+        lo = s.index[0].start or 0
+        if lo not in seen:
+            seen[lo] = np.asarray(s.data)
+    rows = [seen[k] for k in sorted(seen)]
+    out = np.concatenate(rows, axis=0)
+    start = min(seen) if seen else 0
+    return out, start
+
+
+def all_hosts_done(local_done: bool) -> bool:
+    """Termination agreement across processes (single-process: identity)."""
+    if jax.process_count() == 1:
+        return local_done
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(
+        jnp.asarray([1 if local_done else 0], jnp.int32))
+    return bool(np.all(np.asarray(flags)))
+
+
+def global_params(mesh: Mesh, params: dict) -> dict:
+    """Lift a per-host (replicated-value) param pytree into global arrays
+    for multi-process jit. Params carry no dp axis — every host holds the
+    same values — so the host-local array IS the global logical value;
+    single-process this is the identity."""
+    if jax.process_count() == 1:
+        return params
+    from jax.experimental import multihost_utils
+    from pqcache_tpu.parallel.tp_decode import PARAM_SPECS
+    return multihost_utils.host_local_array_to_global_array(
+        params, mesh, PARAM_SPECS)
+
+
+class DistributedBatchTPEngine(BatchTPEngine):
+    """BatchTPEngine with multihost-safe feeding: every process supplies
+    only ITS slots' prompts and reads back only its slots' tokens."""
+
+    def __init__(self, cfg, params, mesh, prefill_len, max_new_tokens,
+                 dtype=jnp.bfloat16):
+        super().__init__(cfg, global_params(mesh, params), mesh,
+                         prefill_len, max_new_tokens, dtype)
+
+    def init_state(self, B: int):
+        """Zero state created collectively ON-DEVICE with the engine's
+        shardings (a host-local zeros pytree is not a valid global-array
+        input under multi-process jit)."""
+        if jax.process_count() == 1:
+            return super().init_state(B)
+        from pqcache_tpu.parallel.batch_tp import BATCH_STATE_SPECS
+        shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), BATCH_STATE_SPECS)
+        shapes = jax.eval_shape(lambda: BatchTPEngine.init_state(self, B))
+        return jax.jit(
+            lambda: jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes),
+            out_shardings=shardings)()
+
+    def generate_batch_local(self, local_prompts: Sequence,
+                             max_new_tokens: int, eos_ids=()) -> list:
+        """Run B_local = len(local_prompts) slots on this process's dp
+        groups (global B = B_local × process_count). Returns this
+        process's token lists. Every process must call this collectively
+        with the same B_local and max_new_tokens."""
+        n_proc = jax.process_count()
+        dp_local = self.dp // n_proc
+        B_local = len(local_prompts)
+        if B_local % dp_local:
+            raise ValueError(f"B_local={B_local} must be a multiple of "
+                             f"local dp groups {dp_local}")
+        if max_new_tokens > self.max_new:
+            raise ValueError("max_new_tokens exceeds engine reservation")
+        B = B_local * n_proc
+        B_loc = B // self.dp               # slots per dp group
+        bstate = self.init_state(B)
+        mesh = self.mesh
+
+        firsts = np.zeros((B_local,), np.int32)
+        for w in range(B_loc):
+            toks = np.zeros((dp_local, self.P), np.int32)
+            pads = np.zeros((dp_local,), np.int32)
+            tlens = np.zeros((dp_local,), np.int32)
+            for g in range(dp_local):
+                ids = np.asarray(local_prompts[g * B_loc + w], np.int32)
+                pads[g] = self.P - len(ids)
+                tlens[g] = len(ids)
+                toks[g, pads[g]:] = ids
+            first, bstate = self._prefill(
+                self.params, bstate,
+                host_local_rows(mesh, P("dp", None), (self.dp, self.P),
+                                toks, np.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), pads, np.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), tlens, np.int32),
+                jnp.asarray(w, jnp.int32))
+            f, _ = read_local_rows(first, self.dp)
+            for g in range(dp_local):
+                firsts[g * B_loc + w] = f[g]
+
+        outs = [[int(firsts[i])] for i in range(B_local)]
+        poss = np.asarray([len(np.asarray(p)) for p in local_prompts],
+                          np.int32)
+        done = [outs[i][0] in eos_ids for i in range(B_local)]
+        while not all_hosts_done(
+                all(len(o) >= max_new_tokens or d
+                    for o, d in zip(outs, done))):
+            cur = np.asarray([o[-1] for o in outs], np.int32)
+            toks, bstate = self._decode(
+                self.params, bstate,
+                host_local_rows(mesh, P("dp"), (B,), cur, np.int32),
+                host_local_rows(mesh, P("dp"), (B,), poss, np.int32))
+            t_np, _ = read_local_rows(toks, B)     # [B_local, chunk]
+            poss = poss + self.chunk
+            for i in range(B_local):
+                if done[i]:
+                    continue
+                for t in t_np[i]:
+                    outs[i].append(int(t))
+                    if int(t) in eos_ids or len(outs[i]) >= max_new_tokens:
+                        done[i] = True
+                        break
+        return [o[:max_new_tokens] for o in outs]

@@ -83,6 +83,14 @@ class PQSearchPolicy:
         self.topk_eff = (budget.topk if self.select_block <= 1 else
                          -(-budget.topk // self.select_block)
                          * self.select_block)
+        # Deferred appends: the per-layer new-token append/encode (2 scatter
+        # writes + a tiny pq_encode matmul per layer) is hoisted OUT of the
+        # layer scan — decode_attn returns (out, (k_new, v_new)) and the
+        # model calls commit_appends once per step with all layers stacked
+        # (one batched encode + 2 scatters instead of L× each). The masked
+        # branch writes the tail before attention and the nogqa branch is
+        # per-q-head — both keep the in-loop contract.
+        self.deferred_appends = self.gqa and self.fetch_mode != "masked"
 
     # -- helpers ----------------------------------------------------------
 
@@ -182,7 +190,21 @@ class PQSearchPolicy:
             lut = pq.adc_lut_euc(q_sub, centroids)
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
-        if self.use_pallas and self.adc_mode != "xla":
+        # Fused block scorer: ADC + softmax + block reduction in ONE kernel
+        # (ops/adc_pallas.adc_block_scores_pallas) — the block-granular path
+        # never materializes the [H, N] score row.
+        fused_blockscore = (
+            self.use_pallas and self.adc_mode != "xla"
+            and self.select_block > 1 and self.metric == "euc" and self.gqa
+            and self.fetch_mode != "masked")
+        if fused_blockscore:
+            from pqcache_tpu.ops.adc_pallas import adc_block_scores_pallas
+            lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
+            blk_mass = adc_block_scores_pallas(
+                lut4, codes, n_cand, sel_block=self.select_block,
+                head_dim=self.D, interpret=self.interpret)
+            scores = None
+        elif self.use_pallas and self.adc_mode != "xla":
             from pqcache_tpu.ops.adc_pallas import (adc_scores_pallas,
                                                     adc_scores_pallas_v2)
             fn = (adc_scores_pallas_v2 if self.adc_mode == "v2"
@@ -247,9 +269,15 @@ class PQSearchPolicy:
             # block fetches (selection granularity of the reference's own
             # HBM cache, cache_manager.py:119-123); recall-oracle-checked.
             bs = self.select_block
-            blk_idx, _ = pq.mips_topk_blocks(
-                scores, n_cand, b.topk, group=self.group, head_dim=self.D,
-                block=bs, metric=self.metric, approx=self.approx_topk)
+            if fused_blockscore:
+                blk_idx = pq.topk_from_block_mass(
+                    blk_mass, n_cand, b.topk, group=self.group, block=bs,
+                    approx=self.approx_topk)
+            else:
+                blk_idx, _ = pq.mips_topk_blocks(
+                    scores, n_cand, b.topk, group=self.group,
+                    head_dim=self.D, block=bs, metric=self.metric,
+                    approx=self.approx_topk)
             blk_idx = jnp.sort(blk_idx, axis=-1)
             if self.use_pallas and self.D % 128 == 0:
                 # fused retrieval kernel: DMA the selected blocks straight
@@ -336,6 +364,10 @@ class PQSearchPolicy:
         segs.append((k_new.astype(dt), v_new.astype(dt), None))
         out = decode_window_attention_segments(q, segs, partials=partials)
 
+        if self.deferred_appends:
+            # append payload for commit_appends (once per step, all layers)
+            return out, (k_new[:, 0], v_new[:, 0])
+
         # Append + encode the new token (pq_search.py:343-354, collapsed:
         # encode at append time instead of at local-window exit).
         slot = n_cand + b.local
@@ -353,6 +385,31 @@ class PQSearchPolicy:
             codes=jax.lax.dynamic_update_slice(
                 state.codes, new_codes[None], (idx, 0, 0, slot)))
         return out, new
+
+    def commit_appends(self, state: PQState, payloads, shared) -> PQState:
+        """One per-step append of ALL layers' new tokens (deferred from the
+        layer scan): payloads = (k_new [L, H_kv, D], v_new [L, H_kv, D]).
+        Encode runs as one [L·H_kv·S]-deep batched matmul; the tail/code
+        writes are two dynamic_update_slices (the write slot n_cand+local
+        is layer-invariant)."""
+        k_new, v_new = payloads
+        b = self.budget
+        slot = shared["n_cand"] + b.local
+        L, H_kv, D = k_new.shape
+        dt = state.kv_tail.dtype
+        xg = self._to_groups(k_new.reshape(L * H_kv, 1, D))
+        if self.metric == "ip":
+            xg = pq.ip2l2_lift_with_phi(
+                xg, state.phi.reshape(L * H_kv * self.S, 1, 1))
+        cent = state.centroids.reshape(L * H_kv * self.S, self.C, -1)
+        codes = pq.pq_encode(xg, cent).reshape(
+            L, H_kv, self.S, 1).astype(state.codes.dtype)
+        kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)[:, :, None]
+        return state.replace(
+            kv_tail=jax.lax.dynamic_update_slice(
+                state.kv_tail, kv, (0, 0, slot, 0)),
+            codes=jax.lax.dynamic_update_slice(
+                state.codes, codes, (0, 0, 0, slot)))
 
     def _decode_attn_nogqa(self, state, idx, q, k_new, v_new, scores,
                            n_cand, centroids, k_sink, v_sink):
@@ -461,7 +518,21 @@ class PQSearchPolicy:
             lut = pq.adc_lut_euc(q_sub, centroids)           # [B·H, S, C]
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
-        if self.use_pallas and self.adc_mode != "xla":
+        fused_blockscore = (
+            self.use_pallas and self.adc_mode != "xla"
+            and self.select_block > 1 and self.metric == "euc")
+        if fused_blockscore:
+            from pqcache_tpu.ops.adc_pallas import (
+                adc_block_scores_pallas_batched)
+            lut5 = lut.reshape(B, self.H_kv, self.group, self.S, -1)
+            codes4 = codes.reshape(B, self.H_kv, self.S, -1)
+            blk_mass = adc_block_scores_pallas_batched(
+                lut5, codes4, shared["n_cand"],
+                sel_block=self.select_block, head_dim=self.D,
+                interpret=self.interpret)                    # [B, H, NB]
+            blk_mass = blk_mass.reshape(B * H, -1)
+            scores = None
+        elif self.use_pallas and self.adc_mode != "xla":
             import functools
             from pqcache_tpu.ops.adc_pallas import adc_scores_pallas_v2
             lut5 = lut.reshape(B, self.H_kv, self.group, self.S, -1)
@@ -476,10 +547,15 @@ class PQSearchPolicy:
         topk_idx = None
         if self.select_block > 1:
             bs = self.select_block
-            blk_idx, _ = pq.mips_topk_blocks(
-                scores, n_cand_h, b.topk, group=self.group,
-                head_dim=self.D, block=bs, metric=self.metric,
-                approx=self.approx_topk)                     # [B·H_kv, kb]
+            if fused_blockscore:
+                blk_idx = pq.topk_from_block_mass(
+                    blk_mass, n_cand_h, b.topk, group=self.group, block=bs,
+                    approx=self.approx_topk)                 # [B·H_kv, kb]
+            else:
+                blk_idx, _ = pq.mips_topk_blocks(
+                    scores, n_cand_h, b.topk, group=self.group,
+                    head_dim=self.D, block=bs, metric=self.metric,
+                    approx=self.approx_topk)                 # [B·H_kv, kb]
             blk_idx = jnp.sort(blk_idx, axis=-1)
             if self.use_pallas and self.D % 128 == 0:
                 from pqcache_tpu.ops.block_attn_pallas import (
@@ -525,6 +601,10 @@ class PQSearchPolicy:
                 (k_new_f, v_new_f, None),
             ], partials=partials)
 
+        if self.deferred_appends:
+            return (out.reshape(B, H, self.D),
+                    (k_new_f[:, 0], v_new_f[:, 0]))
+
         # append + encode the new token per slot (scatter rows: per-slot
         # write positions n_cand[b] + local)
         x_new = self._to_groups(k_new_f[:, 0][:, None, :].reshape(
@@ -543,6 +623,32 @@ class PQSearchPolicy:
             slot_pos[:, None]].set(new_codes)
         new = state.replace(kv_tail=kv_tail, codes=codes_up)
         return out.reshape(B, H, self.D), new
+
+    def commit_appends_batched(self, state: PQState, payloads,
+                               shared) -> PQState:
+        """Per-step stacked append for batch-as-heads: payloads =
+        (k_new [L, B·H_kv, D], v_new [L, B·H_kv, D]); write slots are
+        per-slot (n_cand[b] + local) but layer-invariant."""
+        k_new, v_new = payloads
+        b = self.budget
+        L, BH_kv, D = k_new.shape
+        heads = jnp.arange(BH_kv, dtype=jnp.int32)
+        slot_pos = (jnp.repeat(shared["n_cand"], self.H_kv)
+                    + b.local)                               # [B·H_kv]
+        dt = state.kv_tail.dtype
+        xg = self._to_groups(k_new.reshape(L * BH_kv, 1, D))
+        if self.metric == "ip":
+            xg = pq.ip2l2_lift_with_phi(
+                xg, state.phi.reshape(L * BH_kv * self.S, 1, 1))
+        cent = state.centroids.reshape(L * BH_kv * self.S, self.C, -1)
+        codes = pq.pq_encode(xg, cent).reshape(
+            L, BH_kv, self.S).astype(state.codes.dtype)
+        kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
+        kv_tail = state.kv_tail.at[:, heads, slot_pos].set(kv)
+        codes_up = state.codes.at[
+            :, heads[:, None], jnp.arange(self.S)[None, :],
+            slot_pos[:, None]].set(codes)
+        return state.replace(kv_tail=kv_tail, codes=codes_up)
 
     def shared_pre_batched(self, state: PQState):
         return {"n_cand": state.n_cand}

@@ -55,3 +55,69 @@ def test_single_subvec():
     ref = adc_scores_xla(lut, codes)
     out = adc_scores_pallas(lut, codes, block_t=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def _block_mass_xla(lut, codes, n_cand, sel_block, head_dim):
+    """Reference chain: ADC scores → masked softmax → per-block sums."""
+    H_kv, g, S, C = lut.shape
+    T = codes.shape[-1]
+    scores = adc_scores_xla(lut, codes).reshape(H_kv * g, T)
+    tok = jnp.arange(T, dtype=jnp.int32)[None, :]
+    masked = jnp.where(tok < n_cand, scores / jnp.sqrt(float(head_dim)),
+                       -jnp.inf)
+    probs = jax.nn.softmax(masked, axis=-1)
+    probs = jnp.where(tok < n_cand, probs, 0.0)
+    return jnp.sum(probs.reshape(H_kv * g, T // sel_block, sel_block),
+                   axis=-1)
+
+
+@pytest.mark.parametrize("T,n_cand,sel_block", [(2048, 2048, 128),
+                                                (2048, 1500, 128),
+                                                (4096, 3000, 256),
+                                                (2048, 100, 128)])
+def test_fused_block_scores(T, n_cand, sel_block):
+    from pqcache_tpu.ops.adc_pallas import adc_block_scores_pallas
+    rng = np.random.default_rng(11)
+    H_kv, g, S, C, D = 2, 4, 2, 64, 128
+    lut = jnp.asarray(rng.normal(size=(H_kv, g, S, C)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, C, size=(H_kv, S, T)), jnp.int8)
+    ref = _block_mass_xla(lut, codes, n_cand, sel_block, D)
+    out = adc_block_scores_pallas(
+        lut, codes, jnp.asarray(n_cand), sel_block=sel_block, head_dim=D,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=5e-4)
+
+
+def test_fused_block_scores_batched_per_slot_counts():
+    from pqcache_tpu.ops.adc_pallas import adc_block_scores_pallas_batched
+    rng = np.random.default_rng(12)
+    B, H_kv, g, S, C, T, D = 3, 2, 2, 2, 64, 2048, 128
+    lut = jnp.asarray(rng.normal(size=(B, H_kv, g, S, C)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, C, size=(B, H_kv, S, T)), jnp.int8)
+    n_cand = jnp.asarray([2048, 700, 1], jnp.int32)
+    out = adc_block_scores_pallas_batched(
+        lut, codes, n_cand, sel_block=128, head_dim=D, interpret=True)
+    for b in range(B):
+        ref = _block_mass_xla(lut[b], codes[b], int(n_cand[b]), 128, D)
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
+                                   rtol=0.05, atol=5e-4)
+
+
+def test_topk_from_block_mass_matches_mips_topk_blocks():
+    from pqcache_tpu.core import pq as pqcore
+    rng = np.random.default_rng(13)
+    H_kv, g, S, C, T, D = 2, 4, 2, 64, 2048, 128
+    H = H_kv * g
+    lut = jnp.asarray(rng.normal(size=(H_kv, g, S, C)), jnp.float32)
+    codes = jnp.asarray(rng.integers(0, C, size=(H_kv, S, T)), jnp.int8)
+    n_cand = 1800
+    scores = adc_scores_xla(lut, codes).reshape(H, T)
+    blk_ref, _ = pqcore.mips_topk_blocks(
+        scores, jnp.asarray(n_cand), 512, group=g, head_dim=D, block=128,
+        approx=False)
+    mass = _block_mass_xla(lut, codes, n_cand, 128, D)
+    blk_new = pqcore.topk_from_block_mass(
+        mass, jnp.asarray(n_cand), 512, group=g, block=128, approx=False)
+    assert np.array_equal(np.sort(np.asarray(blk_ref), -1),
+                          np.sort(np.asarray(blk_new), -1))

@@ -16,7 +16,8 @@ def _mk(rng, *shape):
 
 
 @pytest.mark.parametrize("bs,nb_sel,n_cand", [(128, 3, 512), (128, 4, 300),
-                                              (256, 2, 512)])
+                                              (256, 2, 512), (128, 5, 700),
+                                              (128, 7, 1024)])
 def test_kernel_matches_xla_reference(bs, nb_sel, n_cand):
     rng = np.random.default_rng(0)
     L, H_kv, group, N, D = 2, 2, 4, 1024, 128

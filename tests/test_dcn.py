@@ -1,0 +1,83 @@
+"""Multi-host plumbing (parallel/dcn.py) on the single-process CPU mesh.
+
+A real DCN run needs multiple processes; what IS testable here is that
+every multihost-safe code path — serving_mesh construction, global-array
+assembly from per-process rows, addressable-shard readback, the
+allgathered termination, and the DistributedBatchTPEngine serving loop —
+executes and produces the same tokens as the plain BatchTPEngine (under a
+single process, local == global by definition).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pqcache_tpu.config import (BudgetConfig, EngineConfig, PQConfig,
+                                RuntimeConfig, tiny_model_config)
+from pqcache_tpu.models import llama
+from pqcache_tpu.parallel import dcn
+
+
+needs8 = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+
+@needs8
+def test_serving_mesh_axes():
+    mesh = dcn.serving_mesh(2, 4)
+    assert mesh.shape["dp"] == 2 and mesh.shape["tp"] == 4
+    assert mesh.axis_names == ("dp", "tp")
+
+
+@needs8
+def test_host_local_roundtrip():
+    mesh = dcn.serving_mesh(2, 4)
+    rows = np.arange(2 * 6, dtype=np.int32).reshape(2, 6)
+    arr = dcn.host_local_rows(mesh, P("dp", None), (2, 6), rows, np.int32)
+    assert arr.shape == (2, 6)
+    back, start = dcn.read_local_rows(arr, 2)
+    assert start == 0
+    np.testing.assert_array_equal(back, rows)
+    # 1-D counters
+    c = np.asarray([7, 9], np.int32)
+    arr1 = dcn.host_local_rows(mesh, P("dp"), (2,), c, np.int32)
+    back1, _ = dcn.read_local_rows(arr1, 2)
+    np.testing.assert_array_equal(back1, c)
+
+
+def test_all_hosts_done_single_process():
+    assert dcn.all_hosts_done(True) is True
+    assert dcn.all_hosts_done(False) is False
+
+
+@needs8
+def test_distributed_engine_matches_plain_batch_tp():
+    from pqcache_tpu.parallel.batch_tp import BatchTPEngine
+    cfg_m = tiny_model_config(num_layers=2, num_heads=8, num_kv_heads=4,
+                              hidden_size=64)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(9),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla"),
+    )
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, cfg_m.vocab_size, size=256).astype(np.int32)
+               for _ in range(4)]
+
+    mesh = dcn.serving_mesh(2, 4)
+    ref_eng = BatchTPEngine(ecfg, params, mesh, prefill_len=256,
+                            max_new_tokens=8, dtype=jnp.float32)
+    refs = ref_eng.generate_batch(prompts, max_new_tokens=8)
+
+    eng = dcn.DistributedBatchTPEngine(ecfg, params, mesh, prefill_len=256,
+                                       max_new_tokens=8, dtype=jnp.float32)
+    outs = eng.generate_batch_local(prompts, max_new_tokens=8)
+    assert outs == refs

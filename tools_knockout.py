@@ -49,6 +49,19 @@ elif VARIANT == "noscore_blk":
         idx = jnp.tile(jnp.arange(kb, dtype=jnp.int32)[None], (H_kv, 1))
         return idx, None
     pqs.pq.mips_topk_blocks = fake_blocks
+    # fused-scorer path equivalents (adc_block_scores_pallas +
+    # topk_from_block_mass): constant selection, kernel dead-code'd
+    def fake_mass_topk(blk_mass, n_valid, k_tokens, *, group, block, **kw):
+        H_kv = blk_mass.shape[0] // group
+        kb = max((k_tokens + block - 1) // block, 1)
+        return jnp.tile(jnp.arange(kb, dtype=jnp.int32)[None], (H_kv, 1))
+    pqs.pq.topk_from_block_mass = fake_mass_topk
+    import pqcache_tpu.ops.adc_pallas as adcp
+    def fake_block_scores(lut, codes, n_cand, *, sel_block, head_dim, **kw):
+        H_kv, g, S, C = lut.shape
+        return jnp.zeros((H_kv * g, codes.shape[-1] // sel_block),
+                         jnp.float32)
+    adcp.adc_block_scores_pallas = fake_block_scores
 elif VARIANT == "noblkattn":
     # block mode: fused block attention replaced by a null partial that
     # still consumes blk_idx (keeps ADC+top-k alive); measures
