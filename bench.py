@@ -49,6 +49,7 @@ def main():
     # path (fused block-retrieval kernel; recall-oracle-gated), 1 = the
     # reference's per-token parity mode
     sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "128"))
+    fetch_par = int(os.environ.get("BENCH_FETCH_PAR", "4"))
     # headline = batched serving (B concurrent 32k streams on one chip,
     # batch-as-heads decode) — the regime PQCache exists for; the
     # reference is hard-limited to batch 1 (mistral_patch.py:61).
@@ -74,7 +75,7 @@ def main():
         cfg = EngineConfig(
             model=model,
             pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
-                        select_block=sel_block),
+                        select_block=sel_block, fetch_par=fetch_par),
             budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
                                 sink_size=32),
             runtime=RuntimeConfig(policy=policy_name, prefill_bucket=1024,

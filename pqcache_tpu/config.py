@@ -101,6 +101,12 @@ class PQConfig:
     fetch_mode: str = "gather"        # "gather" | "masked" retrieval fetch
     gather_mode: str = "xla"          # "xla" | "pallas" row-gather impl
     check_recall: bool = False        # runtime recall oracle (debug print)
+    # Parallel in-flight block DMAs per grid step of the fused
+    # block-retrieval kernel (ops/block_attn_pallas.block_topk_attention):
+    # the per-block DMA is latency-bound, so more in-flight refs cut the
+    # sequential wait count — at the price of n_par× the double-buffered
+    # VMEM (n_par · 2 · block · 2D · 2B).
+    fetch_par: int = 4
 
     def __post_init__(self):
         if self.n_subvec_per_head not in (1, 2, 4, 8, 16):

@@ -287,7 +287,7 @@ class PQSearchPolicy:
                     block_topk_attention)
                 m_p, l_p, acc_p = block_topk_attention(
                     q, state.kv_tail, idx, blk_idx, n_cand, block=bs,
-                    interpret=self.interpret)
+                    n_par=self.cfg.pq.fetch_par, interpret=self.interpret)
                 return self._finish_decode(
                     state, idx, q, k_new, v_new, n_cand, centroids,
                     k_sink, v_sink, None, None, None,
@@ -562,7 +562,8 @@ class PQSearchPolicy:
                     block_topk_attention)
                 m_p, l_p, acc_p = block_topk_attention(
                     qf.reshape(B * H, 1, self.D), state.kv_tail, idx,
-                    blk_idx, n_cand_h, block=bs, interpret=self.interpret)
+                    blk_idx, n_cand_h, block=bs,
+                    n_par=self.cfg.pq.fetch_par, interpret=self.interpret)
                 partials = [(m_p, l_p, acc_p)]
             else:
                 topk_idx = (blk_idx[:, :, None] * bs

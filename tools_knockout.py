@@ -28,6 +28,7 @@ CTX = int(os.environ.get("CTX", "32768"))
 LAYERS = int(os.environ.get("LAYERS", "8"))
 STEPS = int(os.environ.get("STEPS", "16"))
 BLOCK = int(os.environ.get("BLOCK", "1"))
+FETCH_PAR = int(os.environ.get("FETCH_PAR", "4"))
 
 if VARIANT == "noadc":
     # fixed top-k indices; ADC/softmax/topk removed
@@ -105,7 +106,7 @@ model = ModelConfig(
 cfg = EngineConfig(
     model=model,
     pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
-                select_block=BLOCK),
+                select_block=BLOCK, fetch_par=FETCH_PAR),
     budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
     runtime=RuntimeConfig(policy="pq_search", prefill_bucket=1024,
                           max_new_tokens=64, max_seq_len=CTX * 2))
