@@ -1,101 +1,127 @@
-"""Host-offload tier: bf16 KV in host RAM, DEVICE-resident HBM block cache,
-native-LFU residency with asynchronous promotion.
+"""Host-offload tier v3: block-granular pinned-host KV store, DEVICE-resident
+HBM block cache, native-LFU residency with asynchronous promotion.
 
-This is the TPU-native equivalent of the reference's full memory hierarchy
+TPU-native equivalent of the reference's full memory hierarchy
 (cache_manager.py): per-layer pinned CPU key/value buffers (:89-100), a
 block-granular GPU-resident cache (:119-120) with C++ LFU admission
-(:364-380), per-token hit/miss classification (:250-271), and async
+(:364-380), per-block hit/miss classification (:250-271), and async
 promotion on a side stream overlapped with compute (:364-418). It extends
 PQCache beyond per-chip HBM capacity; within-HBM contexts use the fused
 on-device path in policies/pq_search.py instead.
 
-Design (vs the round-1 correctness-grade tier):
-  * the block cache lives in DEVICE memory (`cache_kv[l]`,
-    [n_slots, H_kv, block, 2D]): a cache hit costs an on-device gather and
-    NO host traffic (round 1 mirrored the cache in host numpy, so hits
-    saved nothing);
-  * the host store is bf16 (`kv_host`, K‖V interleaved per row) — half the
-    memory and transfer volume of the old f32 buffers;
-  * host-side gather work is proportional to MISSES only: miss rows are
-    compacted into a power-of-2-bucketed staging buffer and scattered into
-    the window on device (`mode="drop"` for the padding lanes);
-  * LFU admission runs through the native library's ASYNC API on a
-    promotion worker thread; block copies host→device overlap with the
-    decode compute of subsequent layers (the reference's side-stream
-    promotion, cache_manager.py:382-418), becoming visible by the next
-    fetch of that layer.
+Measured constraints that shape this design (tools_pinned_probe{,7,8}.py;
+ROUND_NOTES "pinned_host probe results"):
+  * whole-array `jax.device_put` between pinned_host and device runs at
+    ~10 GB/s (real DMA — the TPU analog of the reference's cudaMemcpyAsync
+    pinned staging, cache_manager.py:339-362);
+  * host-SPACE compute (gather/slice on a host-resident array, with or
+    without compute_on) is 2-3 orders of magnitude slower than DMA and
+    partially crashes the compiler — so the store NEVER computes on host
+    data. Every fetchable unit is its own pinned leaf.
+
+Consequences:
+  * storage is per-(layer, block) pinned leaves [H_kv, block, 2D] — K and V
+    interleaved per row so one transfer fetches both;
+  * the fetch unit is a BLOCK for the union of heads (selection is already
+    block-granular on the TPU fast path; per-head row gathers would need
+    host-space compute);
+  * misses of one fetch are staged with ONE `jax.device_put(list_of_leaves)`
+    call and stacked on device;
+  * the growing tail block lives ON DEVICE (`tail`) until it fills, then
+    moves to pinned host as a complete leaf — appends never touch host;
+  * overwrites of stored blocks (rare; arbitrary-position append_token)
+    round-trip the single affected leaf through the device.
 """
 
 from __future__ import annotations
 
+import functools
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-import ml_dtypes
+from jax.sharding import SingleDeviceSharding
 
 from pqcache_tpu.native.lfu_cache import LFUCache
 
-BF16 = ml_dtypes.bfloat16
+
+def host_sharding(device=None) -> Optional[SingleDeviceSharding]:
+    """pinned_host placement for `device`, or None if the backend has no
+    host memory kind (the store then keeps leaves in default memory — on
+    CPU that is host RAM anyway)."""
+    dev = device if device is not None else jax.devices()[0]
+    try:
+        kinds = [m.kind for m in dev.addressable_memories()]
+    except Exception:  # pragma: no cover - exotic backends
+        return None
+    if "pinned_host" not in kinds:
+        return None
+    return SingleDeviceSharding(dev, memory_kind="pinned_host")
 
 
-def _bucket(n: int, lo: int = 64) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
+@functools.partial(jax.jit, static_argnames=("n", "bs"))
+def _split_blocks(kv: jax.Array, n: int, bs: int):
+    """kv [H_kv, T, 2D] → tuple of n block arrays [H_kv, bs, 2D] (ONE
+    compiled program regardless of n — per-block jnp slicing would compile
+    n distinct trivial programs through the remote-compile tunnel)."""
+    return tuple(jax.lax.dynamic_slice_in_dim(kv, i * bs, bs, axis=1)
+                 for i in range(n))
 
 
-def assemble_rows(cache: jax.Array, token_idx: jax.Array, slots: jax.Array,
-                  staged: jax.Array, miss_meta: jax.Array, *, block: int
-                  ) -> Tuple[jax.Array, jax.Array]:
-    """ON-DEVICE row assembly: hits gathered from the device block cache,
-    misses scattered in from the bucketed staging buffer (jit-traceable).
+def assemble_blocks(cache: jax.Array, staged: jax.Array, slots: jax.Array,
+                    miss_pos: jax.Array) -> jax.Array:
+    """ON-DEVICE block assembly (jit-traceable): hits gathered from the
+    device block cache, misses from the staged pinned transfers.
 
-    cache [n_slots, H_kv, block, 2D]; token_idx/slots [H_kv, k];
-    staged [M, 2D]; miss_meta [2, M] = (head, col) rows, packed into ONE
-    transfer (out-of-bounds-padded → mode="drop").
-    Returns (k_top, v_top) [H_kv, k, D].
+    cache [n_slots, H_kv, bs, 2D]; staged [M, H_kv, bs, 2D];
+    slots/miss_pos [H_kv, kb] (slot < 0 → use staged[miss_pos]).
+    Returns [H_kv, kb, bs, 2D].
     """
-    H_kv = token_idx.shape[0]
-    D = cache.shape[-1] // 2
+    H_kv = slots.shape[0]
     heads = jnp.arange(H_kv)[:, None]
-    cache_rows = cache[jnp.clip(slots, 0), heads, token_idx % block]
-    rows = jnp.where((slots >= 0)[..., None], cache_rows, 0)
-    rows = rows.at[miss_meta[0], miss_meta[1]].set(
-        staged.astype(rows.dtype), mode="drop")
-    return rows[..., :D], rows[..., D:]
+    from_cache = cache[jnp.clip(slots, 0), heads]          # [H_kv, kb, bs, 2D]
+    from_stage = staged[jnp.clip(miss_pos, 0), heads]
+    return jnp.where((slots >= 0)[..., None, None], from_cache, from_stage)
 
 
 class HostKVStore:
     def __init__(self, layers: int, n_kv_heads: int, capacity: int,
                  head_dim: int, *, block_size: int = 128,
                  hbm_cache_tokens: int = 4096, cache_topk_blocks: int = 32,
-                 dtype=BF16):
-        self.L, self.H_kv, self.N, self.D = layers, n_kv_heads, capacity, head_dim
+                 dtype=jnp.bfloat16):
+        self.L, self.H_kv, self.N, self.D = (layers, n_kv_heads, capacity,
+                                             head_dim)
         self.block = block_size
         self.n_cache_blocks = max(hbm_cache_tokens // block_size, 1)
         self.cache_topk = cache_topk_blocks
         self.max_blocks = (capacity + block_size - 1) // block_size
-        self.dtype = dtype
+        self.dtype = jnp.dtype(dtype)
 
-        # host store: K and V interleaved per row → one gather fetches both
-        self.kv_host = np.zeros(
-            (layers, n_kv_heads, capacity, 2 * head_dim), dtype)
-        self.valid = np.zeros((layers,), np.int64)  # tokens present per layer
+        self._s_host = host_sharding()
+        dev = jax.devices()[0]
+        self._s_dev = (SingleDeviceSharding(dev, memory_kind="device")
+                       if self._s_host is not None else None)
+        # per-(layer, block) pinned leaves
+        self.kv_blocks: List[Dict[int, jax.Array]] = [
+            {} for _ in range(layers)]
+        self.valid = np.zeros((layers,), np.int64)  # complete-block tokens
+        # growing tail block, DEVICE-resident
+        self.tail: List[jax.Array] = [
+            jnp.zeros((n_kv_heads, block_size, 2 * head_dim), self.dtype)
+            for _ in range(layers)]
+        self.tail_fill = np.zeros((layers,), np.int64)
 
-        # DEVICE-resident block cache + device copy of the slot map
-        jdt = jnp.bfloat16 if dtype == BF16 else jnp.dtype(dtype)
+        # DEVICE-resident block cache + the LFU's slot-proxy map
         self.cache_kv: List[jax.Array] = [
             jnp.zeros((self.n_cache_blocks, n_kv_heads, block_size,
-                       2 * head_dim), jdt)
+                       2 * head_dim), self.dtype)
             for _ in range(layers)]
-        # block-id → cache slot; HOST array is authoritative (it is the
-        # LFU's in-place proxy, lfu_cache.cc:93-122 / block_pos_record)
+        # block-id → cache slot; HOST array is authoritative (the LFU's
+        # in-place proxy, native/lfu/lfu.cc block_pos_record contract)
         self.block_slot = np.full((layers, self.max_blocks), -1, np.int32)
 
         self.lfu = [LFUCache(self.n_cache_blocks) for _ in range(layers)]
@@ -105,98 +131,187 @@ class HostKVStore:
         self.hits = 0
         self.misses = 0
 
+    # -- placement helpers -------------------------------------------------
+
+    def _to_host(self, x: jax.Array) -> jax.Array:
+        return (jax.device_put(x, self._s_host) if self._s_host is not None
+                else x)
+
     # -- writes -----------------------------------------------------------
+
+    def offload_layer_device(self, layer: int, kv: jax.Array,
+                             n_tokens: int) -> None:
+        """Bulk offload of a layer's prefill KV from a DEVICE array
+        (cache_manager.py:205-210): complete blocks become pinned leaves
+        (one batched transfer per chunk of 64), the remainder seeds the
+        device tail. kv [H_kv, T, 2D] with the first n_tokens rows valid."""
+        bs = self.block
+        n_full = n_tokens // bs
+        start = self.valid[layer] // bs
+        CH = 64  # blocks per split program / batched device_put
+        for c0 in range(0, n_full, CH):
+            n = min(CH, n_full - c0)
+            sub = jax.lax.dynamic_slice_in_dim(kv, c0 * bs, n * bs, axis=1)
+            leaves = _split_blocks(sub, n=n, bs=bs)
+            hosted = (jax.device_put(list(leaves), self._s_host)
+                      if self._s_host is not None else list(leaves))
+            for i, leaf in enumerate(hosted):
+                self.kv_blocks[layer][start + c0 + i] = leaf
+        self.valid[layer] = (start + n_full) * bs
+        rem = n_tokens - n_full * bs
+        if rem:
+            part = jax.lax.dynamic_slice_in_dim(kv, n_full * bs, rem, axis=1)
+            self.tail[layer] = jax.lax.dynamic_update_slice_in_dim(
+                self.tail[layer] * 0, part.astype(self.dtype), 0, axis=1)
+            self.tail_fill[layer] = rem
 
     def offload_layer(self, layer: int, k: np.ndarray, v: np.ndarray,
                       start: int = 0) -> None:
-        """Bulk offload after a layer's prefill (cache_manager.py:205-210)."""
-        n = k.shape[1]
-        self.kv_host[layer][:, start:start + n, :self.D] = k
-        self.kv_host[layer][:, start:start + n, self.D:] = v
-        self.valid[layer] = max(self.valid[layer], start + n)
+        """NumPy convenience wrapper (tests / non-device producers)."""
+        assert start == self.valid[layer] + self.tail_fill[layer] or start == 0
+        kv = jnp.asarray(
+            np.concatenate([np.asarray(k, np.float32),
+                            np.asarray(v, np.float32)], axis=-1),
+            self.dtype)
+        if start == 0:
+            self.valid[layer] = 0
+            self.tail_fill[layer] = 0
+            self.kv_blocks[layer].clear()
+        self.offload_layer_device(layer, kv, kv.shape[1])
+
+    def _flush_tail(self, layer: int) -> None:
+        b = self.valid[layer] // self.block
+        self.kv_blocks[layer][b] = self._to_host(self.tail[layer])
+        self.valid[layer] += self.block
+        self.tail_fill[layer] = 0
+        self.tail[layer] = jnp.zeros_like(self.tail[layer])
+
+    def append_row_device(self, layer: int, row: jax.Array) -> None:
+        """Sequential append of one token row [H_kv, 2D] (device array) —
+        the engine's ring-evict path (cache_manager.py:212-228). Lands in
+        the device tail; a filled tail moves to pinned host as one leaf."""
+        fill = int(self.tail_fill[layer])
+        self.tail[layer] = jax.lax.dynamic_update_slice_in_dim(
+            self.tail[layer], row.astype(self.dtype)[:, None], fill, axis=1)
+        self.tail_fill[layer] = fill + 1
+        if self.tail_fill[layer] == self.block:
+            self._flush_tail(layer)
+
+    def adopt_block_device(self, layer: int, kv_block: jax.Array) -> None:
+        """Adopt a COMPLETE block [H_kv, bs, 2D] built on device by the
+        engine (its traced tail buffer) as the next pinned leaf."""
+        assert self.tail_fill[layer] == 0
+        b = self.valid[layer] // self.block
+        self.kv_blocks[layer][b] = self._to_host(kv_block.astype(self.dtype))
+        self.valid[layer] += self.block
 
     def append_token(self, layer: int, pos: int, k: np.ndarray,
                      v: np.ndarray) -> None:
-        """Ring-evicted local token → host (cache_manager.py:212-228)."""
-        self.kv_host[layer][:, pos, :self.D] = k
-        self.kv_host[layer][:, pos, self.D:] = v
-        self.valid[layer] = max(self.valid[layer], pos + 1)
-        # appends land in the growing tail block, which strict-< admission
-        # keeps out of the cache; refresh defensively if it is resident
+        """Positioned single-row write. Sequential appends extend the tail;
+        writes into already-stored regions round-trip the affected leaf
+        through the device (rare) and refresh any cache-resident copy."""
+        row = jnp.asarray(
+            np.concatenate([np.asarray(k, np.float32),
+                            np.asarray(v, np.float32)], axis=-1)[:, None],
+            self.dtype)                                     # [H_kv, 1, 2D]
+        total = self.valid[layer] + self.tail_fill[layer]
+        if pos == total:
+            self.append_row_device(layer, row[:, 0])
+            return
+        if pos > total:
+            raise ValueError(f"append at {pos} beyond tail {total}")
+        bs = self.block
+        if pos >= self.valid[layer]:                        # inside tail
+            self.tail[layer] = jax.lax.dynamic_update_slice_in_dim(
+                self.tail[layer], row, pos - int(self.valid[layer]), axis=1)
+            return
+        b, off = pos // bs, pos % bs
+        leaf = self.kv_blocks[layer][b]
+        dev = jax.device_put(leaf, self._s_dev)             # host → device
+        dev = jax.lax.dynamic_update_slice_in_dim(dev, row, off, axis=1)
+        self.kv_blocks[layer][b] = self._to_host(dev)
         with self._locks[layer]:
-            slot = int(self.block_slot[layer][pos // self.block])
-            if slot >= 0:
-                row = np.concatenate([k, v], axis=-1).astype(self.dtype)
+            slot = int(self.block_slot[layer][b])
+            if slot >= 0:                                   # refresh cache
                 self.cache_kv[layer] = self.cache_kv[layer].at[
-                    slot, :, pos % self.block].set(jnp.asarray(row))
+                    slot, :, off].set(row[:, 0])
 
     # -- fetch path -------------------------------------------------------
 
-    def classify(self, layer: int, token_idx: np.ndarray):
-        """Hit/miss split vs the block→slot map (gpu_diff equivalent,
-        cache_manager.py:250-271). Returns (slots [H_kv,k], hit [H_kv,k])."""
+    def classify_blocks(self, layer: int, blk_idx: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray, jax.Array]:
+        """Hit/miss split + miss staging for a per-head block selection.
+
+        blk_idx [H_kv, kb] int — block ids (entries >= the complete-block
+        count are treated as invalid: slot -1 / miss_pos -1; the caller
+        masks them). Returns (slots [H_kv, kb], miss_pos [H_kv, kb],
+        staged [M, H_kv, bs, 2D] device) where slot >= 0 means the block is
+        cache-resident at that slot, otherwise staged[miss_pos] holds it.
+        Misses are fetched with ONE batched device_put of pinned leaves
+        (the reference's pinned staging, cache_manager.py:339-362).
+        """
         self.flush()
+        blk_idx = np.asarray(blk_idx)
+        n_complete = int(self.valid[layer]) // self.block
+        ok = blk_idx < n_complete
         with self._locks[layer]:
-            slots = self.block_slot[layer][token_idx // self.block].copy()
+            slots = np.where(ok, self.block_slot[layer][
+                np.clip(blk_idx, 0, self.max_blocks - 1)], -1)
         hit = slots >= 0
         self.hits += int(hit.sum())
-        self.misses += int((~hit).sum())
-        return slots, hit
-
-    def stage_misses(self, layer: int, token_idx: np.ndarray,
-                     hit: np.ndarray):
-        """Compact miss rows into a bucketed staging buffer.
-
-        Host gather cost and H2D volume are proportional to the miss count
-        (the reference's pinned staging path, cache_manager.py:339-362).
-        Returns (staged [M, 2D] device, miss_meta [2, M] device = (head,
-        col) rows packed into one transfer); padding lanes carry a LARGE
-        positive sentinel — scatter drops out-of-bounds rows (negative
-        padding would WRAP to the last row under NumPy index semantics and
-        clobber real data).
-        """
-        mh, mc = np.nonzero(~hit)
-        m = len(mh)
-        M = _bucket(max(m, 1))
-        staged = np.zeros((M, 2 * self.D), self.dtype)
-        if m:
-            staged[:m] = self.kv_host[layer][mh, token_idx[mh, mc]]
-        meta = np.full((2, M), np.int32(2 ** 30), np.int32)
-        meta[0, :m], meta[1, :m] = mh, mc
-        return jnp.asarray(staged), jnp.asarray(meta)
-
-    def assemble(self, layer: int, token_idx: jax.Array, slots: jax.Array,
-                 staged: jax.Array, miss_meta: jax.Array
-                 ) -> Tuple[jax.Array, jax.Array]:
-        """ON-DEVICE row assembly for the eager fetch() path; the engine
-        calls the pure `assemble_rows` inside its jitted layer step."""
-        return assemble_rows(self.cache_kv[layer], token_idx, slots, staged,
-                             miss_meta, block=self.block)
+        self.misses += int((ok & ~hit).sum())
+        miss_blocks = np.unique(blk_idx[ok & ~hit])
+        if miss_blocks.size:
+            leaves = [self.kv_blocks[layer][int(b)] for b in miss_blocks]
+            dev = jax.device_put(leaves, self._s_dev)       # one batched H2D
+            staged = jnp.stack(dev)
+            lut = np.full((self.max_blocks,), -1, np.int64)
+            lut[miss_blocks] = np.arange(miss_blocks.size)
+            miss_pos = np.where(
+                ok & ~hit,
+                lut[np.clip(blk_idx, 0, self.max_blocks - 1)], -1)
+        else:
+            staged = jnp.zeros((1, self.H_kv, self.block, 2 * self.D),
+                               self.dtype)
+            miss_pos = np.full_like(slots, -1)
+        self.admit_async(layer, blk_idx[ok])
+        return slots.astype(np.int32), miss_pos.astype(np.int32), staged
 
     def fetch(self, layer: int, token_idx: np.ndarray
               ) -> Tuple[jax.Array, jax.Array]:
         """token_idx [H_kv, k] → (k_top, v_top) [H_kv, k, D] device arrays.
 
-        One-call convenience mirroring fetch_and_concat_kv_w_cache
-        (cache_manager.py:299-428); the engine uses the split
-        classify/stage_misses/assemble pieces inside its jitted layer step.
+        Row-granular convenience (tests / debugging) mirroring
+        fetch_and_concat_kv_w_cache (cache_manager.py:299-428): classify
+        the covering blocks, assemble them on device, pick the requested
+        rows; tokens past the complete region come from the device tail.
         """
         token_idx = np.asarray(token_idx)
-        slots, hit = self.classify(layer, token_idx)
-        staged, meta = self.stage_misses(layer, token_idx, hit)
-        self.admit_async(layer, token_idx // self.block)
-        return self.assemble(layer, jnp.asarray(token_idx),
-                             jnp.asarray(slots), staged, meta)
+        bs = self.block
+        blk = token_idx // bs
+        slots, miss_pos, staged = self.classify_blocks(layer, blk)
+        blocks = assemble_blocks(self.cache_kv[layer], staged,
+                                 jnp.asarray(slots), jnp.asarray(miss_pos))
+        heads = jnp.arange(self.H_kv)[:, None]
+        j = jnp.arange(token_idx.shape[1])[None, :]
+        rows = blocks[heads, j, jnp.asarray(token_idx % bs)]  # [H_kv,k,2D]
+        # tail region overrides (complete-region mask covers the rest)
+        off = jnp.asarray(token_idx - int(self.valid[layer]))
+        tail_rows = self.tail[layer][heads, jnp.clip(off, 0, bs - 1)]
+        in_tail = jnp.asarray(token_idx >= int(self.valid[layer]))
+        rows = jnp.where(in_tail[..., None], tail_rows, rows)
+        return rows[..., :self.D], rows[..., self.D:]
 
     # -- LFU admission + async promotion ----------------------------------
 
     def admit_async(self, layer: int, blocks: np.ndarray) -> None:
-        """Admit the most-requested fully-valid blocks and promote newly
+        """Admit the most-requested COMPLETE blocks and promote newly
         admitted blocks host→device asynchronously (cache_manager.py:364-418
         side-stream promotion; get_qualified_blocks :241-248)."""
-        counts = np.bincount(blocks.ravel(), minlength=self.max_blocks)
+        counts = np.bincount(np.asarray(blocks).ravel(),
+                             minlength=self.max_blocks)
         top = np.argsort(-counts)[: self.cache_topk]
-        n_full = self.valid[layer] // self.block
+        n_full = int(self.valid[layer]) // self.block
         qualified = np.asarray(
             [b for b in top if counts[b] > 0 and b < n_full], np.int32)
         if qualified.size == 0:
@@ -216,13 +331,11 @@ class HostKVStore:
                        zip(qualified, new, old) if s >= 0 and s != o]
             if not changed:
                 return
-            cache = self.cache_kv[layer]
             slots = jnp.asarray([s for _, s in changed], jnp.int32)
-            rows = np.stack([self.kv_host[layer][:, b * self.block:
-                                                 (b + 1) * self.block]
-                             for b, _ in changed])  # [m, H_kv, bs, 2D]
-            self.cache_kv[layer] = cache.at[slots].set(
-                jnp.asarray(rows).astype(cache.dtype))
+            leaves = jax.device_put(
+                [self.kv_blocks[layer][b] for b, _ in changed], self._s_dev)
+            self.cache_kv[layer] = self.cache_kv[layer].at[slots].set(
+                jnp.stack(leaves).astype(self.cache_kv[layer].dtype))
 
     def flush(self) -> None:
         """Wait for outstanding promotions (step boundary / tests)."""

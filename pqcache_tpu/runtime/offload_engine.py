@@ -1,18 +1,21 @@
-"""Offload-tier PQ engine: KV in host RAM, decode driven layer-at-a-time.
+"""Offload-tier PQ engine v3: block-granular pinned-host KV, decode driven
+layer-at-a-time.
 
 For contexts whose KV exceeds per-chip HBM, this engine mirrors the
 reference's execution shape (pq_search.py decode path): per layer, the
-device computes ADC scores over the HBM-resident PQ codes and the top-k
-indices; the host classifies hits vs the DEVICE-resident block cache,
-stages only the miss rows, and the device assembles the window (cache
-gather + miss scatter) and runs attention plus the rest of the layer
-(runtime/host_offload.py). The local window and sink stay in HBM (a ring
-buffer, cache_manager.py:212-228), and each step's evicted local token is
-appended to the host store with its PQ code.
+device computes ADC scores over the HBM-resident PQ codes and a
+BLOCK-granular top-k; the host classifies hit blocks vs the DEVICE-resident
+cache, stages miss blocks with one batched pinned→device transfer
+(cache_manager.py:339-362's pinned staging, at measured ~10 GB/s), and the
+device assembles the attention window and runs the rest of the layer. The
+local window and sink stay in HBM (a ring buffer, cache_manager.py:212-228);
+the growing candidate tail block lives on device inside the store and is
+always attended, so generated tokens are never unreachable while their
+block completes.
 
 Dispatch structure: attention of layer l and the Q/K/V + ADC/top-k of
 layer l+1 are fused into ONE device program, so each decode layer costs a
-single host round trip (the classify -> stage -> launch sequence); LFU
+single host round trip (the classify → stage → launch sequence); LFU
 admission and block promotion run on the store's worker thread overlapped
 with device compute (the reference's side-stream promotion,
 cache_manager.py:364-418).
@@ -35,9 +38,9 @@ from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core import pq
 from pqcache_tpu.core.budget import Budget, compute_budget
 from pqcache_tpu.models import llama
-from pqcache_tpu.ops.attention_xla import decode_window_attention
+from pqcache_tpu.ops.attention_xla import decode_window_attention_segments
 from pqcache_tpu.ops.dispatch import dense_prefill_attention
-from pqcache_tpu.runtime.host_offload import HostKVStore, assemble_rows
+from pqcache_tpu.runtime.host_offload import HostKVStore, assemble_blocks
 
 
 @struct.dataclass
@@ -67,6 +70,7 @@ class OffloadEngine:
         self.C = cfg.pq.n_centroids
         self.d_sub = m.head_dim // self.S
         self.metric = cfg.pq.metric
+        self.bs = cfg.cache.block_size
 
     def _budget(self, P: int, max_new: int) -> Budget:
         return compute_budget(self.cfg.budget, P, max_new)
@@ -144,12 +148,16 @@ class OffloadEngine:
         hidden = hidden + attn @ lp["wo"]
         h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
         hidden = hidden + llama.mlp(lp, h2)
-        # interleaved K||V tail rows for the host store
-        kv_tail = jnp.concatenate([k_tail, v_tail], axis=-1)
+        # interleaved K‖V tail rows, DEVICE array — the store moves complete
+        # blocks straight to pinned host (no tunnel/numpy round trip)
+        kv_tail = jnp.concatenate(
+            [k_tail, v_tail], axis=-1).astype(self.dtype)
         return hidden, state, kv_tail
 
-    def _score_and_topk(self, lp, state, idx, hidden, cos, sin):
-        """Q/K/V projection + ADC scoring + top-k for layer `idx` (traced)."""
+    def _score_and_topk(self, lp, state, idx, hidden, cos, sin, n_sel):
+        """Q/K/V projection + ADC scoring + BLOCK top-k for layer `idx`
+        (traced). n_sel: retrievable-candidate count (min(n_cand,
+        complete-block tokens))."""
         cfg = self.cfg.model
         b = self.budget
         h_norm = llama.rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
@@ -163,38 +171,52 @@ class OffloadEngine:
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
         scores = pq.adc_gather_scores(lut, codes)
-        topk_idx, _ = pq.mips_topk(
-            scores, state.n_cand, b.topk, group=cfg.num_groups,
-            head_dim=cfg.head_dim, metric=self.metric,
+        blk_idx, _ = pq.mips_topk_blocks(
+            scores, n_sel, b.topk, group=cfg.num_groups,
+            head_dim=cfg.head_dim, block=self.bs, metric=self.metric,
             approx=self.cfg.pq.approx_topk)
-        return q, k_new, v_new, jnp.sort(topk_idx, axis=-1)
+        return q, k_new, v_new, jnp.sort(blk_idx, axis=-1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode_first(self, lp, state, hidden, cos, sin):
+    def _decode_first(self, lp, state, hidden, cos, sin, n_sel):
         return self._score_and_topk(lp, state, jnp.asarray(0, jnp.int32),
-                                    hidden, cos, sin)
+                                    hidden, cos, sin, n_sel)
 
     def _attn_and_tail(self, lp, state, idx, hidden, q, k_new, v_new,
-                       topk_idx, slots, staged, miss_meta, cache):
-        """Window assembly + attention + layer tail + ring append (traced)."""
+                       blk_idx, slots, miss_pos, staged, cache, tail,
+                       n_sel, n_tail_att):
+        """Window assembly + attention + layer tail + ring append (traced).
+
+        Attention window = [sink | local ring | selected blocks | store
+        tail | new]; the store's device tail (positions [valid, valid+bs))
+        is always attended for its first n_tail_att rows — generated tokens
+        are reachable the step after eviction without waiting for their
+        block to complete."""
         cfg = self.cfg.model
         b = self.budget
         H_kv, D = cfg.num_kv_heads, cfg.head_dim
         dt = state.k_local.dtype
-        n_cand = state.n_cand
-        k_top, v_top = assemble_rows(
-            cache, topk_idx, slots, staged, miss_meta,
-            block=self.cfg.cache.block_size)
-        k_win = jnp.concatenate(
-            [state.k_sink[idx], state.k_local[idx], k_top.astype(dt),
-             k_new.astype(dt)], axis=1)
-        v_win = jnp.concatenate(
-            [state.v_sink[idx], state.v_local[idx], v_top.astype(dt),
-             v_new.astype(dt)], axis=1)
-        ones = lambda n: jnp.ones((H_kv, n), bool)
-        win_mask = jnp.concatenate(
-            [ones(b.sink), ones(b.local), topk_idx < n_cand, ones(1)], axis=1)
-        out = decode_window_attention(q, k_win, v_win, win_mask)
+        bs = self.bs
+
+        blocks = assemble_blocks(cache, staged, slots, miss_pos)
+        kb = blocks.shape[1]
+        rows = blocks.reshape(H_kv, kb * bs, 2 * D)
+        tok = (blk_idx[:, :, None] * bs
+               + jnp.arange(bs, dtype=jnp.int32)[None, None, :]
+               ).reshape(H_kv, kb * bs)
+        ok_blk = ((slots >= 0) | (miss_pos >= 0))[:, :, None]
+        row_mask = (tok < n_sel) & jnp.broadcast_to(
+            ok_blk, (H_kv, kb, bs)).reshape(H_kv, kb * bs)
+
+        tail_mask = (jnp.arange(bs, dtype=jnp.int32)[None, :]
+                     < n_tail_att) & jnp.ones((H_kv, 1), bool)
+        out = decode_window_attention_segments(q, [
+            (state.k_sink[idx], state.v_sink[idx], None),
+            (state.k_local[idx], state.v_local[idx], None),
+            (rows[..., :D].astype(dt), rows[..., D:].astype(dt), row_mask),
+            (tail[..., :D].astype(dt), tail[..., D:].astype(dt), tail_mask),
+            (k_new.astype(dt), v_new.astype(dt), None),
+        ])
 
         attn = out.transpose(1, 0, 2).reshape(1, -1)
         hidden = hidden + attn @ lp["wo"]
@@ -203,6 +225,7 @@ class OffloadEngine:
 
         # ring-evict the oldest local token; encode it as candidate n_cand
         ptr = state.ring_ptr
+        n_cand = state.n_cand
         sz = (1, H_kv, 1, D)
         evicted_k = jax.lax.dynamic_slice(
             state.k_local, (idx, 0, ptr, 0), sz)[0]
@@ -227,24 +250,25 @@ class OffloadEngine:
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
     def _decode_fused(self, lp, lp_next, state, idx, hidden, cos, sin, q,
-                      k_new, v_new, topk_idx, slots, staged, miss_meta,
-                      cache):
+                      k_new, v_new, blk_idx, slots, miss_pos, staged,
+                      cache, tail, n_sel, n_tail_att):
         """Attention + tail of layer `idx` fused with the score/top-k of
-        layer idx+1 -- one host round trip per decode layer."""
+        layer idx+1 — one host round trip per decode layer."""
         hidden, state, kv_ev = self._attn_and_tail(
-            lp, state, idx, hidden, q, k_new, v_new, topk_idx, slots,
-            staged, miss_meta, cache)
-        q2, k2, v2, topk2 = self._score_and_topk(
-            lp_next, state, idx + 1, hidden, cos, sin)
-        return hidden, state, kv_ev, q2, k2, v2, topk2
+            lp, state, idx, hidden, q, k_new, v_new, blk_idx, slots,
+            miss_pos, staged, cache, tail, n_sel, n_tail_att)
+        q2, k2, v2, blk2 = self._score_and_topk(
+            lp_next, state, idx + 1, hidden, cos, sin, n_sel)
+        return hidden, state, kv_ev, q2, k2, v2, blk2
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
     def _decode_last(self, lp, params_out, state, idx, hidden, q, k_new,
-                     v_new, topk_idx, slots, staged, miss_meta, cache):
+                     v_new, blk_idx, slots, miss_pos, staged, cache, tail,
+                     n_sel, n_tail_att):
         """Final layer + LM head + argmax in one program."""
         hidden, state, kv_ev = self._attn_and_tail(
-            lp, state, idx, hidden, q, k_new, v_new, topk_idx, slots,
-            staged, miss_meta, cache)
+            lp, state, idx, hidden, q, k_new, v_new, blk_idx, slots,
+            miss_pos, staged, cache, tail, n_sel, n_tail_att)
         cfg = self.cfg.model
         last = llama.rms_norm(hidden, params_out["final_norm"],
                               cfg.rms_norm_eps)
@@ -284,9 +308,10 @@ class OffloadEngine:
         state = self._init_state(b)
         store = HostKVStore(
             m.num_layers, m.num_kv_heads, b.n_tail_max, m.head_dim,
-            block_size=cfg.cache.block_size,
+            block_size=self.bs,
             hbm_cache_tokens=cfg.cache.hbm_cache_tokens,
-            cache_topk_blocks=cfg.cache.cache_topk_blocks)
+            cache_topk_blocks=cfg.cache.cache_topk_blocks,
+            dtype=self.dtype)
 
         tokens = np.zeros((P,), np.int32)
         tokens[pad:] = ids
@@ -300,13 +325,12 @@ class OffloadEngine:
         hidden = jnp.take(self.params["embed"], jnp.asarray(tokens), axis=0)
         positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_j, 0)
         cos, sin = llama.rope_cos_sin(m, positions)
+        stored = true_len - b.sink          # tail rows valid in the store
         for l in range(m.num_layers):
             hidden, state, kv_tail = self._prefill_layer(
                 layer_params[l], state, jnp.asarray(l, jnp.int32), hidden,
                 cos, sin, pad_j, tl_j)
-            kv_np = np.asarray(kv_tail)           # bf16 host copy
-            store.offload_layer(l, kv_np[..., :m.head_dim],
-                                kv_np[..., m.head_dim:])
+            store.offload_layer_device(l, kv_tail, stored)
         last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
                               m.rms_norm_eps)
         logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
@@ -325,37 +349,42 @@ class OffloadEngine:
             hidden = jnp.take(self.params["embed"],
                               jnp.asarray([next_tok], jnp.int32), axis=0)
             cos, sin = llama.rope_cos_sin(m, jnp.asarray([pos], jnp.int32))
-            q, k_new, v_new, topk = self._decode_first(
-                layer_params[0], state, hidden, cos, sin)
+            # retrievable candidates: scored region ∩ complete pinned blocks
+            valid = int(store.valid[0])     # identical across layers
+            n_sel_py = min(n_cand_py, valid)
+            n_sel = jnp.asarray(n_sel_py, jnp.int32)
+            # store-tail rows that are evicted candidates (attended inline)
+            n_tail_att = jnp.asarray(max(n_cand_py - valid, 0), jnp.int32)
+            q, k_new, v_new, blk = self._decode_first(
+                layer_params[0], state, hidden, cos, sin, n_sel)
             kv_evs = []
             for l in range(L):
                 t0 = time.perf_counter()
-                topk_np = np.asarray(topk)        # sync: indices to host
+                blk_np = np.asarray(blk)     # sync: block ids to host
                 t1 = time.perf_counter()
                 self.timings["wait_s"] += t1 - t0
-                slots, hit = store.classify(l, topk_np)
-                staged, meta = store.stage_misses(l, topk_np, hit)
-                store.admit_async(l, topk_np // store.block)
+                slots, miss_pos, staged = store.classify_blocks(l, blk_np)
                 self.timings["host_s"] += time.perf_counter() - t1
                 li = jnp.asarray(l, jnp.int32)
+                args = (jnp.asarray(blk_np), jnp.asarray(slots),
+                        jnp.asarray(miss_pos), staged, store.cache_kv[l],
+                        store.tail[l], n_sel, n_tail_att)
                 if l < L - 1:
-                    (hidden, state, kv_ev, q, k_new, v_new, topk
+                    (hidden, state, kv_ev, q, k_new, v_new, blk
                      ) = self._decode_fused(
                         layer_params[l], layer_params[l + 1], state, li,
-                        hidden, cos, sin, q, k_new, v_new, topk,
-                        jnp.asarray(slots), staged, meta,
-                        store.cache_kv[l])
+                        hidden, cos, sin, q, k_new, v_new, *args)
                 else:
                     state, kv_ev, nxt = self._decode_last(
                         layer_params[l], params_out, state, li, hidden, q,
-                        k_new, v_new, topk, jnp.asarray(slots), staged,
-                        meta, store.cache_kv[l])
+                        k_new, v_new, *args)
                 kv_evs.append(kv_ev)
-            # evicted local tokens -> host store (one tiny D2H per layer)
-            for l, kv_ev in enumerate(kv_evs):
-                ev = np.asarray(kv_ev)
-                store.append_token(l, n_cand_py, ev[:, :m.head_dim],
-                                   ev[:, m.head_dim:])
+            # evicted tokens beyond the prefilled region extend the store
+            # (prefill already stored positions < true_len - sink; the
+            # first `local` evictions re-evict stored prompt tokens)
+            if n_cand_py >= stored:
+                for l, kv_ev in enumerate(kv_evs):
+                    store.append_row_device(l, kv_ev)
             n_cand_py += 1
             next_tok = int(nxt)
             out_tokens.append(next_tok)

@@ -35,10 +35,20 @@ def setup():
 
 
 def test_offload_matches_hbm_engine(setup):
+    # v3 fetches at BLOCK granularity (pinned leaves); the accuracy twin is
+    # the HBM engine with the SAME select_block — identical block ranking
+    # (pq.mips_topk_blocks), different memory hierarchy.
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
     ecfg, params, ids = setup
-    hbm = Engine(ecfg, params, dtype=jnp.float32).generate(
+    bs = 32
+    ecfg_blk = dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=bs),
+        cache=CacheConfig(block_size=bs, hbm_cache_tokens=128,
+                          cache_topk_blocks=4))
+    hbm = Engine(ecfg_blk, params, dtype=jnp.float32).generate(
         ids, max_new_tokens=10)
-    off_eng = OffloadEngine(ecfg, params, dtype=jnp.float32)
+    off_eng = OffloadEngine(ecfg_blk, params, dtype=jnp.float32)
     off = off_eng.generate(ids, max_new_tokens=10)
     agree = sum(a == b for a, b in zip(hbm.tokens, off))
     assert agree >= 8, (hbm.tokens, off)
