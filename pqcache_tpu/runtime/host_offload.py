@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import functools
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -61,6 +60,34 @@ def host_sharding(device=None) -> Optional[SingleDeviceSharding]:
     if "pinned_host" not in kinds:
         return None
     return SingleDeviceSharding(dev, memory_kind="pinned_host")
+
+
+def _bucket(n: int) -> int:
+    """Next power of FOUR ≥ n — every variable-cardinality device program
+    (miss-stack, admission scatter, and the engine's fused layer program
+    that consumes the staged stack) is compiled per BUCKET, not per exact
+    count: the ladder 1/4/16/64/256 bounds the program set at 5 variants,
+    and with synchronous admission the steady state (zero misses) always
+    uses the smallest one."""
+    b = 1
+    while b < n:
+        b *= 4
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _stack_n(n: int):
+    return jax.jit(lambda *xs: jnp.stack(xs))
+
+
+@jax.jit
+def _scatter_admit(cache: jax.Array, staged: jax.Array, slots: jax.Array,
+                   pos: jax.Array) -> jax.Array:
+    """Admit staged miss blocks into the device cache: cache[slots] =
+    staged[pos]. Functional update — the caller keeps the pre-admission
+    array as the assembly snapshot for the in-flight fetch. Padding rows
+    carry slot = n_slots (out of bounds) and are dropped."""
+    return cache.at[slots].set(staged[pos].astype(cache.dtype), mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("n", "bs"))
@@ -126,8 +153,6 @@ class HostKVStore:
 
         self.lfu = [LFUCache(self.n_cache_blocks) for _ in range(layers)]
         self._locks = [threading.Lock() for _ in range(layers)]
-        self._promo = ThreadPoolExecutor(max_workers=1)
-        self._pending: list = []
         self.hits = 0
         self.misses = 0
 
@@ -239,43 +264,75 @@ class HostKVStore:
     # -- fetch path -------------------------------------------------------
 
     def classify_blocks(self, layer: int, blk_idx: np.ndarray
-                        ) -> Tuple[np.ndarray, np.ndarray, jax.Array]:
+                        ) -> Tuple[np.ndarray, np.ndarray, jax.Array,
+                                   jax.Array]:
         """Hit/miss split + miss staging for a per-head block selection.
 
         blk_idx [H_kv, kb] int — block ids (entries >= the complete-block
         count are treated as invalid: slot -1 / miss_pos -1; the caller
         masks them). Returns (slots [H_kv, kb], miss_pos [H_kv, kb],
-        staged [M, H_kv, bs, 2D] device) where slot >= 0 means the block is
-        cache-resident at that slot, otherwise staged[miss_pos] holds it.
-        Misses are fetched with ONE batched device_put of pinned leaves
-        (the reference's pinned staging, cache_manager.py:339-362).
+        staged [Mb, H_kv, bs, 2D] device, cache snapshot) where slot >= 0
+        means the block is cache-resident at that slot in the SNAPSHOT,
+        otherwise staged[miss_pos] holds it. Misses are fetched with ONE
+        batched device_put of pinned leaves (the reference's pinned
+        staging, cache_manager.py:339-362) and then admitted into the
+        device cache SYNCHRONOUSLY — the data is already on device, so
+        promotion is a zero-transfer scatter (vs the reference's separate
+        side-stream host→device promotion copies, cache_manager.py:364-418,
+        which the TPU data path makes redundant). The LFU's bookkeeping
+        runs on its native worker thread overlapped with the DMA
+        (lfu.cc batched_insert_async). Staged stacks and admission
+        scatters are padded to power-of-two cardinality so the compiled
+        program set is bounded.
         """
-        self.flush()
         blk_idx = np.asarray(blk_idx)
         n_complete = int(self.valid[layer]) // self.block
         ok = blk_idx < n_complete
         with self._locks[layer]:
-            slots = np.where(ok, self.block_slot[layer][
+            proxy = self.block_slot[layer]
+            slots = np.where(ok, proxy[
                 np.clip(blk_idx, 0, self.max_blocks - 1)], -1)
-        hit = slots >= 0
-        self.hits += int(hit.sum())
-        self.misses += int((ok & ~hit).sum())
-        miss_blocks = np.unique(blk_idx[ok & ~hit])
-        if miss_blocks.size:
-            leaves = [self.kv_blocks[layer][int(b)] for b in miss_blocks]
-            dev = jax.device_put(leaves, self._s_dev)       # one batched H2D
-            staged = jnp.stack(dev)
-            lut = np.full((self.max_blocks,), -1, np.int64)
-            lut[miss_blocks] = np.arange(miss_blocks.size)
-            miss_pos = np.where(
-                ok & ~hit,
-                lut[np.clip(blk_idx, 0, self.max_blocks - 1)], -1)
-        else:
-            staged = jnp.zeros((1, self.H_kv, self.block, 2 * self.D),
-                               self.dtype)
-            miss_pos = np.full_like(slots, -1)
-        self.admit_async(layer, blk_idx[ok])
-        return slots.astype(np.int32), miss_pos.astype(np.int32), staged
+            hit = slots >= 0
+            self.hits += int(hit.sum())
+            self.misses += int((ok & ~hit).sum())
+            miss_blocks = np.unique(blk_idx[ok & ~hit])
+            # LFU bookkeeping (hit-frequency bumps + miss admissions)
+            # overlapped with the pinned→device DMA below
+            touched = np.unique(blk_idx[ok]).astype(np.int32)
+            lfu = self.lfu[layer]
+            if touched.size:
+                lfu.batched_insert_async(touched, proxy)
+            cache_prev = self.cache_kv[layer]
+            if miss_blocks.size:
+                leaves = [self.kv_blocks[layer][int(b)] for b in miss_blocks]
+                dev = jax.device_put(leaves, self._s_dev)   # one batched H2D
+                Mb = _bucket(miss_blocks.size)
+                padded = list(dev) + [dev[0]] * (Mb - miss_blocks.size)
+                staged = _stack_n(Mb)(*padded)
+                lut = np.full((self.max_blocks,), -1, np.int64)
+                lut[miss_blocks] = np.arange(miss_blocks.size)
+                miss_pos = np.where(
+                    ok & ~hit,
+                    lut[np.clip(blk_idx, 0, self.max_blocks - 1)], -1)
+                lfu.synchronize()
+                new = proxy[miss_blocks]
+                admitted = new >= 0
+                A = int(admitted.sum())
+                if A:
+                    Ab = _bucket(A)
+                    sl = np.full((Ab,), self.n_cache_blocks, np.int32)
+                    ps = np.zeros((Ab,), np.int32)
+                    sl[:A] = new[admitted]
+                    ps[:A] = np.nonzero(admitted)[0]
+                    self.cache_kv[layer] = _scatter_admit(
+                        cache_prev, staged, jnp.asarray(sl), jnp.asarray(ps))
+            else:
+                staged = jnp.zeros((1, self.H_kv, self.block, 2 * self.D),
+                                   self.dtype)
+                miss_pos = np.full_like(slots, -1)
+                lfu.synchronize()
+        return (slots.astype(np.int32), miss_pos.astype(np.int32), staged,
+                cache_prev)
 
     def fetch(self, layer: int, token_idx: np.ndarray
               ) -> Tuple[jax.Array, jax.Array]:
@@ -289,8 +346,8 @@ class HostKVStore:
         token_idx = np.asarray(token_idx)
         bs = self.block
         blk = token_idx // bs
-        slots, miss_pos, staged = self.classify_blocks(layer, blk)
-        blocks = assemble_blocks(self.cache_kv[layer], staged,
+        slots, miss_pos, staged, cache = self.classify_blocks(layer, blk)
+        blocks = assemble_blocks(cache, staged,
                                  jnp.asarray(slots), jnp.asarray(miss_pos))
         heads = jnp.arange(self.H_kv)[:, None]
         j = jnp.arange(token_idx.shape[1])[None, :]
@@ -302,46 +359,10 @@ class HostKVStore:
         rows = jnp.where(in_tail[..., None], tail_rows, rows)
         return rows[..., :self.D], rows[..., self.D:]
 
-    # -- LFU admission + async promotion ----------------------------------
-
-    def admit_async(self, layer: int, blocks: np.ndarray) -> None:
-        """Admit the most-requested COMPLETE blocks and promote newly
-        admitted blocks host→device asynchronously (cache_manager.py:364-418
-        side-stream promotion; get_qualified_blocks :241-248)."""
-        counts = np.bincount(np.asarray(blocks).ravel(),
-                             minlength=self.max_blocks)
-        top = np.argsort(-counts)[: self.cache_topk]
-        n_full = int(self.valid[layer]) // self.block
-        qualified = np.asarray(
-            [b for b in top if counts[b] > 0 and b < n_full], np.int32)
-        if qualified.size == 0:
-            return
-        self._pending.append(
-            self._promo.submit(self._promote, layer, qualified))
-
-    def _promote(self, layer: int, qualified: np.ndarray) -> None:
-        with self._locks[layer]:
-            proxy = self.block_slot[layer]
-            old = proxy[qualified].copy()
-            lfu = self.lfu[layer]
-            lfu.batched_insert_async(qualified, proxy)
-            lfu.synchronize()
-            new = proxy[qualified]
-            changed = [(int(b), int(s)) for b, s, o in
-                       zip(qualified, new, old) if s >= 0 and s != o]
-            if not changed:
-                return
-            slots = jnp.asarray([s for _, s in changed], jnp.int32)
-            leaves = jax.device_put(
-                [self.kv_blocks[layer][b] for b, _ in changed], self._s_dev)
-            self.cache_kv[layer] = self.cache_kv[layer].at[slots].set(
-                jnp.stack(leaves).astype(self.cache_kv[layer].dtype))
-
     def flush(self) -> None:
-        """Wait for outstanding promotions (step boundary / tests)."""
-        pending, self._pending = self._pending, []
-        for f in pending:
-            f.result()
+        """Drain the LFUs' native worker threads (step boundary / tests)."""
+        for lfu in self.lfu:
+            lfu.synchronize()
 
     @property
     def hit_rate(self) -> float:

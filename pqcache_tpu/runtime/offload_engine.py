@@ -363,11 +363,12 @@ class OffloadEngine:
                 blk_np = np.asarray(blk)     # sync: block ids to host
                 t1 = time.perf_counter()
                 self.timings["wait_s"] += t1 - t0
-                slots, miss_pos, staged = store.classify_blocks(l, blk_np)
+                slots, miss_pos, staged, cache = store.classify_blocks(
+                    l, blk_np)
                 self.timings["host_s"] += time.perf_counter() - t1
                 li = jnp.asarray(l, jnp.int32)
                 args = (jnp.asarray(blk_np), jnp.asarray(slots),
-                        jnp.asarray(miss_pos), staged, store.cache_kv[l],
+                        jnp.asarray(miss_pos), staged, cache,
                         store.tail[l], n_sel, n_tail_att)
                 if l < L - 1:
                     (hidden, state, kv_ev, q, k_new, v_new, blk
