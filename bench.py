@@ -144,6 +144,11 @@ def main():
                 np.asarray(out)
                 times.append(time.perf_counter() - t0)
             dt = min(times)
+            # free this arm's multi-GB batched state before the next arm
+            # allocates its own — both alive at once pressures the device
+            # heap enough to slow the second arm ~3× (measured: dense
+            # 14.3 ms/step alone vs 40.2 with the pq state resident)
+            bstate = None
             state = None
         results[policy_name] = {
             "tok_s": B * gen / dt,

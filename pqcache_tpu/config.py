@@ -107,8 +107,16 @@ class PQConfig:
     # sequential wait count — at the price of n_par× the double-buffered
     # VMEM (n_par · 2 · block · 2D · 2B).
     fetch_par: int = 4
+    # Block-score backend: "auto" uses the joint-code-histogram matmul
+    # scorer (core/pq.py joint_block_mass — O(C²·NB) MXU work per step
+    # instead of an O(T) code sweep, exactly the same normalized-mass
+    # ranking) whenever it applies (S=2, euc, select_block in (1, 256],
+    # gqa); "kernel" forces the fused Pallas sweep.
+    scorer: str = "auto"
 
     def __post_init__(self):
+        if self.scorer not in ("auto", "kernel"):
+            raise ValueError(f"unknown scorer {self.scorer}")
         if self.n_subvec_per_head not in (1, 2, 4, 8, 16):
             # pq_search.py:104-105
             raise ValueError("PQ subvec must be in {1,2,4,8,16}")

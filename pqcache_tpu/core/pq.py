@@ -366,6 +366,84 @@ def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
     return jnp.sum(gathered, axis=2).reshape(H, -1)
 
 
+# ---------------------------------------------------------------------------
+# Joint-code-histogram block scorer (S=2 exact factorization).
+#
+# With S=2 subvectors (the paper's default, run_llama.sh:14) the per-token
+# softmax numerator factorizes over subvectors:
+#     exp(s_t·λ) = exp(LUT[0, c0(t)]·λ) · exp(LUT[1, c1(t)]·λ)
+# so a block's total attention mass is an inner product between the
+# outer product of the two exponentiated LUT rows and the block's JOINT
+# code histogram J[c0·C+c1, blk] — a counts matrix that depends only on
+# the codes, precomputed at prefill and updated by +1 as tokens join the
+# candidate set. Scoring a decode step then costs one [g, C²]·[C², NB]
+# matmul per kv head (pure MXU, ~C²·NB MACs) instead of sweeping all T
+# candidate codes (the adc_* kernels above) — the score work per step
+# drops from O(T) to O(C²·T/block) with IDENTICAL ranking (normalized
+# per-q-head block mass, same as adc_block_scores_pallas).
+
+def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
+                     n_centroids: int, block: int) -> jax.Array:
+    """codes [H_kv, 2, T] int (T % block == 0); tokens at index >= n_valid
+    are excluded. Returns J [H_kv, C², T//block] bf16 — exact counts
+    (block ≤ 256 keeps every count bf16-representable)."""
+    H_kv, S, T = codes.shape
+    assert S == 2, "joint histogram requires exactly 2 subvectors"
+    assert block <= 256, "bf16 counts exact only up to 256"
+    C = n_centroids
+    NB = T // block
+    pair = (codes[:, 0].astype(jnp.int32) * C
+            + codes[:, 1].astype(jnp.int32))                 # [H_kv, T]
+    blk = jnp.arange(T, dtype=jnp.int32) // block
+    seg = blk[None, :] * (C * C) + pair                      # [H_kv, T]
+    ones = jnp.where(jnp.arange(T) < jnp.asarray(n_valid, jnp.int32),
+                     1.0, 0.0).astype(jnp.float32)
+    J = jax.vmap(lambda s: jax.ops.segment_sum(
+        ones, s, num_segments=NB * C * C))(seg)
+    return J.reshape(H_kv, NB, C * C).transpose(0, 2, 1).astype(jnp.bfloat16)
+
+
+def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
+                     pos: jax.Array, *, n_centroids: int,
+                     block: int) -> jax.Array:
+    """Count newly-joined candidate tokens into the histogram.
+
+    J [..., H_kv, C², NB]; codes_tok [..., H_kv, 2] int — the joining
+    token's codes per (leading dims, kv head); pos i32 scalar — its tail
+    position (same for every leading dim). Returns J + 1 at
+    ([...], h, pair, pos // block)."""
+    C = n_centroids
+    pair = (codes_tok[..., 0].astype(jnp.int32) * C
+            + codes_tok[..., 1].astype(jnp.int32))           # [..., H_kv]
+    blk = jnp.asarray(pos, jnp.int32) // block
+    lead = tuple(jnp.ix_(*[jnp.arange(n) for n in pair.shape]))
+    return J.at[lead + (pair, blk)].add(jnp.asarray(1.0, J.dtype))
+
+
+def joint_block_mass(lut: jax.Array, J: jax.Array, *,
+                     head_dim: int) -> jax.Array:
+    """Per-q-head normalized block attention mass from the joint histogram.
+
+    lut [H, 2, C] f32 (H may be a folded B·H); J [H_kv, C², NB] with
+    H_kv | H. Returns [H, NB] f32, rows summing to 1 over non-empty
+    blocks — the same quantity adc_block_scores_pallas emits, computed as
+    one batched matmul. The per-subvec max subtraction is a per-q-head
+    constant shift, so the normalized mass is exactly the softmax mass."""
+    H, S, C = lut.shape
+    H_kv = J.shape[0]
+    g = H // H_kv
+    scale = 1.0 / (head_dim ** 0.5)
+    m = jnp.max(lut, axis=-1, keepdims=True)                 # [H, 2, 1]
+    e = jnp.exp((lut.astype(jnp.float32) - m) * scale)       # [H, 2, C]
+    pair = (e[:, 0, :, None] * e[:, 1, None, :]).reshape(H, C * C)
+    mass = jnp.einsum(
+        "hgp,hpn->hgn", pair.reshape(H_kv, g, C * C),
+        J.astype(jnp.float32),
+        preferred_element_type=jnp.float32).reshape(H, -1)
+    z = jnp.sum(mass, axis=-1, keepdims=True)
+    return mass / jnp.maximum(z, 1e-30)
+
+
 def _valid_masks(n_valid: jax.Array, H_kv: int, group: int, T: int):
     """Candidate-validity masks from a scalar n_valid (single sequence) or a
     per-kv-head [H_kv] vector (batch-as-heads: slots folded into the head

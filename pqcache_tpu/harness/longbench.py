@@ -72,6 +72,7 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             n_subbits=args.n_subbits,
             metric=args.metric,
             kmeans_iters=args.max_iter if args.max_iter > 0 else 8,
+            select_block=args.select_block,
         ),
         budget=BudgetConfig(
             compress_ratio=args.compress_ratio,
@@ -277,6 +278,11 @@ def parse_args(argv=None):
     pp.add_argument("--n-subbits", type=int, default=6)
     pp.add_argument("--metric", default="euc", choices=["euc", "ip"])
     pp.add_argument("--max-iter", dest="max_iter", type=int, default=0)
+    pp.add_argument("--select-block", dest="select_block", type=int,
+                    default=1,
+                    help="retrieval granularity: 1 = per-token top-k "
+                         "(reference parity), >1 = block-granular TPU "
+                         "fast path (joint-histogram scorer when S=2)")
     pp.add_argument("--topr", type=int, default=32)
     pp.add_argument("--gqa", type=lambda s: s == "True", default=True)
     pp.add_argument("--max-seq-len", dest="max_seq_len", type=int,

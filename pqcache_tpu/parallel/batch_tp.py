@@ -39,15 +39,16 @@ from pqcache_tpu.runtime.state import PQState
 
 
 # 5-D state specs: [L, B, H_kv, ...] → (None, "dp", "tp", ...)
-BATCH_STATE_SPECS = PQState(
-    k_sink=P(None, "dp", "tp", None, None),
-    v_sink=P(None, "dp", "tp", None, None),
-    kv_tail=P(None, "dp", "tp", None, None),
-    codes=P(None, "dp", "tp", None, None),
-    centroids=P(None, "dp", "tp", None, None, None),
-    phi=P(None, "dp", "tp", None, None),
-    n_cand=P("dp"), pos=P("dp"),
-)
+def batch_state_specs(jhist: bool = False) -> PQState:
+    h5 = P(None, "dp", "tp", None, None)
+    return PQState(
+        k_sink=h5, v_sink=h5, kv_tail=h5, codes=h5,
+        centroids=P(None, "dp", "tp", None, None, None),
+        phi=h5, n_cand=P("dp"), pos=P("dp"),
+        jhist=h5 if jhist else None)
+
+
+BATCH_STATE_SPECS = batch_state_specs()
 
 
 def _unfold(state: PQState, B: int) -> PQState:
@@ -86,7 +87,7 @@ class BatchTPEngine:
 
         local_m = self.cfg_local.model
         policy = self.policy
-        sspec = BATCH_STATE_SPECS
+        sspec = batch_state_specs(jhist=policy.use_jhist)
 
         def prefill_wave(p, bstate, tokens, pad, tlen, lslot):
             """One dp wave: each dp group prefills ITS prompt (tokens local
@@ -110,7 +111,9 @@ class BatchTPEngine:
                 centroids=ins(bstate.centroids, st.centroids),
                 phi=ins(bstate.phi, st.phi),
                 n_cand=bstate.n_cand.at[lslot].set(st.n_cand),
-                pos=bstate.pos.at[lslot].set(st.pos))
+                pos=bstate.pos.at[lslot].set(st.pos),
+                jhist=(ins(bstate.jhist, st.jhist)
+                       if policy.use_jhist else None))
             return first[None], new
 
         def decode_chunk(p, bstate, toks, poss, n):
@@ -142,7 +145,9 @@ class BatchTPEngine:
                 self.cfg_local.model,
                 num_kv_heads=self.cfg_local.model.num_kv_heads * self.tp,
                 num_heads=self.cfg_local.model.num_heads * self.tp))
-        folded = make_pq_state(cfg_g, self.budget, dtype=self.dtype, batch=B)
+        folded = make_pq_state(
+            cfg_g, self.budget, dtype=self.dtype, batch=B,
+            jhist_blocks=self.policy._jhist_blocks())
         return _unfold(folded, B)
 
     def generate_batch(self, prompts: list, max_new_tokens: int,

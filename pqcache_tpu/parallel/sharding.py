@@ -61,8 +61,11 @@ def _prepend(spec: P, axis: Optional[str]) -> P:
     return P(axis, *spec)
 
 
-def pq_state_specs(batch_axis: Optional[str] = None) -> Any:
-    """PartitionSpecs for PQState (kv-head dim sharded over tp)."""
+def pq_state_specs(batch_axis: Optional[str] = None,
+                   jhist: bool = False) -> Any:
+    """PartitionSpecs for PQState (kv-head dim sharded over tp). Pass
+    jhist=True when the policy's joint-histogram scorer is active (the
+    state then carries the extra [L, H_kv, C², NB] buffer)."""
     from pqcache_tpu.runtime.state import PQState
     h4 = _prepend(P(None, "tp", None, None), batch_axis)
     return PQState(
@@ -71,6 +74,7 @@ def pq_state_specs(batch_axis: Optional[str] = None) -> Any:
         phi=_prepend(P(None, "tp", None, None), batch_axis),
         n_cand=_prepend(P(), batch_axis),
         pos=_prepend(P(), batch_axis),
+        jhist=h4 if jhist else None,
     )
 
 

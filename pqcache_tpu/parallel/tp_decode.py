@@ -62,14 +62,16 @@ PARAM_SPECS = {
     },
 }
 
-PQ_STATE_SPECS = PQState(
-    k_sink=P(None, "tp", None, None), v_sink=P(None, "tp", None, None),
-    kv_tail=P(None, "tp", None, None),
-    codes=P(None, "tp", None, None),
-    centroids=P(None, "tp", None, None, None),
-    phi=P(None, "tp", None, None),
-    n_cand=P(), pos=P(),
-)
+def pq_state_specs_tp(jhist: bool = False) -> PQState:
+    h4 = P(None, "tp", None, None)
+    return PQState(
+        k_sink=h4, v_sink=h4, kv_tail=h4, codes=h4,
+        centroids=P(None, "tp", None, None, None),
+        phi=h4, n_cand=P(), pos=P(),
+        jhist=h4 if jhist else None)
+
+
+PQ_STATE_SPECS = pq_state_specs_tp()
 
 
 class TPEngine:
@@ -101,7 +103,7 @@ class TPEngine:
             return llama.decode_loop(local_m, p, policy, s, tok, pos, n,
                                      axis_name="tp")
 
-        sspec = PQ_STATE_SPECS
+        sspec = pq_state_specs_tp(jhist=policy.use_jhist)
         self._prefill = jax.jit(shard_map(
             prefill_body, mesh=mesh,
             in_specs=(PARAM_SPECS, sspec, P(), P(), P()),

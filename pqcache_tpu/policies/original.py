@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import decode_window_attention
+from pqcache_tpu.ops.attention_xla import (
+    decode_window_attention, decode_window_attention_segments)
 from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import DenseState, make_dense_state
@@ -20,6 +21,15 @@ from pqcache_tpu.runtime.state import DenseState, make_dense_state
 
 @register_policy("original")
 class OriginalPolicy:
+    # Appends are deferred out of the layer scan (models/llama.py contract):
+    # attention covers [cache | new-token segment] and ALL layers' appends
+    # commit in one update per step. In-scan appends either scatter
+    # per-(head, pos) — which makes XLA keep the multi-GB cache carry
+    # heads-major and transpose-copy it every step — or chain per-slot
+    # dynamic updates at a traced layer index, which XLA materializes as
+    # full-cache copies per layer (measured 225 ms/step at B=4/32k/8L).
+    deferred_appends = True
+
     def __init__(self, cfg: EngineConfig, budget: Budget):
         self.cfg = cfg
         self.budget = budget
@@ -44,16 +54,29 @@ class OriginalPolicy:
     def decode_attn(self, state: DenseState, idx, q, k_new, v_new, shared):
         length, start = shared["length"], shared["start"]
         dt = state.k_cache.dtype
-        k_cache = jax.lax.dynamic_update_slice(
-            state.k_cache, k_new.astype(dt)[None], (idx, 0, length, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            state.v_cache, v_new.astype(dt)[None], (idx, 0, length, 0))
-        T = k_cache.shape[2]
+        T = state.k_cache.shape[2]
         kpos = jnp.arange(T, dtype=jnp.int32)
-        valid = (kpos >= start) & (kpos <= length)
-        mask = jnp.broadcast_to(valid[None, :], (k_cache.shape[1], T))
-        out = decode_window_attention(q, k_cache[idx], v_cache[idx], mask)
-        return out, state.replace(k_cache=k_cache, v_cache=v_cache)
+        valid = (kpos >= start) & (kpos < length)
+        mask = jnp.broadcast_to(valid[None, :], (state.k_cache.shape[1], T))
+        out = decode_window_attention_segments(q, [
+            (state.k_cache[idx], state.v_cache[idx], mask),
+            (k_new.astype(dt), v_new.astype(dt), None),
+        ])
+        return out, (k_new[:, 0], v_new[:, 0])
+
+    def commit_appends(self, state: DenseState, payloads, shared):
+        """One per-step append of all layers' new tokens: payloads =
+        (k_new [L, H_kv, D], v_new [L, H_kv, D])."""
+        k_new, v_new = payloads
+        dt = state.k_cache.dtype
+        length = shared["length"]
+        return state.replace(
+            k_cache=jax.lax.dynamic_update_slice(
+                state.k_cache, k_new.astype(dt)[:, :, None],
+                (0, 0, length, 0)),
+            v_cache=jax.lax.dynamic_update_slice(
+                state.v_cache, v_new.astype(dt)[:, :, None],
+                (0, 0, length, 0)))
 
     def shared_pre(self, state: DenseState):
         return {"length": state.length, "start": state.start}
@@ -88,19 +111,38 @@ class OriginalPolicy:
         BH_kv = B * H_kv
         length_h = jnp.repeat(shared["length"], H_kv)        # [B·H_kv]
         start_h = jnp.repeat(shared["start"], H_kv)
-        heads = jnp.arange(BH_kv, dtype=jnp.int32)
         dt = state.k_cache.dtype
-        k_cache = state.k_cache.at[idx, heads, length_h].set(
-            k_new.reshape(BH_kv, D).astype(dt))
-        v_cache = state.v_cache.at[idx, heads, length_h].set(
-            v_new.reshape(BH_kv, D).astype(dt))
-        T = k_cache.shape[2]
+        T = state.k_cache.shape[2]
         kpos = jnp.arange(T, dtype=jnp.int32)[None, :]
-        mask = (kpos >= start_h[:, None]) & (kpos <= length_h[:, None])
-        out = decode_window_attention(
-            q.reshape(B * H, 1, D), k_cache[idx], v_cache[idx], mask)
-        return out.reshape(B, H, D), state.replace(
-            k_cache=k_cache, v_cache=v_cache)
+        mask = (kpos >= start_h[:, None]) & (kpos < length_h[:, None])
+        k_new_f = k_new.reshape(BH_kv, 1, D).astype(dt)
+        v_new_f = v_new.reshape(BH_kv, 1, D).astype(dt)
+        out = decode_window_attention_segments(q.reshape(B * H, 1, D), [
+            (state.k_cache[idx], state.v_cache[idx], mask),
+            (k_new_f, v_new_f, None),
+        ])
+        return out.reshape(B, H, D), (k_new_f[:, 0], v_new_f[:, 0])
+
+    def commit_appends_batched(self, state: DenseState, payloads, shared):
+        """Per-step stacked append: payloads = (k_new [L, B·H_kv, D],
+        v_new); per-slot write positions, committed as B unrolled
+        contiguous dynamic updates OUTSIDE the layer scan (see the
+        class-level note)."""
+        k_new, v_new = payloads
+        dt = state.k_cache.dtype
+        H_kv = self.cfg.model.num_kv_heads
+        B = k_new.shape[1] // H_kv
+        k_cache, v_cache = state.k_cache, state.v_cache
+        for b_i in range(B):
+            l_b = shared["length"][b_i]
+            sl = slice(b_i * H_kv, (b_i + 1) * H_kv)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_new[:, sl].astype(dt)[:, :, None],
+                (0, b_i * H_kv, l_b, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_new[:, sl].astype(dt)[:, :, None],
+                (0, b_i * H_kv, l_b, 0))
+        return state.replace(k_cache=k_cache, v_cache=v_cache)
 
     def shared_pre_batched(self, state: DenseState):
         return {"length": state.length, "start": state.start}

@@ -91,6 +91,18 @@ class PQSearchPolicy:
         # branch writes the tail before attention and the nogqa branch is
         # per-q-head — both keep the in-loop contract.
         self.deferred_appends = self.gqa and self.fetch_mode != "masked"
+        # Joint-code-histogram block scorer (core/pq.py joint_block_mass):
+        # with S=2 the softmax numerator factorizes over subvectors, so
+        # per-block attention mass is ONE [g, C²]·[C², NB] matmul against a
+        # precomputed histogram instead of an O(T) code sweep — identical
+        # ranking to the fused Pallas sweep at ~1/10 the decode cost
+        # (profiled: the batched ADC kernel was 3.5 ms/step at B=4/32k/8L,
+        # ~20% of the step). Needs deferred appends: the histogram gains
+        # the token joining the candidate set once per step.
+        self.use_jhist = (cfg.pq.scorer == "auto" and self.S == 2
+                          and self.metric == "euc"
+                          and 1 < self.select_block <= 256
+                          and self.gqa and self.deferred_appends)
 
     # -- helpers ----------------------------------------------------------
 
@@ -104,7 +116,12 @@ class PQSearchPolicy:
     # -- prefill ----------------------------------------------------------
 
     def init_state(self, dtype=jnp.bfloat16) -> PQState:
-        return make_pq_state(self.cfg, self.budget, dtype=dtype)
+        return make_pq_state(self.cfg, self.budget, dtype=dtype,
+                             jhist_blocks=self._jhist_blocks())
+
+    def _jhist_blocks(self) -> int:
+        return (self.budget.n_tail_max // self.select_block
+                if self.use_jhist else 0)
 
     def prefill_attn(self, state: PQState, idx, q, k, v, pad_len, true_len):
         """Prefill for layer `idx`; `state` is the full stacked state, riding
@@ -159,6 +176,7 @@ class PQSearchPolicy:
             buf, val[None], (idx,) + (0,) * val.ndim)
         kv_src = jnp.concatenate(
             [k_tail_src, v_tail_src], axis=-1).astype(dt)
+        n_cand0 = jnp.maximum(n_valid_tail - b.local, 0)
         new = state.replace(
             k_sink=up(state.k_sink, k_sink.astype(dt)),
             v_sink=up(state.v_sink, v_sink.astype(dt)),
@@ -166,8 +184,17 @@ class PQSearchPolicy:
             codes=up(state.codes, codes_src),
             centroids=up(state.centroids, centroids),
             phi=up(state.phi, phi),
-            n_cand=jnp.maximum(n_valid_tail - b.local, 0),
+            n_cand=n_cand0,
             pos=true_len.astype(jnp.int32))
+        if self.use_jhist:
+            N_tail = state.codes.shape[-1]
+            codes_full = jnp.pad(
+                codes_src.astype(jnp.int32),
+                ((0, 0), (0, 0), (0, N_tail - codes_src.shape[-1])))
+            J = pq.build_joint_hist(codes_full, n_cand0,
+                                    n_centroids=self.C,
+                                    block=self.select_block)
+            new = new.replace(jhist=up(state.jhist, J))
         return out, new
 
     # -- decode -----------------------------------------------------------
@@ -192,12 +219,17 @@ class PQSearchPolicy:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
         # Fused block scorer: ADC + softmax + block reduction in ONE kernel
         # (ops/adc_pallas.adc_block_scores_pallas) — the block-granular path
-        # never materializes the [H, N] score row.
+        # never materializes the [H, N] score row. The jhist matmul scorer
+        # supersedes it when applicable (same output, ~1/10 the cost).
         fused_blockscore = (
-            self.use_pallas and self.adc_mode != "xla"
+            self.use_pallas and self.adc_mode != "xla" and not self.use_jhist
             and self.select_block > 1 and self.metric == "euc" and self.gqa
             and self.fetch_mode != "masked")
-        if fused_blockscore:
+        if self.use_jhist:
+            blk_mass = pq.joint_block_mass(lut, state.jhist[idx],
+                                           head_dim=self.D)
+            scores = None
+        elif fused_blockscore:
             from pqcache_tpu.ops.adc_pallas import adc_block_scores_pallas
             lut4 = lut.reshape(self.H_kv, self.group, self.S, -1)
             blk_mass = adc_block_scores_pallas(
@@ -269,7 +301,7 @@ class PQSearchPolicy:
             # block fetches (selection granularity of the reference's own
             # HBM cache, cache_manager.py:119-123); recall-oracle-checked.
             bs = self.select_block
-            if fused_blockscore:
+            if self.use_jhist or fused_blockscore:
                 blk_idx = pq.topk_from_block_mass(
                     blk_mass, n_cand, b.topk, group=self.group, block=bs,
                     approx=self.approx_topk)
@@ -405,11 +437,23 @@ class PQSearchPolicy:
         codes = pq.pq_encode(xg, cent).reshape(
             L, H_kv, self.S, 1).astype(state.codes.dtype)
         kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)[:, :, None]
-        return state.replace(
+        new = state.replace(
             kv_tail=jax.lax.dynamic_update_slice(
                 state.kv_tail, kv, (0, 0, slot, 0)),
             codes=jax.lax.dynamic_update_slice(
                 state.codes, codes, (0, 0, 0, slot)))
+        if self.use_jhist:
+            # the token at position n_cand joins the candidate set this
+            # step (shared_post advances the count): count its codes into
+            # its block's histogram — the incremental form of the kernel's
+            # tok < n_cand mask, exact to the partial boundary block
+            join = jax.lax.dynamic_slice(
+                state.codes, (0, 0, 0, shared["n_cand"]),
+                (L, H_kv, self.S, 1))[..., 0]           # [L, H_kv, S]
+            new = new.replace(jhist=pq.jhist_add_tokens(
+                state.jhist, join, shared["n_cand"],
+                n_centroids=self.C, block=self.select_block))
+        return new
 
     def _decode_attn_nogqa(self, state, idx, q, k_new, v_new, scores,
                            n_cand, centroids, k_sink, v_sink):
@@ -480,7 +524,8 @@ class PQSearchPolicy:
     # all, mistral_patch.py:61).
 
     def init_batched_state(self, B: int, dtype=jnp.bfloat16) -> PQState:
-        return make_pq_state(self.cfg, self.budget, dtype=dtype, batch=B)
+        return make_pq_state(self.cfg, self.budget, dtype=dtype, batch=B,
+                             jhist_blocks=self._jhist_blocks())
 
     def insert_slot(self, bstate: PQState, state: PQState,
                     slot: jax.Array) -> PQState:
@@ -497,7 +542,9 @@ class PQSearchPolicy:
             centroids=up1(bstate.centroids, state.centroids, H_kv),
             phi=up1(bstate.phi, state.phi, H_kv * S),
             n_cand=bstate.n_cand.at[slot].set(state.n_cand),
-            pos=bstate.pos.at[slot].set(state.pos))
+            pos=bstate.pos.at[slot].set(state.pos),
+            jhist=(up1(bstate.jhist, state.jhist, H_kv)
+                   if self.use_jhist else None))
 
     def decode_attn_batched(self, state: PQState, idx, q, k_new, v_new,
                             shared):
@@ -519,9 +566,13 @@ class PQSearchPolicy:
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
         fused_blockscore = (
-            self.use_pallas and self.adc_mode != "xla"
+            self.use_pallas and self.adc_mode != "xla" and not self.use_jhist
             and self.select_block > 1 and self.metric == "euc")
-        if fused_blockscore:
+        if self.use_jhist:
+            blk_mass = pq.joint_block_mass(lut, state.jhist[idx],
+                                           head_dim=self.D)   # [B·H, NB]
+            scores = None
+        elif fused_blockscore:
             from pqcache_tpu.ops.adc_pallas import (
                 adc_block_scores_pallas_batched)
             lut5 = lut.reshape(B, self.H_kv, self.group, self.S, -1)
@@ -547,7 +598,7 @@ class PQSearchPolicy:
         topk_idx = None
         if self.select_block > 1:
             bs = self.select_block
-            if fused_blockscore:
+            if self.use_jhist or fused_blockscore:
                 blk_idx = pq.topk_from_block_mass(
                     blk_mass, n_cand_h, b.topk, group=self.group, block=bs,
                     approx=self.approx_topk)                 # [B·H_kv, kb]
@@ -576,31 +627,32 @@ class PQSearchPolicy:
                 approx=self.approx_topk)                     # [B·H_kv, k]
             topk_idx = jnp.sort(topk_idx, axis=-1)
 
-        # ONE row gather fetches [top-k | local window] together (per-slot
-        # local windows start at n_cand[b], so the single-sequence sliding
-        # slice becomes gather rows here); with the fused kernel the top-k
-        # part is already folded into `partials`
-        local_idx = (n_cand_h[:, None]
-                     + jnp.arange(b.local, dtype=jnp.int32)[None, :])
+        # Per-slot local windows are CONTIGUOUS spans starting at n_cand[b]:
+        # fetch them as B unrolled dynamic slices (B is small and static).
+        # Expressing this as one row gather ran at ~93 GB/s AND made XLA
+        # assign the 4+ GB kv_tail carry a heads-major layout that the
+        # Pallas kernel then undid with a whole-tail transpose copy EVERY
+        # step (profiled: 12.9 ms/step at B=4/32k/8L); contiguous slices
+        # fuse at HBM roofline and keep the carry row-major.
+        kv_local = jnp.concatenate([
+            jax.lax.dynamic_slice(
+                state.kv_tail,
+                (idx, b_i * self.H_kv, shared["n_cand"][b_i], 0),
+                (1, self.H_kv, b.local, 2 * self.D))[0]
+            for b_i in range(B)], axis=0)             # [B·H_kv, local, 2D]
+        segs = [(k_sink, v_sink, None),
+                (kv_local[..., :self.D], kv_local[..., self.D:], None)]
         if topk_idx is not None:
-            idx_all = jnp.concatenate([topk_idx, local_idx], axis=1)
-            mask = jnp.concatenate(
-                [topk_idx < n_cand_h[:, None],
-                 jnp.ones((BH_kv, b.local), bool)], axis=1)
-        else:
-            idx_all, mask = local_idx, None
-        kv_rows = state.kv_tail[idx, heads[:, None], idx_all]
-        k_rows, v_rows = kv_rows[..., :self.D], kv_rows[..., self.D:]
+            kv_rows = state.kv_tail[idx, heads[:, None], topk_idx]
+            segs.append((kv_rows[..., :self.D], kv_rows[..., self.D:],
+                         topk_idx < n_cand_h[:, None]))
 
         dt = state.kv_tail.dtype
         k_new_f = k_new.reshape(BH_kv, 1, self.D).astype(dt)
         v_new_f = v_new.reshape(BH_kv, 1, self.D).astype(dt)
         out = decode_window_attention_segments(
-            qf.reshape(B * H, 1, self.D), [
-                (k_sink, v_sink, None),
-                (k_rows, v_rows, mask),
-                (k_new_f, v_new_f, None),
-            ], partials=partials)
+            qf.reshape(B * H, 1, self.D),
+            segs + [(k_new_f, v_new_f, None)], partials=partials)
 
         if self.deferred_appends:
             return (out.reshape(B, H, self.D),
@@ -616,12 +668,20 @@ class PQSearchPolicy:
         new_codes = pq.pq_encode(x_new, cent_flat).reshape(
             BH_kv, self.S).astype(state.codes.dtype)
 
-        slot_pos = n_cand_h + b.local                        # [B·H_kv]
+        # per-slot appends as B unrolled dynamic updates (contiguous,
+        # layout-neutral — see the local-window comment above)
         kv_new = jnp.concatenate([k_new_f, v_new_f], axis=-1)[:, 0]
-        kv_tail = state.kv_tail.at[idx, heads, slot_pos].set(kv_new)
-        codes_up = state.codes.at[
-            idx, heads[:, None], jnp.arange(self.S)[None, :],
-            slot_pos[:, None]].set(new_codes)
+        kv_tail, codes_up = state.kv_tail, state.codes
+        Hk = self.H_kv
+        for b_i in range(B):
+            pos_b = shared["n_cand"][b_i] + b.local
+            kv_tail = jax.lax.dynamic_update_slice(
+                kv_tail, kv_new[b_i * Hk:(b_i + 1) * Hk][None, :, None, :],
+                (idx, b_i * Hk, pos_b, 0))
+            codes_up = jax.lax.dynamic_update_slice(
+                codes_up,
+                new_codes[b_i * Hk:(b_i + 1) * Hk][None, :, :, None],
+                (idx, b_i * Hk, 0, pos_b))
         new = state.replace(kv_tail=kv_tail, codes=codes_up)
         return out.reshape(B, H, self.D), new
 
@@ -633,9 +693,7 @@ class PQSearchPolicy:
         k_new, v_new = payloads
         b = self.budget
         L, BH_kv, D = k_new.shape
-        heads = jnp.arange(BH_kv, dtype=jnp.int32)
-        slot_pos = (jnp.repeat(shared["n_cand"], self.H_kv)
-                    + b.local)                               # [B·H_kv]
+        B = BH_kv // self.H_kv
         dt = state.kv_tail.dtype
         xg = self._to_groups(k_new.reshape(L * BH_kv, 1, D))
         if self.metric == "ip":
@@ -645,11 +703,34 @@ class PQSearchPolicy:
         codes = pq.pq_encode(xg, cent).reshape(
             L, BH_kv, self.S).astype(state.codes.dtype)
         kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
-        kv_tail = state.kv_tail.at[:, heads, slot_pos].set(kv)
-        codes_up = state.codes.at[
-            :, heads[:, None], jnp.arange(self.S)[None, :],
-            slot_pos[:, None]].set(codes)
-        return state.replace(kv_tail=kv_tail, codes=codes_up)
+        # B unrolled contiguous updates instead of a per-(head, pos)
+        # scatter: the scatter made XLA store the multi-GB kv_tail carry
+        # heads-major and transpose-copy it back every step (profiled
+        # 12.9 ms/step at B=4/32k/8L)
+        kv_tail, codes_up = state.kv_tail, state.codes
+        Hk = self.H_kv
+        J = state.jhist
+        for b_i in range(B):
+            pos_b = shared["n_cand"][b_i] + b.local
+            kv_tail = jax.lax.dynamic_update_slice(
+                kv_tail, kv[:, b_i * Hk:(b_i + 1) * Hk, None, :],
+                (0, b_i * Hk, pos_b, 0))
+            codes_up = jax.lax.dynamic_update_slice(
+                codes_up, codes[:, b_i * Hk:(b_i + 1) * Hk, :, None],
+                (0, b_i * Hk, 0, pos_b))
+            if self.use_jhist:
+                # slot b's joining token (position n_cand[b]) enters the
+                # candidate set this step — count it (see commit_appends)
+                join = jax.lax.dynamic_slice(
+                    state.codes, (0, b_i * Hk, 0, shared["n_cand"][b_i]),
+                    (L, Hk, self.S, 1))[..., 0].astype(jnp.int32)
+                pair = join[..., 0] * self.C + join[..., 1]   # [L, Hk]
+                J = J.at[jnp.arange(L)[:, None],
+                         (b_i * Hk + jnp.arange(Hk))[None, :],
+                         pair,
+                         shared["n_cand"][b_i] // self.select_block].add(
+                    jnp.asarray(1.0, J.dtype))
+        return state.replace(kv_tail=kv_tail, codes=codes_up, jhist=J)
 
     def shared_pre_batched(self, state: PQState):
         return {"n_cand": state.n_cand}

@@ -59,6 +59,10 @@ class PQState:
     pos: jax.Array        # i32 scalar: absolute position of the next token
     # Tokens present in the tail are always n_cand + budget.local (candidates
     # + local window); no separate counter is kept.
+    jhist: Optional[jax.Array] = None
+    # [L, H_kv(·B), C², N_tail // select_block] bf16 — per-block joint code
+    # histogram for the S=2 matmul block scorer (core/pq.py
+    # build_joint_hist); None when the scorer is not applicable.
 
 
 @struct.dataclass
@@ -76,10 +80,11 @@ class DenseState:
 
 
 def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
-                  *, batch: int = 0) -> PQState:
+                  *, batch: int = 0, jhist_blocks: int = 0) -> PQState:
     """batch=0: single-sequence state (scalar counters). batch=B>0:
     batch-as-heads serving state — B slots folded into the kv-head axis
-    ([L, B·H_kv, ...]) with per-slot counters [B]."""
+    ([L, B·H_kv, ...]) with per-slot counters [B]. jhist_blocks>0 adds the
+    joint-code-histogram buffer for the S=2 matmul block scorer."""
     m = cfg.model
     S = cfg.pq.n_subvec_per_head
     C = cfg.pq.n_centroids
@@ -99,6 +104,8 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
         phi=jnp.zeros((L, Hf * S, 1, 1), jnp.float32),
         n_cand=jnp.zeros(cshape, jnp.int32),
         pos=jnp.zeros(cshape, jnp.int32),
+        jhist=(jnp.zeros((L, Hf, C * C, jhist_blocks), jnp.bfloat16)
+               if jhist_blocks else None),
     )
 
 
@@ -106,6 +113,12 @@ def make_dense_state(cfg: EngineConfig, max_len: int, *, with_scores: bool = Fal
                      dtype=jnp.bfloat16, batch: int = 0) -> DenseState:
     m = cfg.model
     L, H_kv, D = m.num_layers, m.num_kv_heads, m.head_dim
+    # Round the token dim to 256 (same rationale as Budget.n_tail_max): a
+    # cache length that is not a multiple of the 8-sublane tile makes the
+    # per-step dynamic_update_slice append un-alias-able on tiled memory —
+    # XLA then compress/uncompress-remats the WHOLE cache every decode step
+    # (measured: 40.5 vs 13.3 ms/step at B=4/32k/8L for T=32802 vs 32832).
+    max_len = (max_len + 255) // 256 * 256
     Hf = max(batch, 1) * H_kv
     cshape = (batch,) if batch else ()
     return DenseState(

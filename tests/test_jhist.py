@@ -1,0 +1,119 @@
+"""Joint-code-histogram block scorer (core/pq.py build_joint_hist /
+jhist_add_tokens / joint_block_mass): exact equivalence to the softmax
+block-mass chain, incremental maintenance, and engine-level parity."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import (BudgetConfig, EngineConfig, PQConfig,
+                                RuntimeConfig, tiny_model_config)
+from pqcache_tpu.core import pq
+from pqcache_tpu.models import llama
+from pqcache_tpu.runtime.generate import Engine
+
+
+def _xla_block_mass(lut, codes, n_valid, *, head_dim, block):
+    """Reference chain: ADC scores → masked softmax → per-block sums."""
+    scores = pq.adc_gather_scores(lut, codes)            # [H, T]
+    H, T = scores.shape
+    valid = jnp.arange(T) < n_valid
+    masked = jnp.where(valid[None], scores / jnp.sqrt(float(head_dim)),
+                       -jnp.inf)
+    probs = jnp.where(valid[None], jax.nn.softmax(masked, axis=-1), 0.0)
+    return jnp.sum(probs.reshape(H, T // block, block), axis=-1)
+
+
+def _setup(seed=0, H_kv=2, group=2, T=1024, C=16, block=64, n_valid=900):
+    rng = np.random.default_rng(seed)
+    H = H_kv * group
+    codes = rng.integers(0, C, size=(H_kv, 2, T)).astype(np.int32)
+    lut = rng.normal(size=(H, 2, C)).astype(np.float32) * 3.0
+    return (jnp.asarray(lut), jnp.asarray(codes),
+            jnp.asarray(n_valid, jnp.int32))
+
+
+def test_joint_mass_matches_xla_chain():
+    lut, codes, n_valid = _setup()
+    C, block, D = 16, 64, 128
+    J = pq.build_joint_hist(codes, n_valid, n_centroids=C, block=block)
+    mass = pq.joint_block_mass(lut, J, head_dim=D)
+    ref = _xla_block_mass(lut, codes, n_valid, head_dim=D, block=block)
+    np.testing.assert_allclose(np.asarray(mass), np.asarray(ref),
+                               rtol=2e-3, atol=2e-5)
+
+
+def test_joint_mass_partial_boundary_block():
+    # n_valid inside a block: only the valid prefix may carry mass
+    lut, codes, _ = _setup()
+    C, block, D = 16, 64, 128
+    n_valid = jnp.asarray(777, jnp.int32)  # 777 = 12*64 + 9
+    J = pq.build_joint_hist(codes, n_valid, n_centroids=C, block=block)
+    mass = pq.joint_block_mass(lut, J, head_dim=D)
+    ref = _xla_block_mass(lut, codes, n_valid, head_dim=D, block=block)
+    np.testing.assert_allclose(np.asarray(mass), np.asarray(ref),
+                               rtol=2e-3, atol=2e-5)
+    assert float(jnp.sum(mass[:, 13:])) == 0.0
+
+
+def test_jhist_incremental_matches_rebuild():
+    _, codes, _ = _setup(seed=3)
+    C, block = 16, 64
+    base = 700
+    J = pq.build_joint_hist(codes, jnp.asarray(base), n_centroids=C,
+                            block=block)
+    for p in range(base, base + 70):
+        J = pq.jhist_add_tokens(J, codes[:, :, p], jnp.asarray(p),
+                                n_centroids=C, block=block)
+    full = pq.build_joint_hist(codes, jnp.asarray(base + 70),
+                               n_centroids=C, block=block)
+    np.testing.assert_array_equal(np.asarray(J, np.float32),
+                                  np.asarray(full, np.float32))
+
+
+def test_jhist_selection_equals_score_chain_selection():
+    lut, codes, n_valid = _setup(seed=5, T=2048, n_valid=1800)
+    C, block, D, group = 16, 64, 128, 2
+    k = 256
+    J = pq.build_joint_hist(codes, n_valid, n_centroids=C, block=block)
+    mass = pq.joint_block_mass(lut, J, head_dim=D)
+    sel_j = pq.topk_from_block_mass(mass, n_valid, k, group=group,
+                                    block=block, approx=False)
+    scores = pq.adc_gather_scores(lut, codes)
+    sel_s, _ = pq.mips_topk_blocks(scores, n_valid, k, group=group,
+                                   head_dim=D, block=block, metric="euc",
+                                   approx=False)
+    a = np.sort(np.asarray(sel_j), axis=-1)
+    b = np.sort(np.asarray(sel_s), axis=-1)
+    # identical ranking up to float ties: require near-total agreement
+    agree = (a == b).mean()
+    assert agree > 0.95, agree
+
+
+@pytest.mark.parametrize("scorer", ["auto", "kernel"])
+def test_engine_generates_with_block_scorer(scorer):
+    """End-to-end generation through the block-granular path with each
+    scorer backend; `auto` (jhist) must produce the same tokens as the
+    XLA score-chain path at float32 (identical ranking)."""
+    cfg_m = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False, select_block=16, scorer=scorer),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=16, max_seq_len=512),
+    )
+    eng = Engine(ecfg, params, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg_m.vocab_size, size=200).astype(np.int32)
+    r = eng.generate(ids, max_new_tokens=8)
+    assert len(r.tokens) == 8
+    if not hasattr(test_engine_generates_with_block_scorer, "_ref"):
+        test_engine_generates_with_block_scorer._ref = r.tokens
+    else:
+        assert r.tokens == test_engine_generates_with_block_scorer._ref

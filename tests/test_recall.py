@@ -182,3 +182,54 @@ def test_recall_at_32k_scale_and_iters_choice():
     r_long = recall_for(33)       # 3× budget
     assert r_adaptive > 0.75 * ceiling, (r_adaptive, ceiling)
     assert r_adaptive >= 0.97 * r_long, (r_adaptive, r_long)
+
+
+@pytest.mark.parametrize("locality", [128, 256])
+def test_block_granularity_128_vs_256_at_32k(locality):
+    """Retrieval-granularity/recall tradeoff at the bench operating point
+    (T=32k, 1/10 topk budget), pinning the docs' claim about
+    BENCH_PQ_BLOCK: select_block=256 is the fastest measured DMA
+    granularity (PARITY round-2 table) but selecting 256-token blocks
+    against a token-denominated budget halves the number of selected
+    regions — when key-importance locality is FINER than the block
+    (mode changes every 128 tokens), 256 measurably loses recall
+    (measured 0.18 vs 0.31), so 128 stays the quality-safe default
+    (cache_manager.py:119-123's granularity); when locality is ≥ the
+    block (mode changes every 256), the two are equivalent."""
+    rng = np.random.default_rng(11)
+    H_kv, group, T, D, S, C = 1, 4, 32768, 128, 2, 64
+    H = H_kv * group
+    d_sub = D // S
+    n_modes = 128
+    modes = rng.normal(size=(H_kv, n_modes, D)).astype(np.float32) * 2.0
+    which_blocks = rng.integers(0, n_modes, size=(H_kv, T // locality))
+    which = np.repeat(which_blocks, locality, axis=1)
+    noise = rng.normal(size=(H_kv, T, D)).astype(np.float32) * 0.7
+    keys = np.take_along_axis(modes, which[..., None], axis=1) + noise
+    queries = rng.normal(size=(H, D)).astype(np.float32)
+    xb = (keys.reshape(H_kv, T, S, d_sub).transpose(0, 2, 1, 3)
+          .reshape(H_kv * S, T, d_sub))
+    res = pq.kmeans(jnp.asarray(xb), C, iters=11, seed=0)
+    cent = res.centroids.reshape(H_kv, S, C, -1)
+    codes = res.codes.reshape(H_kv, S, T)
+    lut = pq.adc_lut_euc(jnp.asarray(queries.reshape(H, S, d_sub)), cent)
+    scores = pq.adc_gather_scores(lut, codes)
+    k = T // 10
+    exact = pq.exact_topk(jnp.asarray(queries), jnp.asarray(keys),
+                          jnp.asarray(T), k, group=group)
+
+    def block_recall(bs):
+        blk_idx, _ = pq.mips_topk_blocks(
+            scores, jnp.asarray(T), k, group=group, head_dim=D, block=bs,
+            metric="euc", approx=True)
+        toks = (np.asarray(blk_idx)[:, :, None] * bs
+                + np.arange(bs)[None, None, :]).reshape(H_kv, -1)
+        return float(pq.topk_recall(jnp.asarray(toks[:, :k]), exact,
+                                    group=group))
+
+    r128, r256 = block_recall(128), block_recall(256)
+    if locality >= 256:
+        assert r256 > 0.9 * r128, (r128, r256)
+    else:
+        assert r128 > 1.2 * r256, (r128, r256)  # finer block wins clearly
+    assert r128 > 0.25, r128

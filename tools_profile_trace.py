@@ -28,8 +28,10 @@ from pqcache_tpu.policies.base import get_policy
 CTX = int(os.environ.get("CTX", "32768"))
 LAYERS = int(os.environ.get("LAYERS", "8"))
 STEPS = int(os.environ.get("STEPS", "16"))
+MAXNEW = int(os.environ.get("MAXNEW", "64"))
 BLOCK = int(os.environ.get("BLOCK", "256"))
 POLICY = os.environ.get("POLICY", "pq_search")
+B = int(os.environ.get("BATCH", "1"))
 OUT = os.environ.get("TRACE_DIR", "/tmp/jaxtrace")
 
 model = ModelConfig(
@@ -43,26 +45,65 @@ cfg = EngineConfig(
                 select_block=BLOCK),
     budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
     runtime=RuntimeConfig(policy=POLICY, prefill_bucket=1024,
-                          max_new_tokens=64, max_seq_len=CTX * 2))
-budget = compute_budget(cfg.budget, CTX, 64)
+                          max_new_tokens=MAXNEW, max_seq_len=CTX * 2))
+budget = compute_budget(cfg.budget, CTX, MAXNEW)
 policy = get_policy(cfg, budget)
 
 params = llama.init_params(model, jax.random.PRNGKey(0))
-st = policy.init_state(jnp.bfloat16)
-st = st.replace(n_cand=jnp.asarray(budget.n_cand_init, jnp.int32),
-                pos=jnp.asarray(CTX, jnp.int32))
-f = jax.jit(lambda p, s, t, pos: llama.decode_loop(
-    model, p, policy, s, t, pos, STEPS))
+
+
+def _warm(st, shape=()):
+    f = lambda v: jnp.full(shape, v, jnp.int32)
+    if hasattr(st, "n_cand"):
+        return st.replace(n_cand=f(budget.n_cand_init), pos=f(CTX))
+    return st.replace(length=f(CTX), start=f(0), pos=f(CTX))
+
+
+if B == 1:
+    st = policy.init_state(jnp.bfloat16)
+    st = _warm(st)
+    f = jax.jit(lambda p, s, t, pos: llama.decode_loop(
+        model, p, policy, s, t, pos, STEPS), donate_argnums=(1,))
+    tok0 = jnp.asarray(3, jnp.int32)
+    pos0 = jnp.asarray(CTX, jnp.int32)
+elif os.environ.get("MIMIC", "0") == "1":
+    # reproduce bench.py's exact flow: prefill one sequence, insert into
+    # all B slots, then decode the batched state
+    rngx = np.random.default_rng(0)
+    ids = rngx.integers(0, model.vocab_size, size=CTX).astype(np.int32)
+
+    def prefill_fn(p, s, t):
+        logits, stt = llama.prefill(model, p, policy, s, t,
+                                    jnp.asarray(0, jnp.int32),
+                                    jnp.asarray(CTX, jnp.int32))
+        return jnp.argmax(logits).astype(jnp.int32), stt
+    prefill = jax.jit(prefill_fn, donate_argnums=(1,))
+    s1 = policy.init_state(jnp.bfloat16)
+    tok0_, s1 = prefill(params, s1, jnp.asarray(ids))
+    st = policy.init_batched_state(B, jnp.bfloat16)
+    insert = jax.jit(policy.insert_slot, donate_argnums=(0,))
+    for slot in range(B):
+        st = insert(st, s1, jnp.asarray(slot, jnp.int32))
+    del s1
+    f = jax.jit(lambda p, s, t, pos: llama.decode_loop_batched(
+        model, p, policy, s, t, pos, STEPS), donate_argnums=(1,))
+    tok0 = jnp.full((B,), 3, jnp.int32)
+    pos0 = jnp.full((B,), CTX, jnp.int32)
+else:
+    st = policy.init_batched_state(B, jnp.bfloat16)
+    st = _warm(st, (B,))
+    f = jax.jit(lambda p, s, t, pos: llama.decode_loop_batched(
+        model, p, policy, s, t, pos, STEPS), donate_argnums=(1,))
+    tok0 = jnp.full((B,), 3, jnp.int32)
+    pos0 = jnp.full((B,), CTX, jnp.int32)
 t0 = time.perf_counter()
-toks, st = f(params, st, jnp.asarray(3, jnp.int32),
-             jnp.asarray(CTX, jnp.int32))
+toks, st = f(params, st, tok0, pos0)
 np.asarray(toks)
 print(f"compile+first {time.perf_counter()-t0:.1f}s", flush=True)
 
 try:
     with jax.profiler.trace(OUT):
-        toks, st = f(params, st, jnp.asarray(3, jnp.int32),
-                     jnp.asarray(CTX + STEPS, jnp.int32))
+        toks, st = f(params, st, tok0, pos0 + STEPS)
         np.asarray(toks)
     files = glob.glob(os.path.join(OUT, "**", "*"), recursive=True)
     print("trace files:")
@@ -73,7 +114,6 @@ except Exception as e:
     print(f"profiler trace FAILED: {type(e).__name__}: {e}")
 
 t0 = time.perf_counter()
-toks, st = f(params, st, jnp.asarray(3, jnp.int32),
-             jnp.asarray(CTX + 2 * STEPS, jnp.int32))
+toks, st = f(params, st, tok0, pos0 + 2 * STEPS)
 np.asarray(toks)
 print(f"steady: {(time.perf_counter()-t0)/STEPS*1e3:.2f} ms/step")
