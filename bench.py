@@ -15,8 +15,12 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R, ...}
 
 Env knobs: BENCH_CTX (32768), BENCH_GEN (32), BENCH_LAYERS (8),
-BENCH_BATCH (4; 1 = the reference's single-stream protocol),
-BENCH_PQ_BLOCK (128; 1 = per-token parity selection).
+BENCH_BATCH (8; 1 = the reference's single-stream protocol),
+BENCH_PQ_BLOCK (256; 1 = per-token parity selection — 256 is the
+measured-fastest DMA granularity; when key-importance locality is finer
+than the block it costs recall vs 128, see
+tests/test_recall.py::test_block_granularity_128_vs_256_at_32k),
+BENCH_FETCH_PAR (16).
 """
 
 import json
@@ -48,14 +52,14 @@ def main():
     # retrieval granularity (PQConfig.select_block): 128 = the TPU fast
     # path (fused block-retrieval kernel; recall-oracle-gated), 1 = the
     # reference's per-token parity mode
-    sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "128"))
-    fetch_par = int(os.environ.get("BENCH_FETCH_PAR", "4"))
+    sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "256"))
+    fetch_par = int(os.environ.get("BENCH_FETCH_PAR", "16"))
     # headline = batched serving (B concurrent 32k streams on one chip,
     # batch-as-heads decode) — the regime PQCache exists for; the
     # reference is hard-limited to batch 1 (mistral_patch.py:61).
     # BENCH_BATCH=1 BENCH_PQ_BLOCK=1 reproduces the reference's
     # single-stream per-token protocol.
-    B = int(os.environ.get("BENCH_BATCH", "4"))
+    B = int(os.environ.get("BENCH_BATCH", "8"))
 
     # Llama-3.1 widths at reduced depth: per-layer cost identical to the
     # flagship; depth scaled so random weights + B KV states fit one chip.

@@ -126,8 +126,9 @@ class OriginalPolicy:
     def commit_appends_batched(self, state: DenseState, payloads, shared):
         """Per-step stacked append: payloads = (k_new [L, B·H_kv, D],
         v_new); per-slot write positions, committed as B unrolled
-        contiguous dynamic updates OUTSIDE the layer scan (see the
-        class-level note)."""
+        contiguous dynamic updates OUTSIDE the layer scan (scatters flip
+        the carry layout — see policies/pq_search.py
+        commit_appends_batched)."""
         k_new, v_new = payloads
         dt = state.k_cache.dtype
         H_kv = self.cfg.model.num_kv_heads

@@ -703,10 +703,15 @@ class PQSearchPolicy:
         codes = pq.pq_encode(xg, cent).reshape(
             L, BH_kv, self.S).astype(state.codes.dtype)
         kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
-        # B unrolled contiguous updates instead of a per-(head, pos)
-        # scatter: the scatter made XLA store the multi-GB kv_tail carry
-        # heads-major and transpose-copy it back every step (profiled
-        # 12.9 ms/step at B=4/32k/8L)
+        # Per-slot appends as B unrolled contiguous dynamic updates. Both
+        # "one-op" alternatives are ruled out by measurement: a per-(head,
+        # pos) scatter — flat-indexed or not — makes XLA store the
+        # multi-GB carry heads-major and transpose-copy it (12.9 ms/step
+        # at B=4; an 8 GB layout-copy temp that OOMs outright at B=8),
+        # while the unrolled chain stays in place up to B≈4 and costs
+        # compress-remat links (~0.7 ms each) beyond that. Serving at
+        # B>4 on one chip is attention-bound anyway; the dp axis
+        # (parallel/batch_tp.py) is the intended scale-out path.
         kv_tail, codes_up = state.kv_tail, state.codes
         Hk = self.H_kv
         J = state.jhist
