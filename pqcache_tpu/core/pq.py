@@ -385,8 +385,11 @@ def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
 def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
                      n_centroids: int, block: int) -> jax.Array:
     """codes [H_kv, 2, T] int (T % block == 0); tokens at index >= n_valid
-    are excluded. Returns J [H_kv, C², T//block] bf16 — exact counts
-    (block ≤ 256 keeps every count bf16-representable)."""
+    are excluded. Returns J [H_kv, T//block, C²] bf16 — exact counts
+    (block ≤ 256 keeps every count bf16-representable). C² is the MINOR
+    dim: it is 128-lane-aligned for C ≥ 12 (no tile padding — NB-minor
+    padded 258 → 384, 1.5× the memory) and it is the contraction dim of
+    joint_block_mass's matmul."""
     H_kv, S, T = codes.shape
     assert S == 2, "joint histogram requires exactly 2 subvectors"
     assert block <= 256, "bf16 counts exact only up to 256"
@@ -400,7 +403,7 @@ def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
                      1.0, 0.0).astype(jnp.float32)
     J = jax.vmap(lambda s: jax.ops.segment_sum(
         ones, s, num_segments=NB * C * C))(seg)
-    return J.reshape(H_kv, NB, C * C).transpose(0, 2, 1).astype(jnp.bfloat16)
+    return J.reshape(H_kv, NB, C * C).astype(jnp.bfloat16)
 
 
 def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
@@ -408,23 +411,23 @@ def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
                      block: int) -> jax.Array:
     """Count newly-joined candidate tokens into the histogram.
 
-    J [..., H_kv, C², NB]; codes_tok [..., H_kv, 2] int — the joining
+    J [..., H_kv, NB, C²]; codes_tok [..., H_kv, 2] int — the joining
     token's codes per (leading dims, kv head); pos i32 scalar — its tail
     position (same for every leading dim). Returns J + 1 at
-    ([...], h, pair, pos // block)."""
+    ([...], h, pos // block, pair)."""
     C = n_centroids
-    pair = (codes_tok[..., 0].astype(jnp.int32) * C
-            + codes_tok[..., 1].astype(jnp.int32))           # [..., H_kv]
+    pair = (codes_tok[..., 0].astype(jnp.int32)
+            * C + codes_tok[..., 1].astype(jnp.int32))       # [..., H_kv]
     blk = jnp.asarray(pos, jnp.int32) // block
     lead = tuple(jnp.ix_(*[jnp.arange(n) for n in pair.shape]))
-    return J.at[lead + (pair, blk)].add(jnp.asarray(1.0, J.dtype))
+    return J.at[lead + (blk, pair)].add(jnp.asarray(1.0, J.dtype))
 
 
 def joint_block_mass(lut: jax.Array, J: jax.Array, *,
                      head_dim: int) -> jax.Array:
     """Per-q-head normalized block attention mass from the joint histogram.
 
-    lut [H, 2, C] f32 (H may be a folded B·H); J [H_kv, C², NB] with
+    lut [H, 2, C] f32 (H may be a folded B·H); J [H_kv, NB, C²] with
     H_kv | H. Returns [H, NB] f32, rows summing to 1 over non-empty
     blocks — the same quantity adc_block_scores_pallas emits, computed as
     one batched matmul. The per-subvec max subtraction is a per-q-head
@@ -437,7 +440,7 @@ def joint_block_mass(lut: jax.Array, J: jax.Array, *,
     e = jnp.exp((lut.astype(jnp.float32) - m) * scale)       # [H, 2, C]
     pair = (e[:, 0, :, None] * e[:, 1, None, :]).reshape(H, C * C)
     mass = jnp.einsum(
-        "hgp,hpn->hgn", pair.reshape(H_kv, g, C * C),
+        "hgp,hnp->hgn", pair.reshape(H_kv, g, C * C),
         J.astype(jnp.float32),
         preferred_element_type=jnp.float32).reshape(H, -1)
     z = jnp.sum(mass, axis=-1, keepdims=True)

@@ -732,9 +732,8 @@ class PQSearchPolicy:
                 pair = join[..., 0] * self.C + join[..., 1]   # [L, Hk]
                 J = J.at[jnp.arange(L)[:, None],
                          (b_i * Hk + jnp.arange(Hk))[None, :],
-                         pair,
-                         shared["n_cand"][b_i] // self.select_block].add(
-                    jnp.asarray(1.0, J.dtype))
+                         shared["n_cand"][b_i] // self.select_block,
+                         pair].add(jnp.asarray(1.0, J.dtype))
         return state.replace(kv_tail=kv_tail, codes=codes_up, jhist=J)
 
     def shared_pre_batched(self, state: PQState):

@@ -43,6 +43,9 @@ from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.runtime.host_offload import HostKVStore, assemble_blocks
 
 
+from typing import Optional
+
+
 @struct.dataclass
 class OffloadPQState:
     k_sink: jax.Array    # [L, H_kv, sink, D]
@@ -55,6 +58,7 @@ class OffloadPQState:
     n_cand: jax.Array
     ring_ptr: jax.Array
     pos: jax.Array
+    jhist: Optional[jax.Array] = None  # [L, H_kv, NB, C²] (see core/pq.py)
 
 
 class OffloadEngine:
@@ -71,6 +75,12 @@ class OffloadEngine:
         self.d_sub = m.head_dim // self.S
         self.metric = cfg.pq.metric
         self.bs = cfg.cache.block_size
+        # joint-histogram block scorer (core/pq.py): block selection as one
+        # matmul instead of an O(T) ADC code sweep — same conditions as
+        # policies/pq_search.py use_jhist; the offload tier's selection is
+        # block-granular at the cache block size already
+        self.use_jhist = (cfg.pq.scorer == "auto" and self.S == 2
+                          and self.metric == "euc" and self.bs <= 256)
 
     def _budget(self, P: int, max_new: int) -> Budget:
         return compute_budget(self.cfg.budget, P, max_new)
@@ -89,7 +99,10 @@ class OffloadEngine:
             phi=jnp.zeros((L, H_kv * self.S, 1, 1), jnp.float32),
             n_cand=jnp.zeros((), jnp.int32),
             ring_ptr=jnp.zeros((), jnp.int32),
-            pos=jnp.zeros((), jnp.int32))
+            pos=jnp.zeros((), jnp.int32),
+            jhist=(jnp.zeros((L, H_kv, b.n_tail_max // self.bs,
+                              self.C * self.C), jnp.bfloat16)
+                   if self.use_jhist else None))
 
     # -- jitted device programs -------------------------------------------
 
@@ -131,6 +144,7 @@ class OffloadEngine:
 
         up = lambda buf, val: jax.lax.dynamic_update_slice(
             buf, val[None].astype(buf.dtype), (idx,) + (0,) * val.ndim)
+        n_cand0 = jnp.maximum(n_valid_tail - b.local, 0)
         state = state.replace(
             k_sink=up(state.k_sink, k_r[:, :b.sink]),
             v_sink=up(state.v_sink, v_r[:, :b.sink]),
@@ -140,9 +154,17 @@ class OffloadEngine:
                 state.codes, codes_src[None], (idx, 0, 0, 0)),
             centroids=up(state.centroids, centroids),
             phi=up(state.phi, phi),
-            n_cand=jnp.maximum(n_valid_tail - b.local, 0),
+            n_cand=n_cand0,
             ring_ptr=jnp.zeros((), jnp.int32),
             pos=true_len.astype(jnp.int32))
+        if self.use_jhist:
+            N_tail = state.codes.shape[-1]
+            codes_full = jnp.pad(
+                codes_src.astype(jnp.int32),
+                ((0, 0), (0, 0), (0, N_tail - codes_src.shape[-1])))
+            J = pq.build_joint_hist(codes_full, n_cand0,
+                                    n_centroids=self.C, block=self.bs)
+            state = state.replace(jhist=up(state.jhist, J))
 
         attn = out.transpose(1, 0, 2).reshape(P, -1)
         hidden = hidden + attn @ lp["wo"]
@@ -170,11 +192,18 @@ class OffloadEngine:
             lut = pq.adc_lut_euc(q_sub, centroids)
         else:
             lut = pq.adc_lut_ip(pq.lift_query(q_sub), centroids)
-        scores = pq.adc_gather_scores(lut, codes)
-        blk_idx, _ = pq.mips_topk_blocks(
-            scores, n_sel, b.topk, group=cfg.num_groups,
-            head_dim=cfg.head_dim, block=self.bs, metric=self.metric,
-            approx=self.cfg.pq.approx_topk)
+        if self.use_jhist:
+            mass = pq.joint_block_mass(lut, state.jhist[idx],
+                                       head_dim=cfg.head_dim)
+            blk_idx = pq.topk_from_block_mass(
+                mass, n_sel, b.topk, group=cfg.num_groups, block=self.bs,
+                approx=self.cfg.pq.approx_topk)
+        else:
+            scores = pq.adc_gather_scores(lut, codes)
+            blk_idx, _ = pq.mips_topk_blocks(
+                scores, n_sel, b.topk, group=cfg.num_groups,
+                head_dim=cfg.head_dim, block=self.bs, metric=self.metric,
+                approx=self.cfg.pq.approx_topk)
         return q, k_new, v_new, jnp.sort(blk_idx, axis=-1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -245,6 +274,15 @@ class OffloadEngine:
                 state.v_local, v_new.astype(dt)[None], (idx, 0, ptr, 0)),
             codes=jax.lax.dynamic_update_slice(
                 state.codes, ev_codes[None], (idx, 0, 0, n_cand)))
+        if self.use_jhist:
+            # the evicted token becomes candidate n_cand this step — count
+            # its codes into its block's histogram (incremental form of
+            # the scorer's tok < n_cand mask)
+            ev = ev_codes[:, :, 0].astype(jnp.int32)          # [H_kv, S]
+            pair = ev[:, 0] * self.C + ev[:, 1]               # [H_kv]
+            state = state.replace(jhist=state.jhist.at[
+                idx, jnp.arange(H_kv), n_cand // self.bs, pair].add(
+                jnp.asarray(1.0, state.jhist.dtype)))
         kv_ev = jnp.concatenate([evicted_k[:, 0], evicted_v[:, 0]], axis=-1)
         return hidden, state, kv_ev
 

@@ -60,9 +60,10 @@ class PQState:
     # Tokens present in the tail are always n_cand + budget.local (candidates
     # + local window); no separate counter is kept.
     jhist: Optional[jax.Array] = None
-    # [L, H_kv(·B), C², N_tail // select_block] bf16 — per-block joint code
+    # [L, H_kv(·B), N_tail // select_block, C²] bf16 — per-block joint code
     # histogram for the S=2 matmul block scorer (core/pq.py
-    # build_joint_hist); None when the scorer is not applicable.
+    # build_joint_hist; C² minor = lane-aligned, no tile padding); None
+    # when the scorer is not applicable.
 
 
 @struct.dataclass
@@ -104,7 +105,7 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
         phi=jnp.zeros((L, Hf * S, 1, 1), jnp.float32),
         n_cand=jnp.zeros(cshape, jnp.int32),
         pos=jnp.zeros(cshape, jnp.int32),
-        jhist=(jnp.zeros((L, Hf, C * C, jhist_blocks), jnp.bfloat16)
+        jhist=(jnp.zeros((L, Hf, jhist_blocks, C * C), jnp.bfloat16)
                if jhist_blocks else None),
     )
 
