@@ -42,6 +42,9 @@ LAYERS = int(os.environ.get("LAYERS", "8"))
 GEN = int(os.environ.get("GEN", "24"))
 CACHE_TOKENS = int(os.environ.get("CACHE_TOKENS", "8192"))
 BLOCK = int(os.environ.get("BLOCK", "128"))
+# contexts beyond the HBM tier's fit (the tier's own regime): skip the
+# HBM-resident comparison arm, it would OOM
+SKIP_HBM = os.environ.get("SKIP_HBM", "0") == "1"
 
 
 def main():
@@ -65,13 +68,16 @@ def main():
     ids = rng.integers(0, model.vocab_size, size=CTX).astype(np.int32)
 
     # HBM-resident reference (same config, fused on-device decode)
-    import dataclasses
-    cfg_hbm = dataclasses.replace(
-        cfg, cache=dataclasses.replace(cfg.cache, offload=False))
-    hbm = Engine(cfg_hbm, params)
-    r = hbm.generate(ids, max_new_tokens=GEN)          # compile
-    r = hbm.generate(ids, max_new_tokens=GEN)
-    hbm_ms = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1e3
+    hbm_ms = None
+    if not SKIP_HBM:
+        import dataclasses
+        cfg_hbm = dataclasses.replace(
+            cfg, cache=dataclasses.replace(cfg.cache, offload=False))
+        hbm = Engine(cfg_hbm, params)
+        r = hbm.generate(ids, max_new_tokens=GEN)      # compile
+        r = hbm.generate(ids, max_new_tokens=GEN)
+        hbm_ms = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1e3
+        del hbm, r
 
     off = OffloadEngine(cfg, params)
     off.generate(ids, max_new_tokens=4)                # compile
@@ -83,7 +89,8 @@ def main():
     print(json.dumps({
         "metric": f"offload-tier decode @ {CTX} ctx ({LAYERS}L)",
         "per_step_ms": round(tm["decode_s"] / steps * 1e3, 2),
-        "hbm_tier_per_step_ms": round(hbm_ms, 2),
+        "hbm_tier_per_step_ms": (round(hbm_ms, 2) if hbm_ms is not None
+                                 else None),
         "hit_rate": round(off.store.hit_rate, 4),
         "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
         "device_wait_ms_per_step": round(tm["wait_s"] / steps * 1e3, 2),

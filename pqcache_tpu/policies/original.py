@@ -12,8 +12,7 @@ import jax.numpy as jnp
 
 from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core.budget import Budget
-from pqcache_tpu.ops.attention_xla import (
-    decode_window_attention, decode_window_attention_segments)
+from pqcache_tpu.ops.attention_xla import decode_window_attention_segments
 from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import DenseState, make_dense_state

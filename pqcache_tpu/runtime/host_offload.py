@@ -174,7 +174,7 @@ class HostKVStore:
         n_full = n_tokens // bs
         start = self.valid[layer] // bs
         CH = 64  # blocks per split program / batched device_put
-        for c0 in range(0, n_full, CH):
+        for ci, c0 in enumerate(range(0, n_full, CH)):
             n = min(CH, n_full - c0)
             sub = jax.lax.dynamic_slice_in_dim(kv, c0 * bs, n * bs, axis=1)
             leaves = _split_blocks(sub, n=n, bs=bs)
@@ -182,6 +182,13 @@ class HostKVStore:
                       if self._s_host is not None else list(leaves))
             for i, leaf in enumerate(hosted):
                 self.kv_blocks[layer][start + c0 + i] = leaf
+            if ci % 4 == 3:
+                # bound in-flight split+transfer chunks (~128 MB): at 128k+
+                # the queued chunk programs' device temporaries otherwise
+                # accumulate faster than the pinned transfers drain. Pull
+                # the WHOLE newest leaf — slicing a host-space array
+                # crashes the remote compiler (ROUND_NOTES)
+                np.asarray(hosted[-1])
         self.valid[layer] = (start + n_full) * bs
         rem = n_tokens - n_full * bs
         if rem:
@@ -363,6 +370,17 @@ class HostKVStore:
         """Drain the LFUs' native worker threads (step boundary / tests)."""
         for lfu in self.lfu:
             lfu.synchronize()
+
+    def sync_transfers(self, layer: int) -> None:
+        """Block until this layer's pinned leaves are materialized.
+        `jax.block_until_ready` does not block through the dev tunnel
+        (ROUND_NOTES), so pull one leaf's bytes; transfers are ordered, so
+        the newest leaf completing bounds in-flight offload traffic to
+        ~one layer — without this, a 128k prefill queues every layer's
+        0.5 GB of leaf transfers ahead of the copies and OOMs HBM."""
+        blocks = self.kv_blocks[layer]
+        if blocks:
+            np.asarray(blocks[max(blocks)])
 
     @property
     def hit_rate(self) -> float:

@@ -107,8 +107,12 @@ class OffloadEngine:
     # -- jitted device programs -------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _prefill_layer(self, lp, state, idx, hidden, cos, sin, pad_len,
+    def _prefill_layer(self, layers, state, idx, hidden, cos, sin, pad_len,
                        true_len):
+        # layer params sliced INSIDE the program (loop-fused reads of the
+        # stacked arrays) — materializing per-layer copies on the host
+        # side doubled the parameter footprint (+1.75 GB at llama31-width)
+        lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         cfg = self.cfg.model
         b = self.budget
         P = hidden.shape[0]
@@ -207,7 +211,8 @@ class OffloadEngine:
         return q, k_new, v_new, jnp.sort(blk_idx, axis=-1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode_first(self, lp, state, hidden, cos, sin, n_sel):
+    def _decode_first(self, layers, state, hidden, cos, sin, n_sel):
+        lp = jax.tree_util.tree_map(lambda a: a[0], layers)
         return self._score_and_topk(lp, state, jnp.asarray(0, jnp.int32),
                                     hidden, cos, sin, n_sel)
 
@@ -286,12 +291,14 @@ class OffloadEngine:
         kv_ev = jnp.concatenate([evicted_k[:, 0], evicted_v[:, 0]], axis=-1)
         return hidden, state, kv_ev
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-    def _decode_fused(self, lp, lp_next, state, idx, hidden, cos, sin, q,
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _decode_fused(self, layers, state, idx, hidden, cos, sin, q,
                       k_new, v_new, blk_idx, slots, miss_pos, staged,
                       cache, tail, n_sel, n_tail_att):
         """Attention + tail of layer `idx` fused with the score/top-k of
         layer idx+1 — one host round trip per decode layer."""
+        lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
+        lp_next = jax.tree_util.tree_map(lambda a: a[idx + 1], layers)
         hidden, state, kv_ev = self._attn_and_tail(
             lp, state, idx, hidden, q, k_new, v_new, blk_idx, slots,
             miss_pos, staged, cache, tail, n_sel, n_tail_att)
@@ -300,10 +307,11 @@ class OffloadEngine:
         return hidden, state, kv_ev, q2, k2, v2, blk2
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-    def _decode_last(self, lp, params_out, state, idx, hidden, q, k_new,
+    def _decode_last(self, layers, params_out, state, idx, hidden, q, k_new,
                      v_new, blk_idx, slots, miss_pos, staged, cache, tail,
                      n_sel, n_tail_att):
         """Final layer + LM head + argmax in one program."""
+        lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         hidden, state, kv_ev = self._attn_and_tail(
             lp, state, idx, hidden, q, k_new, v_new, blk_idx, slots,
             miss_pos, staged, cache, tail, n_sel, n_tail_att)
@@ -356,9 +364,7 @@ class OffloadEngine:
         pad_j = jnp.asarray(pad, jnp.int32)
         tl_j = jnp.asarray(true_len, jnp.int32)
 
-        layer_params = [
-            jax.tree_util.tree_map(lambda a: a[l], self.params["layers"])
-            for l in range(m.num_layers)]
+        layers = self.params["layers"]
 
         hidden = jnp.take(self.params["embed"], jnp.asarray(tokens), axis=0)
         positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_j, 0)
@@ -366,9 +372,15 @@ class OffloadEngine:
         stored = true_len - b.sink          # tail rows valid in the store
         for l in range(m.num_layers):
             hidden, state, kv_tail = self._prefill_layer(
-                layer_params[l], state, jnp.asarray(l, jnp.int32), hidden,
+                layers, state, jnp.asarray(l, jnp.int32), hidden,
                 cos, sin, pad_j, tl_j)
             store.offload_layer_device(l, kv_tail, stored)
+            # bound in-flight prefill work to ~1 layer (compute AND the
+            # pinned-host leaf transfers): without these barriers the
+            # async dispatch allocates every layer's [H_kv, P, 2D] tail
+            # while transfers lag, OOMing at 128k (0.5 GB/layer there)
+            np.asarray(hidden[:1, :1])
+            store.sync_transfers(l)
         last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
                               m.rms_norm_eps)
         logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
@@ -394,7 +406,7 @@ class OffloadEngine:
             # store-tail rows that are evicted candidates (attended inline)
             n_tail_att = jnp.asarray(max(n_cand_py - valid, 0), jnp.int32)
             q, k_new, v_new, blk = self._decode_first(
-                layer_params[0], state, hidden, cos, sin, n_sel)
+                layers, state, hidden, cos, sin, n_sel)
             kv_evs = []
             for l in range(L):
                 t0 = time.perf_counter()
@@ -411,11 +423,11 @@ class OffloadEngine:
                 if l < L - 1:
                     (hidden, state, kv_ev, q, k_new, v_new, blk
                      ) = self._decode_fused(
-                        layer_params[l], layer_params[l + 1], state, li,
+                        layers, state, li,
                         hidden, cos, sin, q, k_new, v_new, *args)
                 else:
                     state, kv_ev, nxt = self._decode_last(
-                        layer_params[l], params_out, state, li, hidden, q,
+                        layers, params_out, state, li, hidden, q,
                         k_new, v_new, *args)
                 kv_evs.append(kv_ev)
             # evicted tokens beyond the prefilled region extend the store

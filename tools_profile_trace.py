@@ -59,6 +59,33 @@ def _warm(st, shape=()):
     return st.replace(length=f(CTX), start=f(0), pos=f(CTX))
 
 
+if os.environ.get("TRACE_PREFILL", "0") == "1":
+    # profile the PREFILL program instead of decode
+    rngx = np.random.default_rng(0)
+    ids = jnp.asarray(
+        rngx.integers(0, model.vocab_size, size=CTX).astype(np.int32))
+
+    def prefill_fn(p, s, t):
+        logits, stt = llama.prefill(model, p, policy, s, t,
+                                    jnp.asarray(0, jnp.int32),
+                                    jnp.asarray(CTX, jnp.int32))
+        return jnp.argmax(logits).astype(jnp.int32), stt
+    prefill = jax.jit(prefill_fn, donate_argnums=(1,))
+    t0 = time.perf_counter()
+    tok, st = prefill(params, policy.init_state(jnp.bfloat16), ids)
+    np.asarray(tok)
+    print(f"prefill compile+first {time.perf_counter()-t0:.1f}s", flush=True)
+    with jax.profiler.trace(OUT):
+        t0 = time.perf_counter()
+        tok, st = prefill(params, policy.init_state(jnp.bfloat16), ids)
+        np.asarray(tok)
+    print(f"prefill steady: {time.perf_counter()-t0:.2f}s")
+    import glob as _g
+    for p in sorted(_g.glob(os.path.join(OUT, "**", "*"), recursive=True)):
+        if os.path.isfile(p):
+            print(f"  {p}")
+    sys.exit(0)
+
 if B == 1:
     st = policy.init_state(jnp.bfloat16)
     st = _warm(st)
