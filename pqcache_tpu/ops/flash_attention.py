@@ -47,11 +47,10 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(reachable)
     def _compute():
-        q = q_ref[0].astype(jnp.float32) * scale         # [BQ, D]
-        k = k_ref[0].astype(jnp.float32)                 # [BK, D]
+        # bf16 MXU operands, f32 accumulation (see _flash_kernel_tri)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [BQ, BK]
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
 
         kpos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -68,15 +67,81 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(mask, p, 0.0)
         corr = jnp.exp(m_prev - m_new)
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0].astype(jnp.float32)                 # [BK, D]
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_scr[:] = acc_scr[:] * corr + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(j == nj - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
+                      m_scr, l_scr, acc_scr, *, scale, block, n_pairs):
+    """Causal kernel over a PACKED lower-triangle grid: grid step t handles
+    the (i, j) = (scal[2+t], scal[2+n_pairs+t]) block pair, enumerated
+    row-major with j ≤ i — upper-triangle blocks never get a grid step or
+    a DMA (the rectangular grid spent half its steps fetching blocks whose
+    compute was @pl.when'd away; measured 26% MFU at 32k)."""
+    t = pl.program_id(1)
+    i = scal_ref[2 + t]
+    j = scal_ref[2 + n_pairs + t]
+    valid_lo = scal_ref[0]
+    valid_hi = scal_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # bf16 MXU operands, f32 accumulation: f32×f32 dots run the MXU at
+    # 1/8 rate (profiled: the f32 kernel sat at 26% MFU)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [B, B]
+
+    def _update(s, mask):
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    # the causal triangle only cuts into the DIAGONAL block, and validity
+    # bounds only cut into blocks straddling valid_lo/valid_hi — interior
+    # pairs (the vast majority) skip the iota/compare/select chain, which
+    # is pure VPU work the kernel is bound on
+    boundary = ((j == i) | (j * block < valid_lo)
+                | ((j + 1) * block > valid_hi))
+
+    @pl.when(boundary)
+    def _masked():
+        kpos = j * block + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 1)
+        mask = (kpos >= valid_lo) & (kpos < valid_hi)
+        qpos = i * block + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0)
+        mask = mask & (kpos <= qpos)
+        _update(jnp.where(mask, s, NEG_INF), mask)
+
+    @pl.when(jnp.logical_not(boundary))
+    def _plain():
+        _update(s, None)
+
+    @pl.when(j == i)
     def _finalize():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -93,8 +158,8 @@ def flash_attention(
     valid_len: jax.Array | None = None,
     *,
     causal: bool = True,
-    block_q: int = 1024,   # swept at 32k/v5e: 1024/1024 is 1.7x over 512/512
-    block_k: int = 1024,
+    block_q: int = 1024,  # swept at 32k/v5e: 1024 beats 512 (792 vs
+    block_k: int = 1024,  # 557 ms/8L — per-grid-step cost dominates)
     interpret: bool = False,
 ) -> jax.Array:
     """q [H, T, D], k/v [H_kv, T, D] → out [H, T, D] (q.dtype).
@@ -116,6 +181,49 @@ def flash_attention(
 
     if valid_len is None:
         valid_len = T
+
+    if causal and bq == bk:
+        # packed lower-triangle grid: one step per reachable block pair
+        import numpy as _np
+        nq = Tp // bq
+        qi = _np.repeat(_np.arange(nq), _np.arange(1, nq + 1))
+        kj = _np.concatenate([_np.arange(i + 1) for i in range(nq)])
+        n_pairs = qi.size
+        scalars = jnp.concatenate([
+            jnp.asarray([valid_lo, valid_len], jnp.int32),
+            jnp.asarray(qi, jnp.int32), jnp.asarray(kj, jnp.int32)])
+        kernel = functools.partial(
+            _flash_kernel_tri, scale=scale, block=bq, n_pairs=n_pairs)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(H, n_pairs),
+                in_specs=[
+                    pl.BlockSpec((1, bq, D),
+                                 lambda h, t, s: (h, s[2 + t], 0)),
+                    pl.BlockSpec(
+                        (1, bk, D),
+                        lambda h, t, s, np_=n_pairs, g=group: (
+                            h // g, s[2 + np_ + t], 0)),
+                    pl.BlockSpec(
+                        (1, bk, D),
+                        lambda h, t, s, np_=n_pairs, g=group: (
+                            h // g, s[2 + np_ + t], 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, bq, D), lambda h, t, s: (h, s[2 + t], 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((bq, 128), jnp.float32),
+                    pltpu.VMEM((bq, 128), jnp.float32),
+                    pltpu.VMEM((bq, D), jnp.float32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((H, Tp, D), q.dtype),
+            interpret=interpret,
+        )(scalars, q, k, v)
+        return out[:, :T]
+
     scalars = jnp.asarray(
         [valid_lo, valid_len], jnp.int32)
 
