@@ -196,6 +196,11 @@ def flash_attention(
             _flash_kernel_tri, scale=scale, block=bq, n_pairs=n_pairs)
         out = pl.pallas_call(
             kernel,
+            # the default 16 MB scoped-VMEM budget is ~0.4 MB short of the
+            # 1024-block working set once the prefetched pair arrays grow
+            # (128k ctx); v5e has 128 MB of VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(H, n_pairs),
