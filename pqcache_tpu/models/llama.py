@@ -319,7 +319,17 @@ def decode_loop_batched(cfg: ModelConfig, params: dict, policy, state: Any,
                         tokens: jax.Array, pos: jax.Array, n_steps: int,
                         axis_name=None) -> Tuple[jax.Array, Any]:
     """Greedy-decode n_steps tokens for B slots in ONE device program.
-    tokens/pos [B]. Returns (tokens [n_steps, B] i32, state)."""
+    tokens/pos [B]. Returns (tokens [n_steps, B] i32, state).
+
+    A policy with a write-combining ring (PQState.ring_kv) accumulates
+    the chunk's new tokens there and bulk-commits them into the per-slot
+    tails ONCE at the end of the program (flush_ring_batched) — the
+    decode chunk length is therefore capped at the ring capacity."""
+    ring_k = getattr(policy, "ring_k", 0)
+    if ring_k and getattr(state, "ring_kv", None) is not None:
+        if n_steps > ring_k:
+            raise ValueError(
+                f"decode chunk {n_steps} exceeds ring capacity {ring_k}")
 
     def body(carry, _):
         tok, p, st = carry
@@ -331,6 +341,8 @@ def decode_loop_batched(cfg: ModelConfig, params: dict, policy, state: Any,
     (_, _, state), toks = jax.lax.scan(
         body, (tokens.astype(jnp.int32), pos.astype(jnp.int32), state),
         None, length=n_steps)
+    if ring_k and getattr(state, "ring_kv", None) is not None:
+        state = policy.flush_ring_batched(state)
     return toks, state
 
 

@@ -191,6 +191,31 @@ def chunked_attention(
     return out, scores
 
 
+def segment_partial(qg, k_seg, v_seg, mask=None):
+    """Online-softmax partial (m, l, acc) of qg [H_kv, g, D] over ONE
+    key/value segment [H_kv, W, D]; mask [H_kv, W] or [W] bool. Feed the
+    result into decode_window_attention_segments(..., partials=[...]) —
+    useful when different head groups attend different windows (per-slot
+    local windows in batch-as-heads decode) and assembling one combined
+    segment would materialize a large buffer."""
+    H_kv, g, D = qg.shape
+    scale = 1.0 / (D ** 0.5)
+    logits = jnp.einsum("hgd,hwd->hgw", qg, k_seg,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        mask = mask if mask.ndim == 2 else jnp.broadcast_to(
+            mask[None], (H_kv, mask.shape[-1]))
+        logits = jnp.where(mask[:, None, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    if mask is not None:
+        p = jnp.where(mask[:, None, :], p, 0.0)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("hgw,hwd->hgd", p.astype(v_seg.dtype), v_seg,
+                     preferred_element_type=jnp.float32)
+    return m, l, acc
+
+
 def decode_window_attention_segments(q, segments, partials=()):
     """Single-step attention over multiple key/value segments WITHOUT
     concatenating them (each concat copies the whole window). Segments are

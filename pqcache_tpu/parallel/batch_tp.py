@@ -39,13 +39,15 @@ from pqcache_tpu.runtime.state import PQState
 
 
 # 5-D state specs: [L, B, H_kv, ...] → (None, "dp", "tp", ...)
-def batch_state_specs(jhist: bool = False) -> PQState:
+def batch_state_specs(jhist: bool = False, ring: bool = False) -> PQState:
     h5 = P(None, "dp", "tp", None, None)
     return PQState(
         k_sink=h5, v_sink=h5, kv_tail=h5, codes=h5,
         centroids=P(None, "dp", "tp", None, None, None),
         phi=h5, n_cand=P("dp"), pos=P("dp"),
-        jhist=h5 if jhist else None)
+        jhist=h5 if jhist else None,
+        ring_kv=h5 if ring else None,
+        ring_r=P() if ring else None)
 
 
 BATCH_STATE_SPECS = batch_state_specs()
@@ -87,7 +89,8 @@ class BatchTPEngine:
 
         local_m = self.cfg_local.model
         policy = self.policy
-        sspec = batch_state_specs(jhist=policy.use_jhist)
+        sspec = batch_state_specs(jhist=policy.use_jhist,
+                                  ring=bool(policy.ring_k))
 
         def prefill_wave(p, bstate, tokens, pad, tlen, lslot):
             """One dp wave: each dp group prefills ITS prompt (tokens local
@@ -113,7 +116,8 @@ class BatchTPEngine:
                 n_cand=bstate.n_cand.at[lslot].set(st.n_cand),
                 pos=bstate.pos.at[lslot].set(st.pos),
                 jhist=(ins(bstate.jhist, st.jhist)
-                       if policy.use_jhist else None))
+                       if policy.use_jhist else None),
+                ring_kv=bstate.ring_kv, ring_r=bstate.ring_r)
             return first[None], new
 
         def decode_chunk(p, bstate, toks, poss, n):
@@ -147,7 +151,7 @@ class BatchTPEngine:
                 num_heads=self.cfg_local.model.num_heads * self.tp))
         folded = make_pq_state(
             cfg_g, self.budget, dtype=self.dtype, batch=B,
-            jhist_blocks=self.policy._jhist_blocks())
+            **self.policy._batched_alloc())
         return _unfold(folded, B)
 
     def generate_batch(self, prompts: list, max_new_tokens: int,

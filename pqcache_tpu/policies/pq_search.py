@@ -33,7 +33,8 @@ from pqcache_tpu.config import EngineConfig
 from pqcache_tpu.core import pq
 from pqcache_tpu.core.budget import Budget
 from pqcache_tpu.ops.attention_xla import (
-    decode_window_attention, decode_window_attention_segments)
+    decode_window_attention, decode_window_attention_segments,
+    segment_partial)
 from pqcache_tpu.ops.dispatch import dense_prefill_attention
 from pqcache_tpu.policies.base import register_policy
 from pqcache_tpu.runtime.state import PQState, make_pq_state
@@ -103,6 +104,13 @@ class PQSearchPolicy:
                           and self.metric == "euc"
                           and 1 < self.select_block <= 256
                           and self.gqa and self.deferred_appends)
+        # Batched write-combining ring (state.ring_kv): decode chunks of up
+        # to ring_k steps write every slot's new token at ONE global ring
+        # column per step and flush into the per-slot tail positions in
+        # bulk once per chunk — per-step per-slot tail writes either
+        # scatter (heads-major layout flip of the multi-GB carry) or chain
+        # B dynamic updates (aliasing breaks past B≈4); both measured.
+        self.ring_k = 32 if self.deferred_appends else 0
 
     # -- helpers ----------------------------------------------------------
 
@@ -523,17 +531,29 @@ class PQSearchPolicy:
     # the vmapped scan composition serializes; the reference cannot batch at
     # all, mistral_patch.py:61).
 
+    def _batched_alloc(self) -> dict:
+        """Allocation kwargs shared by every batched-state constructor
+        (single-device and the dp×tp engines)."""
+        pad = 256 if self.ring_k else 0
+        return dict(
+            jhist_blocks=((self.budget.n_tail_max + pad) // self.select_block
+                          if self.use_jhist else 0),
+            ring_k=self.ring_k, tail_pad=pad)
+
     def init_batched_state(self, B: int, dtype=jnp.bfloat16) -> PQState:
         return make_pq_state(self.cfg, self.budget, dtype=dtype, batch=B,
-                             jhist_blocks=self._jhist_blocks())
+                             **self._batched_alloc())
 
     def insert_slot(self, bstate: PQState, state: PQState,
                     slot: jax.Array) -> PQState:
-        """Write a prefilled single-sequence state into slot `slot`."""
+        """Write a prefilled single-sequence state into slot `slot`.
+        Batched buffers may be WIDER than the single-sequence ones on the
+        token/block axes (ring tail_pad) — general dynamic_update_slice
+        writes the narrower update into the padded buffer."""
         H_kv, S = self.H_kv, self.S
         slot = jnp.asarray(slot, jnp.int32)
-        up1 = lambda b, s, scale: jax.lax.dynamic_update_slice_in_dim(
-            b, s, slot * scale, axis=1)
+        up1 = lambda b, s, scale: jax.lax.dynamic_update_slice(
+            b, s, (0, slot * scale) + (0,) * (s.ndim - 2))
         return bstate.replace(
             k_sink=up1(bstate.k_sink, state.k_sink, H_kv),
             v_sink=up1(bstate.v_sink, state.v_sink, H_kv),
@@ -634,14 +654,35 @@ class PQSearchPolicy:
         # Pallas kernel then undid with a whole-tail transpose copy EVERY
         # step (profiled: 12.9 ms/step at B=4/32k/8L); contiguous slices
         # fuse at HBM roofline and keep the carry row-major.
-        kv_local = jnp.concatenate([
-            jax.lax.dynamic_slice(
+        # Per-slot local windows: contiguous tail slices, reduced to
+        # online-softmax PARTIALS per slot and merged with the other
+        # segments — assembling one [B·H_kv, local, 2D] buffer from B
+        # slices made XLA chain dynamic updates into a ~100 MB temp and
+        # compress-remat every link (~6 ms/step at B=8; profiled). The
+        # per-slot einsum reads each slice in place at roofline.
+        use_ring = bool(self.ring_k) and state.ring_kv is not None
+        r = state.ring_r if use_ring else None
+        lmask = ((jnp.arange(b.local, dtype=jnp.int32) < b.local - r)
+                 if use_ring else None)
+        qg = qf.reshape(BH_kv, self.group, self.D)
+        lp = []
+        for b_i in range(B):
+            kvl = jax.lax.dynamic_slice(
                 state.kv_tail,
                 (idx, b_i * self.H_kv, shared["n_cand"][b_i], 0),
                 (1, self.H_kv, b.local, 2 * self.D))[0]
-            for b_i in range(B)], axis=0)             # [B·H_kv, local, 2D]
-        segs = [(k_sink, v_sink, None),
-                (kv_local[..., :self.D], kv_local[..., self.D:], None)]
+            lp.append(segment_partial(
+                qg[b_i * self.H_kv:(b_i + 1) * self.H_kv],
+                kvl[..., :self.D], kvl[..., self.D:], lmask))
+        partials = partials + [tuple(
+            jnp.concatenate([p[i] for p in lp], axis=0) for i in range(3))]
+        segs = [(k_sink, v_sink, None)]
+        if use_ring:
+            rkv = state.ring_kv[idx]                  # [B·H_kv, K, 2D]
+            rmask = jnp.broadcast_to(
+                (jnp.arange(self.ring_k, dtype=jnp.int32) < r)[None],
+                (BH_kv, self.ring_k))
+            segs.append((rkv[..., :self.D], rkv[..., self.D:], rmask))
         if topk_idx is not None:
             kv_rows = state.kv_tail[idx, heads[:, None], topk_idx]
             segs.append((kv_rows[..., :self.D], kv_rows[..., self.D:],
@@ -685,16 +726,61 @@ class PQSearchPolicy:
         new = state.replace(kv_tail=kv_tail, codes=codes_up)
         return out.reshape(B, H, self.D), new
 
+    def _jhist_join_batched(self, state: PQState, shared, B: int):
+        """Count each slot's joining token (position n_cand[b]) into its
+        block's histogram — the incremental form of the tok < n_cand mask
+        (see commit_appends). The per-slot code READS stay B unrolled
+        (contiguous dynamic slices, layout-neutral) but the +1s commit as
+        ONE scatter: a B-chain of scatter-adds on the multi-GB histogram
+        compress-remats past ~0.5 GB (profiled 3.6 ms/step at
+        B=8/block=128 where the chain writes a 1.1 GB buffer)."""
+        L = state.codes.shape[0]
+        Hk = self.H_kv
+        joins = jnp.concatenate([
+            jax.lax.dynamic_slice(
+                state.codes, (0, b_i * Hk, 0, shared["n_cand"][b_i]),
+                (L, Hk, self.S, 1))[..., 0]
+            for b_i in range(B)], axis=1).astype(jnp.int32)   # [L, B·Hk, S]
+        pair = joins[..., 0] * self.C + joins[..., 1]         # [L, B·Hk]
+        blk = jnp.repeat(shared["n_cand"] // self.select_block, Hk)
+        return state.jhist.at[
+            jnp.arange(L)[:, None],
+            jnp.arange(B * Hk)[None, :],
+            blk[None, :],
+            pair].add(jnp.asarray(1.0, state.jhist.dtype))
+
     def commit_appends_batched(self, state: PQState, payloads,
                                shared) -> PQState:
         """Per-step stacked append for batch-as-heads: payloads =
-        (k_new [L, B·H_kv, D], v_new [L, B·H_kv, D]); write slots are
-        per-slot (n_cand[b] + local) but layer-invariant."""
+        (k_new [L, B·H_kv, D], v_new [L, B·H_kv, D]).
+
+        Ring path (default): every slot's new token lands at ONE global
+        ring column — a single dynamic update for the whole batch; the
+        ring flushes into per-slot tail positions once per decode chunk
+        (flush_ring_batched). Per-step per-slot tail writes are ruled out
+        by measurement: a per-(head, pos) scatter — flat-indexed or not —
+        makes XLA store the multi-GB carry heads-major and transpose-copy
+        it (12.9 ms/step at B=4; an 8 GB layout-copy temp that OOMs at
+        B=8), while a B-unrolled chain of dynamic updates stops aliasing
+        in place past B≈4 (compress-remat links, ~0.7 ms each)."""
         k_new, v_new = payloads
         b = self.budget
         L, BH_kv, D = k_new.shape
         B = BH_kv // self.H_kv
         dt = state.kv_tail.dtype
+        kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
+        if self.ring_k and state.ring_kv is not None:
+            new = state.replace(
+                ring_kv=jax.lax.dynamic_update_slice(
+                    state.ring_kv, kv[:, :, None, :],
+                    (0, 0, state.ring_r, 0)),
+                ring_r=state.ring_r + 1)
+            if self.use_jhist:
+                new = new.replace(
+                    jhist=self._jhist_join_batched(state, shared, B))
+            return new
+
+        # non-ring fallback (non-deferred configs): B unrolled chain
         xg = self._to_groups(k_new.reshape(L * BH_kv, 1, D))
         if self.metric == "ip":
             xg = pq.ip2l2_lift_with_phi(
@@ -702,19 +788,8 @@ class PQSearchPolicy:
         cent = state.centroids.reshape(L * BH_kv * self.S, self.C, -1)
         codes = pq.pq_encode(xg, cent).reshape(
             L, BH_kv, self.S).astype(state.codes.dtype)
-        kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
-        # Per-slot appends as B unrolled contiguous dynamic updates. Both
-        # "one-op" alternatives are ruled out by measurement: a per-(head,
-        # pos) scatter — flat-indexed or not — makes XLA store the
-        # multi-GB carry heads-major and transpose-copy it (12.9 ms/step
-        # at B=4; an 8 GB layout-copy temp that OOMs outright at B=8),
-        # while the unrolled chain stays in place up to B≈4 and costs
-        # compress-remat links (~0.7 ms each) beyond that. Serving at
-        # B>4 on one chip is attention-bound anyway; the dp axis
-        # (parallel/batch_tp.py) is the intended scale-out path.
         kv_tail, codes_up = state.kv_tail, state.codes
         Hk = self.H_kv
-        J = state.jhist
         for b_i in range(B):
             pos_b = shared["n_cand"][b_i] + b.local
             kv_tail = jax.lax.dynamic_update_slice(
@@ -723,18 +798,45 @@ class PQSearchPolicy:
             codes_up = jax.lax.dynamic_update_slice(
                 codes_up, codes[:, b_i * Hk:(b_i + 1) * Hk, :, None],
                 (0, b_i * Hk, 0, pos_b))
-            if self.use_jhist:
-                # slot b's joining token (position n_cand[b]) enters the
-                # candidate set this step — count it (see commit_appends)
-                join = jax.lax.dynamic_slice(
-                    state.codes, (0, b_i * Hk, 0, shared["n_cand"][b_i]),
-                    (L, Hk, self.S, 1))[..., 0].astype(jnp.int32)
-                pair = join[..., 0] * self.C + join[..., 1]   # [L, Hk]
-                J = J.at[jnp.arange(L)[:, None],
-                         (b_i * Hk + jnp.arange(Hk))[None, :],
-                         shared["n_cand"][b_i] // self.select_block,
-                         pair].add(jnp.asarray(1.0, J.dtype))
-        return state.replace(kv_tail=kv_tail, codes=codes_up, jhist=J)
+        new = state.replace(kv_tail=kv_tail, codes=codes_up)
+        if self.use_jhist:
+            new = new.replace(
+                jhist=self._jhist_join_batched(state, shared, B))
+        return new
+
+    def flush_ring_batched(self, state: PQState) -> PQState:
+        """Bulk-commit the write-combining ring into the per-slot tails
+        (once per decode chunk): encode all ring keys in one batched
+        matmul, then one contiguous [L, H_kv, K, ·] dynamic update per
+        slot at position n_cand[b] + local − ring_r. The trailing
+        K − ring_r rows are garbage that the NEXT flush overwrites before
+        they can become valid (the batched tail reserves tail_pad slack
+        for the final chunk's overhang)."""
+        if not self.ring_k or state.ring_kv is None:
+            return state
+        b = self.budget
+        L, BH_kv, K, D2 = state.ring_kv.shape
+        B = BH_kv // self.H_kv
+        Hk = self.H_kv
+        keys = state.ring_kv[..., :self.D]                 # [L, BH, K, D]
+        xg = self._to_groups(keys.reshape(L * BH_kv, K, self.D))
+        if self.metric == "ip":
+            xg = pq.ip2l2_lift_with_phi(
+                xg, state.phi.reshape(L * BH_kv * self.S, 1, 1))
+        cent = state.centroids.reshape(L * BH_kv * self.S, self.C, -1)
+        codes = pq.pq_encode(xg, cent).reshape(
+            L, BH_kv, self.S, K).astype(state.codes.dtype)
+        kv_tail, codes_up = state.kv_tail, state.codes
+        for b_i in range(B):
+            p_b = state.n_cand[b_i] + b.local - state.ring_r
+            kv_tail = jax.lax.dynamic_update_slice(
+                kv_tail, state.ring_kv[:, b_i * Hk:(b_i + 1) * Hk],
+                (0, b_i * Hk, p_b, 0))
+            codes_up = jax.lax.dynamic_update_slice(
+                codes_up, codes[:, b_i * Hk:(b_i + 1) * Hk],
+                (0, b_i * Hk, 0, p_b))
+        return state.replace(kv_tail=kv_tail, codes=codes_up,
+                             ring_r=jnp.zeros((), jnp.int32))
 
     def shared_pre_batched(self, state: PQState):
         return {"n_cand": state.n_cand}

@@ -64,6 +64,15 @@ class PQState:
     # histogram for the S=2 matmul block scorer (core/pq.py
     # build_joint_hist; C² minor = lane-aligned, no tile padding); None
     # when the scorer is not applicable.
+    ring_kv: Optional[jax.Array] = None
+    # [L, B·H_kv, K, 2*D] write-combining ring for BATCHED decode: step r
+    # of a decode chunk writes every slot's new token at ring column r —
+    # ONE dynamic_update_slice for the whole batch (per-slot tail writes
+    # each step either scatter — which flips the multi-GB carry layout —
+    # or chain B dynamic updates, which stops aliasing past B≈4; both
+    # measured). The ring flushes into the tail in bulk once per chunk
+    # (policies/pq_search.py flush_ring_batched).
+    ring_r: Optional[jax.Array] = None   # i32 scalar: filled ring columns
 
 
 @struct.dataclass
@@ -81,18 +90,24 @@ class DenseState:
 
 
 def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
-                  *, batch: int = 0, jhist_blocks: int = 0) -> PQState:
+                  *, batch: int = 0, jhist_blocks: int = 0,
+                  ring_k: int = 0, tail_pad: int = 0) -> PQState:
     """batch=0: single-sequence state (scalar counters). batch=B>0:
     batch-as-heads serving state — B slots folded into the kv-head axis
     ([L, B·H_kv, ...]) with per-slot counters [B]. jhist_blocks>0 adds the
-    joint-code-histogram buffer for the S=2 matmul block scorer."""
+    joint-code-histogram buffer for the S=2 matmul block scorer; ring_k>0
+    adds the batched write-combining ring (K columns)."""
     m = cfg.model
     S = cfg.pq.n_subvec_per_head
     C = cfg.pq.n_centroids
     d_sub = m.head_dim // S
     d_lift = d_sub + (1 if cfg.pq.metric == "ip" else 0)
     L, H_kv, D = m.num_layers, m.num_kv_heads, m.head_dim
-    N_tail = budget.n_tail_max
+    # tail_pad: ring-equipped batched states reserve one extra block so the
+    # chunk flush (which always writes ring_k static rows, the trailing
+    # ones garbage until the next flush overwrites them) never clamps at
+    # the buffer end
+    N_tail = budget.n_tail_max + tail_pad
     Hf = max(batch, 1) * H_kv
     cshape = (batch,) if batch else ()
     z = lambda *s: jnp.zeros(s, dtype)
@@ -107,6 +122,9 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
         pos=jnp.zeros(cshape, jnp.int32),
         jhist=(jnp.zeros((L, Hf, jhist_blocks, C * C), jnp.bfloat16)
                if jhist_blocks else None),
+        ring_kv=(jnp.zeros((L, Hf, ring_k, 2 * D), dtype)
+                 if ring_k else None),
+        ring_r=jnp.zeros((), jnp.int32) if ring_k else None,
     )
 
 
