@@ -392,7 +392,7 @@ def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
     joint_block_mass's matmul."""
     H_kv, S, T = codes.shape
     assert S == 2, "joint histogram requires exactly 2 subvectors"
-    assert block <= 256, "bf16 counts exact only up to 256"
+    assert block <= 256, "counts exact only up to 256"
     C = n_centroids
     NB = T // block
     pair = (codes[:, 0].astype(jnp.int32) * C
@@ -403,7 +403,13 @@ def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
                      1.0, 0.0).astype(jnp.float32)
     J = jax.vmap(lambda s: jax.ops.segment_sum(
         ones, s, num_segments=NB * C * C))(seg)
-    return J.reshape(H_kv, NB, C * C).astype(jnp.bfloat16)
+    return J.reshape(H_kv, NB, C * C).astype(jhist_dtype(block))
+
+
+def jhist_dtype(block: int):
+    """uint8 counts when a block can never reach 256 (halves the scorer's
+    HBM reads vs bf16); bf16 keeps 256-block counts exact."""
+    return jnp.uint8 if block < 256 else jnp.bfloat16
 
 
 def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,

@@ -125,7 +125,8 @@ class PQSearchPolicy:
 
     def init_state(self, dtype=jnp.bfloat16) -> PQState:
         return make_pq_state(self.cfg, self.budget, dtype=dtype,
-                             jhist_blocks=self._jhist_blocks())
+                             jhist_blocks=self._jhist_blocks(),
+                             jhist_dtype=pq.jhist_dtype(self.select_block))
 
     def _jhist_blocks(self) -> int:
         return (self.budget.n_tail_max // self.select_block
@@ -538,7 +539,8 @@ class PQSearchPolicy:
         return dict(
             jhist_blocks=((self.budget.n_tail_max + pad) // self.select_block
                           if self.use_jhist else 0),
-            ring_k=self.ring_k, tail_pad=pad)
+            ring_k=self.ring_k, tail_pad=pad,
+            jhist_dtype=pq.jhist_dtype(self.select_block))
 
     def init_batched_state(self, B: int, dtype=jnp.bfloat16) -> PQState:
         return make_pq_state(self.cfg, self.budget, dtype=dtype, batch=B,

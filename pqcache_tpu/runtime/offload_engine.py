@@ -101,7 +101,7 @@ class OffloadEngine:
             ring_ptr=jnp.zeros((), jnp.int32),
             pos=jnp.zeros((), jnp.int32),
             jhist=(jnp.zeros((L, H_kv, b.n_tail_max // self.bs,
-                              self.C * self.C), jnp.bfloat16)
+                              self.C * self.C), pq.jhist_dtype(self.bs))
                    if self.use_jhist else None))
 
     # -- jitted device programs -------------------------------------------

@@ -91,7 +91,8 @@ class DenseState:
 
 def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
                   *, batch: int = 0, jhist_blocks: int = 0,
-                  ring_k: int = 0, tail_pad: int = 0) -> PQState:
+                  ring_k: int = 0, tail_pad: int = 0,
+                  jhist_dtype=jnp.bfloat16) -> PQState:
     """batch=0: single-sequence state (scalar counters). batch=B>0:
     batch-as-heads serving state — B slots folded into the kv-head axis
     ([L, B·H_kv, ...]) with per-slot counters [B]. jhist_blocks>0 adds the
@@ -120,7 +121,7 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
         phi=jnp.zeros((L, Hf * S, 1, 1), jnp.float32),
         n_cand=jnp.zeros(cshape, jnp.int32),
         pos=jnp.zeros(cshape, jnp.int32),
-        jhist=(jnp.zeros((L, Hf, jhist_blocks, C * C), jnp.bfloat16)
+        jhist=(jnp.zeros((L, Hf, jhist_blocks, C * C), jhist_dtype)
                if jhist_blocks else None),
         ring_kv=(jnp.zeros((L, Hf, ring_k, 2 * D), dtype)
                  if ring_k else None),
