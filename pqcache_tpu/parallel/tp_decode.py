@@ -62,16 +62,12 @@ PARAM_SPECS = {
     },
 }
 
-def pq_state_specs_tp(jhist: bool = False) -> PQState:
-    h4 = P(None, "tp", None, None)
-    return PQState(
-        k_sink=h4, v_sink=h4, kv_tail=h4, codes=h4,
-        centroids=P(None, "tp", None, None, None),
-        phi=h4, n_cand=P(), pos=P(),
-        jhist=h4 if jhist else None)
+# PQState partition specs come from the single source of truth in
+# parallel/sharding.py (duplicating them here let the two copies drift as
+# state fields were added)
+from pqcache_tpu.parallel.sharding import pq_state_specs
 
-
-PQ_STATE_SPECS = pq_state_specs_tp()
+PQ_STATE_SPECS = pq_state_specs()
 
 
 class TPEngine:
@@ -103,7 +99,7 @@ class TPEngine:
             return llama.decode_loop(local_m, p, policy, s, tok, pos, n,
                                      axis_name="tp")
 
-        sspec = pq_state_specs_tp(jhist=policy.use_jhist)
+        sspec = pq_state_specs(jhist=policy.use_jhist)
         self._prefill = jax.jit(shard_map(
             prefill_body, mesh=mesh,
             in_specs=(PARAM_SPECS, sspec, P(), P(), P()),

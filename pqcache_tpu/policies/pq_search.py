@@ -110,7 +110,11 @@ class PQSearchPolicy:
         # bulk once per chunk — per-step per-slot tail writes either
         # scatter (heads-major layout flip of the multi-GB carry) or chain
         # B dynamic updates (aliasing breaks past B≈4); both measured.
-        self.ring_k = 32 if self.deferred_appends else 0
+        # Capped at budget.local: the ring-resident tokens must all still
+        # be inside the local window (the lmask/candidate arithmetic in
+        # decode_attn_batched assumes steps-since-flush ≤ local).
+        self.ring_k = (min(32, budget.local) if self.deferred_appends
+                       and budget.local >= 1 else 0)
 
     # -- helpers ----------------------------------------------------------
 
@@ -135,12 +139,18 @@ class PQSearchPolicy:
     def prefill_attn(self, state: PQState, idx, q, k, v, pad_len, true_len):
         """Prefill for layer `idx`; `state` is the full stacked state, riding
         the model's layer-scan carry (writes land at [idx] in place)."""
-        b = self.budget
-        P = q.shape[1]
         out, _ = dense_prefill_attention(q, k, v, pad_len,
                                          use_pallas=self.use_pallas,
                                          interpret=self.interpret)
+        return out, self.prefill_tail(state, idx, k, v, pad_len, true_len)
 
+    def prefill_tail(self, state: PQState, idx, k, v, pad_len, true_len):
+        """Codebook training + layer-state writes given this layer's full
+        K/V (traced). Split from prefill_attn so the chunked prefill
+        (models/llama.py prefill_chunked) can run attention per row chunk
+        and call the tail once on the assembled K/V."""
+        b = self.budget
+        P = k.shape[1]
         # Left-padded prompt → roll so real tokens start at index 0; the
         # rolled-around garbage lands after the valid region where n_cand /
         # valid_len masks already hide it.
@@ -204,7 +214,7 @@ class PQSearchPolicy:
                                     n_centroids=self.C,
                                     block=self.select_block)
             new = new.replace(jhist=up(state.jhist, J))
-        return out, new
+        return new
 
     # -- decode -----------------------------------------------------------
 

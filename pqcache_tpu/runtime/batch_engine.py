@@ -113,6 +113,9 @@ class BatchEngine:
     def run(self, requests: Iterable[tuple[int, np.ndarray]],
             eos_ids=(), chunk: int = 16) -> dict[int, list]:
         """Process (seq_id, prompt_ids) requests; returns seq_id → tokens."""
+        ring_k = getattr(self.policy, "ring_k", 0)
+        if ring_k:
+            chunk = min(chunk, ring_k)   # chunks bounded by ring capacity
         queue = list(requests)
         results: dict[int, list] = {}
 

@@ -289,8 +289,8 @@ class HostKVStore:
         which the TPU data path makes redundant). The LFU's bookkeeping
         runs on its native worker thread overlapped with the DMA
         (lfu.cc batched_insert_async). Staged stacks and admission
-        scatters are padded to power-of-two cardinality so the compiled
-        program set is bounded.
+        scatters are padded to power-of-FOUR cardinality (1/4/16/64/256)
+        so the compiled program set is bounded.
         """
         blk_idx = np.asarray(blk_idx)
         n_complete = int(self.valid[layer]) // self.block
@@ -304,8 +304,17 @@ class HostKVStore:
             self.misses += int((ok & ~hit).sum())
             miss_blocks = np.unique(blk_idx[ok & ~hit])
             # LFU bookkeeping (hit-frequency bumps + miss admissions)
-            # overlapped with the pinned→device DMA below
+            # overlapped with the pinned→device DMA below; admission
+            # pressure capped at the cache_topk most-requested blocks of
+            # this step (the reference's get_qualified_blocks,
+            # cache_manager.py:241-248)
             touched = np.unique(blk_idx[ok]).astype(np.int32)
+            if touched.size > self.cache_topk:
+                counts = np.bincount(blk_idx[ok].ravel(),
+                                     minlength=self.max_blocks)
+                touched = touched[
+                    np.argsort(-counts[touched])[: self.cache_topk]]
+                touched = np.ascontiguousarray(touched, np.int32)
             lfu = self.lfu[layer]
             if touched.size:
                 lfu.batched_insert_async(touched, proxy)

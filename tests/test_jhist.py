@@ -91,29 +91,28 @@ def test_jhist_selection_equals_score_chain_selection():
     assert agree > 0.95, agree
 
 
-@pytest.mark.parametrize("scorer", ["auto", "kernel"])
-def test_engine_generates_with_block_scorer(scorer):
-    """End-to-end generation through the block-granular path with each
-    scorer backend; `auto` (jhist) must produce the same tokens as the
-    XLA score-chain path at float32 (identical ranking)."""
+def test_engine_generates_with_block_scorer():
+    """End-to-end generation through the block-granular path with BOTH
+    scorer backends in one test: `auto` (jhist) must produce the same
+    tokens as the XLA score-chain path at float32 (identical ranking)."""
     cfg_m = tiny_model_config(num_layers=2)
     params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
                                dtype=jnp.float32)
-    ecfg = EngineConfig(
-        model=cfg_m,
-        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
-                    approx_topk=False, select_block=16, scorer=scorer),
-        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
-                            sink_size=4),
-        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
-                              max_new_tokens=16, max_seq_len=512),
-    )
-    eng = Engine(ecfg, params, dtype=jnp.float32)
     rng = np.random.default_rng(5)
     ids = rng.integers(0, cfg_m.vocab_size, size=200).astype(np.int32)
-    r = eng.generate(ids, max_new_tokens=8)
-    assert len(r.tokens) == 8
-    if not hasattr(test_engine_generates_with_block_scorer, "_ref"):
-        test_engine_generates_with_block_scorer._ref = r.tokens
-    else:
-        assert r.tokens == test_engine_generates_with_block_scorer._ref
+    toks = {}
+    for scorer in ("auto", "kernel"):
+        ecfg = EngineConfig(
+            model=cfg_m,
+            pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                        approx_topk=False, select_block=16, scorer=scorer),
+            budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                                sink_size=4),
+            runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                                  max_new_tokens=16, max_seq_len=512),
+        )
+        eng = Engine(ecfg, params, dtype=jnp.float32)
+        r = eng.generate(ids, max_new_tokens=8)
+        assert len(r.tokens) == 8
+        toks[scorer] = r.tokens
+    assert toks["auto"] == toks["kernel"]
