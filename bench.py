@@ -54,6 +54,10 @@ def main():
     # reference's per-token parity mode
     sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "256"))
     fetch_par = int(os.environ.get("BENCH_FETCH_PAR", "16"))
+    # chunked (activation-bounded) prefill: default ON past 96k, where
+    # full-length prefill activations OOM a single chip before the KV does
+    pf_chunk = int(os.environ.get(
+        "BENCH_PREFILL_CHUNK", "32768" if ctx > 98304 else "0"))
     # headline = batched serving (B concurrent 32k streams on one chip,
     # batch-as-heads decode) — the regime PQCache exists for; the
     # reference is hard-limited to batch 1 (mistral_patch.py:61).
@@ -88,7 +92,8 @@ def main():
                                 sink_size=32),
             runtime=RuntimeConfig(policy=policy_name, prefill_bucket=1024,
                                   max_new_tokens=gen + 2,
-                                  max_seq_len=ctx + 2048),
+                                  max_seq_len=ctx + 2048,
+                                  prefill_chunk=pf_chunk),
         )
         budget = compute_budget(cfg.budget, ctx, gen + 2)
         policy = get_policy(cfg, budget)
@@ -96,9 +101,14 @@ def main():
         # prefill one sequence (argmax fused into the program; first call
         # compiles, second call is the reported prefill time)
         def prefill_fn(p, s, t):
-            logits, st = llama.prefill(
-                model, p, policy, s, t, jnp.asarray(0, jnp.int32),
-                jnp.asarray(ctx, jnp.int32))
+            if pf_chunk and ctx > pf_chunk:
+                logits, st = llama.prefill_chunked(
+                    model, p, policy, s, t, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(ctx, jnp.int32), chunk=pf_chunk)
+            else:
+                logits, st = llama.prefill(
+                    model, p, policy, s, t, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(ctx, jnp.int32))
             return jnp.argmax(logits).astype(jnp.int32), st
         prefill = jax.jit(prefill_fn, donate_argnums=(1,))
         state = policy.init_state(jnp.bfloat16)
@@ -136,9 +146,13 @@ def main():
             for slot in range(B):
                 bstate = insert(bstate, state, jnp.asarray(slot, jnp.int32))
             del state
+            # decode in chunks bounded by the policy's write-combining ring
+            # capacity (flushes happen at program end; BENCH_GEN above the
+            # cap runs several fused chunks per rep)
+            chunk = min(gen, getattr(policy, "ring_k", 0) or gen)
             decode = jax.jit(
                 lambda p, bs, t, pos: llama.decode_loop_batched(
-                    model, p, policy, bs, t, pos, gen),
+                    model, p, policy, bs, t, pos, chunk),
                 donate_argnums=(1,))
             toks = jnp.full((B,), first, jnp.int32)
             poss = jnp.full((B,), ctx, jnp.int32)
@@ -147,8 +161,12 @@ def main():
             times = []
             for rep in range(3):
                 t0 = time.perf_counter()
-                out, bstate = decode(params, bstate, toks + 0,
-                                     poss + gen * (rep + 1))
+                done = 0
+                while done < gen:
+                    out, bstate = decode(
+                        params, bstate, toks + 0,
+                        poss + (gen * (rep + 1) + done))
+                    done += chunk
                 np.asarray(out)
                 times.append(time.perf_counter() - t0)
             dt = min(times)

@@ -168,6 +168,13 @@ class RuntimeConfig:
     max_seq_len: int = 33000          # vq_pred.py:254 (mistral preset)
     prefill_bucket: int = 1024        # pad prompts up to a multiple of this
     max_new_tokens: int = 512         # static decode-state reservation
+    # chunked (activation-bounded) prefill: prompts longer than this are
+    # processed in prefill_chunk-row slabs per layer — full-length q/attn
+    # transients (~2 GB each at 192k) are what OOM single-chip prefill
+    # before the KV does; 0 disables. Both tiers: HBM
+    # (models/llama.py prefill_chunked) and offload
+    # (runtime/offload_engine.py passes A/B/C).
+    prefill_chunk: int = 0
     policy: Policy = "pq_search"
     gqa: bool = True                  # GQA-aware score reduction (run_llama.sh:18)
     kernels: str = "auto"   # "auto" | "pallas" | "xla" | "pallas-interpret"

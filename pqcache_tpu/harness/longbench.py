@@ -93,6 +93,7 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             gqa=args.gqa,
             sparq_topr=args.topr,
             important_ratio=args.important_ratio,
+            prefill_chunk=args.prefill_chunk,
         ),
     )
 
@@ -295,6 +296,9 @@ def parse_args(argv=None):
     pp.add_argument("--global-cache-size", type=int, default=4096)
     pp.add_argument("--cache-topk", type=int, default=32)
     pp.add_argument("--prefill-bucket", type=int, default=2048)
+    pp.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked (activation-bounded) prefill slab in "
+                         "tokens (HBM and offload tiers); 0 = full-length")
     pp.add_argument("--datasets", nargs="*", default=None)
     pp.add_argument("--data-dir", default="./data")
     pp.add_argument("--out-dir", default="./pred")

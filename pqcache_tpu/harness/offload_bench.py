@@ -10,7 +10,8 @@ queries of one sequence select overlapping top blocks — the locality the
 reference's LFU exploits, cache_manager.py:364-380).
 
 Prints one JSON line. Env: CTX (32768), LAYERS (8), GEN (24),
-CACHE_TOKENS (8192), BLOCK (128).
+CACHE_TOKENS (8192), BLOCK (128), PREFILL_CHUNK (0 = full-length;
+set e.g. 32768 for activation-bounded chunked prefill at 192k+).
 
 NOTE (dev environment): through the axon tunnel every device dispatch
 pays ~30 ms round-trip latency, and the offload tier dispatches per layer
@@ -42,6 +43,8 @@ LAYERS = int(os.environ.get("LAYERS", "8"))
 GEN = int(os.environ.get("GEN", "24"))
 CACHE_TOKENS = int(os.environ.get("CACHE_TOKENS", "8192"))
 BLOCK = int(os.environ.get("BLOCK", "128"))
+# chunked prefill slab (tokens); 0 = full-length single-shot prefill
+PREFILL_CHUNK = int(os.environ.get("PREFILL_CHUNK", "0"))
 # contexts beyond the HBM tier's fit (the tier's own regime): skip the
 # HBM-resident comparison arm, it would OOM
 SKIP_HBM = os.environ.get("SKIP_HBM", "0") == "1"
@@ -62,7 +65,8 @@ def main():
                           hbm_cache_tokens=CACHE_TOKENS,
                           cache_topk_blocks=64),
         runtime=RuntimeConfig(policy="pq_search", prefill_bucket=1024,
-                              max_new_tokens=GEN + 2, max_seq_len=CTX + 2048))
+                              max_new_tokens=GEN + 2, max_seq_len=CTX + 2048,
+                              prefill_chunk=PREFILL_CHUNK))
     params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     ids = rng.integers(0, model.vocab_size, size=CTX).astype(np.int32)

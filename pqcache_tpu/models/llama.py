@@ -203,6 +203,103 @@ def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
     return logits, new_state
 
 
+def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
+                    tokens: jax.Array, pad_len: jax.Array,
+                    true_len: jax.Array, *, chunk: int,
+                    axis_name=None) -> Tuple[jax.Array, Any]:
+    """Activation-bounded prefill: identical math to `prefill`, transients
+    bounded at `chunk` rows. Full-length q/h_norm/attention chains (~2 GB
+    each at 192k llama31-width) are what OOM single-chip prefill before the
+    KV does; per layer this runs (A) full-length K/V assembled from row
+    chunks (K/V are H_kv/H the size of the q chain and are needed whole for
+    attention + codebook training), (B) per-chunk q → flash attention
+    against the causal K prefix (ops/flash_attention q_offset packed grid —
+    each chunk costs exactly its triangle-slab FLOPs) → MLP, (C) the
+    policy's prefill_tail (codebooks + state writes) once on the full K/V.
+    The reference's single-GPU answer is a 32k-token chunked LN/MLP
+    (mistral_patch.py:246-279) that still materializes full-length
+    attention inputs. Requires P % chunk == 0 and policy.prefill_tail."""
+    from pqcache_tpu.ops.dispatch import prefill_chunk_attention
+
+    P = tokens.shape[0]
+    L = cfg.num_layers
+    E = cfg.hidden_size
+    H, H_kv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if P % chunk:
+        raise ValueError(f"prefill length {P} not a multiple of "
+                         f"chunk {chunk}")
+    nc = P // chunk
+    pad_len = jnp.asarray(pad_len, jnp.int32)
+    true_len = jnp.asarray(true_len, jnp.int32)
+    use_pallas = getattr(policy, "use_pallas", None)
+    interpret = getattr(policy, "interpret", False)
+
+    hidden = jnp.take(params["embed"], tokens, axis=0)
+    positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_len, 0)
+    cos, sin = rope_cos_sin(cfg, positions)
+
+    def body(carry, xs):
+        hidden, state = carry
+        lp, idx = xs
+
+        # pass A: this layer's full-length rope'd K/V in row chunks
+        def kv_chunk(args):
+            h_c, cos_c, sin_c = args
+            h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
+            kc = (h_norm @ lp["wk"]).reshape(chunk, H_kv, D).transpose(
+                1, 0, 2)
+            vc = (h_norm @ lp["wv"]).reshape(chunk, H_kv, D).transpose(
+                1, 0, 2)
+            return apply_rope(kc, cos_c, sin_c), vc
+
+        ks, vs = jax.lax.map(kv_chunk, (
+            hidden.reshape(nc, chunk, E),
+            cos.reshape(nc, chunk, -1), sin.reshape(nc, chunk, -1)))
+        k = ks.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
+        v = vs.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
+
+        # pass B: per-chunk attention + MLP (static chunk offsets — the
+        # packed flash grid covers exactly each chunk's reachable blocks)
+        outs = []
+        for c in range(nc):
+            c0 = c * chunk
+            h_c = jax.lax.slice(hidden, (c0, 0), (c0 + chunk, E))
+            cos_c = jax.lax.slice(cos, (c0, 0), (c0 + chunk, cos.shape[1]))
+            sin_c = jax.lax.slice(sin, (c0, 0), (c0 + chunk, sin.shape[1]))
+            h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
+            q = apply_rope(
+                (h_norm @ lp["wq"]).reshape(chunk, H, D).transpose(1, 0, 2),
+                cos_c, sin_c)
+            k_pref = jax.lax.slice(k, (0, 0, 0), (H_kv, c0 + chunk, D))
+            v_pref = jax.lax.slice(v, (0, 0, 0), (H_kv, c0 + chunk, D))
+            att = prefill_chunk_attention(q, k_pref, v_pref, pad_len,
+                                          q_offset=c0,
+                                          use_pallas=use_pallas,
+                                          interpret=interpret)
+            attn_out = att.transpose(1, 0, 2).reshape(chunk, -1) @ lp["wo"]
+            if axis_name is not None:
+                attn_out = jax.lax.psum(attn_out, axis_name)
+            h_c = h_c + attn_out
+            h2 = rms_norm(h_c, lp["ln2"], cfg.rms_norm_eps)
+            mlp_out = mlp(lp, h2)
+            if axis_name is not None:
+                mlp_out = jax.lax.psum(mlp_out, axis_name)
+            outs.append(h_c + mlp_out)
+        hidden = jnp.concatenate(outs, axis=0)
+
+        # pass C: the policy's codebook/state tail on the full K/V
+        state = policy.prefill_tail(state, idx, k, v, pad_len, true_len)
+        return (hidden, state), None
+
+    (hidden, new_state), _ = jax.lax.scan(
+        body, (hidden, state),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+
+    last = rms_norm(hidden[P - 1:P], params["final_norm"], cfg.rms_norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    return logits, new_state
+
+
 def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
                 token: jax.Array, pos: jax.Array,
                 axis_name=None) -> Tuple[jax.Array, Any]:

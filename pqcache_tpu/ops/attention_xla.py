@@ -191,6 +191,88 @@ def chunked_attention(
     return out, scores
 
 
+@partial(jax.jit, static_argnames=("q_offset", "block"))
+def chunked_attention_rect(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    valid_len: Optional[jax.Array] = None,
+    valid_lo: Optional[jax.Array] = None,
+    *,
+    q_offset: int = 0,
+    block: int = 512,
+) -> jax.Array:
+    """Rectangular causal online-softmax attention: a q CHUNK against its
+    full key prefix (q row 0 sits at absolute position q_offset relative to
+    k row 0). XLA fallback for the chunked-prefill path — the portable
+    counterpart of flash_attention(..., q_offset=) with O(block²) transients.
+
+    q [H, Tq, D], k/v [H_kv, Tk, D] with Tq + q_offset ≤ Tk. Returns
+    out [H, Tq, D] (q.dtype)."""
+    H, Tq, D = q.shape
+    H_kv, Tk, _ = k.shape
+    group = H // H_kv
+    scale = 1.0 / (D ** 0.5)
+
+    if valid_len is None:
+        valid_len = jnp.asarray(Tk, jnp.int32)
+    valid_len = jnp.asarray(valid_len, jnp.int32)
+    valid_lo = (jnp.zeros((), jnp.int32) if valid_lo is None
+                else jnp.asarray(valid_lo, jnp.int32))
+
+    Tqp = (Tq + block - 1) // block * block
+    Tkp = (Tk + block - 1) // block * block
+    if Tqp != Tq:
+        q = jnp.pad(q, ((0, 0), (0, Tqp - Tq), (0, 0)))
+    if Tkp != Tk:
+        k = jnp.pad(k, ((0, 0), (0, Tkp - Tk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Tkp - Tk), (0, 0)))
+    nbq, nbk = Tqp // block, Tkp // block
+
+    qb = (q.reshape(H_kv, group, nbq, block, D)
+          .transpose(2, 0, 1, 3, 4).astype(jnp.float32) * scale)
+    kb = k.reshape(H_kv, nbk, block, D).transpose(1, 0, 2, 3).astype(
+        jnp.float32)
+    vb = v.reshape(H_kv, nbk, block, D).transpose(1, 0, 2, 3).astype(
+        jnp.float32)
+    offs = jnp.arange(block, dtype=jnp.int32)
+
+    def q_block_pass(_, q_inp):
+        i, q_i = q_inp
+        qpos = q_offset + i * block + offs
+
+        def kv_step(carry, k_inp):
+            m, l, acc = carry
+            j, k_j, v_j = k_inp
+            lg = jnp.einsum("hgqd,hkd->hgqk", q_i, k_j,
+                            preferred_element_type=jnp.float32)
+            kpos = j * block + offs
+            mask = ((kpos[None, :] < valid_len)
+                    & (kpos[None, :] >= valid_lo)
+                    & (kpos[None, :] <= qpos[:, None]))
+            lg = jnp.where(mask[None, None], lg, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
+            p = jnp.exp(lg - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1)
+            acc_new = acc * corr[..., None] + jnp.einsum(
+                "hgqk,hkd->hgqd", p, v_j, preferred_element_type=jnp.float32)
+            return (m_new, l_new, acc_new), None
+
+        m0 = jnp.full((H_kv, group, block), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((H_kv, group, block), jnp.float32)
+        a0 = jnp.zeros((H_kv, group, block, D), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(
+            kv_step, (m0, l0, a0),
+            (jnp.arange(nbk, dtype=jnp.int32), kb, vb))
+        return None, acc / jnp.maximum(l, 1e-30)[..., None]
+
+    _, outs = jax.lax.scan(q_block_pass, None,
+                           (jnp.arange(nbq, dtype=jnp.int32), qb))
+    return (outs.transpose(1, 2, 0, 3, 4)
+            .reshape(H, Tqp, D)[:, :Tq].astype(q.dtype))
+
+
 def segment_partial(qg, k_seg, v_seg, mask=None):
     """Online-softmax partial (m, l, acc) of qg [H_kv, g, D] over ONE
     key/value segment [H_kv, W, D]; mask [H_kv, W] or [W] bool. Feed the

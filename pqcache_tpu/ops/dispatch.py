@@ -10,7 +10,8 @@ from typing import Optional
 
 import jax
 
-from pqcache_tpu.ops.attention_xla import chunked_attention
+from pqcache_tpu.ops.attention_xla import (chunked_attention,
+                                           chunked_attention_rect)
 from pqcache_tpu.ops.flash_attention import flash_attention, flash_scores
 
 
@@ -49,3 +50,27 @@ def dense_prefill_attention(
                            interpret=interpret)
               if with_scores else None)
     return out, scores
+
+
+def prefill_chunk_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pad_len,
+    *,
+    q_offset: int,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal attention of one prefill q CHUNK against its key prefix
+    (chunked prefill: activations bounded at chunk length). q [H, Tq, D],
+    k/v [H_kv, Tk, D], q row 0 at absolute position q_offset (STATIC).
+    """
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    D = q.shape[-1]
+    if not use_pallas or D % 128 != 0:
+        return chunked_attention_rect(q, k, v, valid_lo=pad_len,
+                                      q_offset=q_offset)
+    return flash_attention(q, k, v, valid_lo=pad_len, causal=True,
+                           q_offset=q_offset, interpret=interpret)

@@ -26,7 +26,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, scale, block_q, block_k, causal):
+                  m_scr, l_scr, acc_scr, *, scale, block_q, block_k, causal,
+                  q_offset=0):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -43,7 +44,7 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
     # the last query position
     reachable = True
     if causal:
-        reachable = (j * block_k) <= (i * block_q + block_q - 1)
+        reachable = (j * block_k) <= (q_offset + i * block_q + block_q - 1)
 
     @pl.when(reachable)
     def _compute():
@@ -56,7 +57,7 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
             jnp.int32, (block_q, block_k), 1)
         mask = (kpos >= valid_lo) & (kpos < valid_hi)
         if causal:
-            qpos = i * block_q + jax.lax.broadcasted_iota(
+            qpos = q_offset + i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             mask = mask & (kpos <= qpos)
         s = jnp.where(mask, s, NEG_INF)
@@ -81,15 +82,22 @@ def _flash_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
-                      m_scr, l_scr, acc_scr, *, scale, block, n_pairs):
+                      m_scr, l_scr, acc_scr, *, scale, block, n_pairs,
+                      q_offset=0):
     """Causal kernel over a PACKED lower-triangle grid: grid step t handles
     the (i, j) = (scal[2+t], scal[2+n_pairs+t]) block pair, enumerated
-    row-major with j ≤ i — upper-triangle blocks never get a grid step or
-    a DMA (the rectangular grid spent half its steps fetching blocks whose
-    compute was @pl.when'd away; measured 26% MFU at 32k)."""
+    row-major with j ≤ jmax(i) — unreachable blocks never get a grid step
+    or a DMA (the rectangular grid spent half its steps fetching blocks
+    whose compute was @pl.when'd away; measured 26% MFU at 32k).
+
+    q_offset (static): absolute position of q row 0 relative to k row 0 —
+    the rectangular chunked-prefill case (a q chunk attending its causal
+    key prefix). scal[2+2·n_pairs+t] == 1 marks the pair as its row's last
+    (the diagonal block), replacing the square case's j == i."""
     t = pl.program_id(1)
     i = scal_ref[2 + t]
     j = scal_ref[2 + n_pairs + t]
+    fin = scal_ref[2 + 2 * n_pairs + t]
     valid_lo = scal_ref[0]
     valid_hi = scal_ref[1]
 
@@ -124,7 +132,7 @@ def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
     # bounds only cut into blocks straddling valid_lo/valid_hi — interior
     # pairs (the vast majority) skip the iota/compare/select chain, which
     # is pure VPU work the kernel is bound on
-    boundary = ((j == i) | (j * block < valid_lo)
+    boundary = ((fin == 1) | (j * block < valid_lo)
                 | ((j + 1) * block > valid_hi))
 
     @pl.when(boundary)
@@ -132,7 +140,7 @@ def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
         kpos = j * block + jax.lax.broadcasted_iota(
             jnp.int32, (block, block), 1)
         mask = (kpos >= valid_lo) & (kpos < valid_hi)
-        qpos = i * block + jax.lax.broadcasted_iota(
+        qpos = q_offset + i * block + jax.lax.broadcasted_iota(
             jnp.int32, (block, block), 0)
         mask = mask & (kpos <= qpos)
         _update(jnp.where(mask, s, NEG_INF), mask)
@@ -141,7 +149,7 @@ def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
     def _plain():
         _update(s, None)
 
-    @pl.when(j == i)
+    @pl.when(fin == 1)
     def _finalize():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -149,7 +157,8 @@ def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret"))
+    static_argnames=("causal", "block_q", "block_k", "interpret",
+                     "q_offset"))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -158,42 +167,60 @@ def flash_attention(
     valid_len: jax.Array | None = None,
     *,
     causal: bool = True,
+    q_offset: int = 0,
     block_q: int = 1024,  # swept at 32k/v5e: 1024 beats 512 (792 vs
     block_k: int = 1024,  # 557 ms/8L — per-grid-step cost dominates)
     interpret: bool = False,
 ) -> jax.Array:
-    """q [H, T, D], k/v [H_kv, T, D] → out [H, T, D] (q.dtype).
+    """q [H, Tq, D], k/v [H_kv, Tk, D] → out [H, Tq, D] (q.dtype).
 
     Key positions outside [valid_lo, valid_len) are masked (left-padded
-    prompt support). T is padded internally to a block multiple.
+    prompt support). Tq/Tk are padded internally to block multiples.
+
+    q_offset (STATIC): absolute position of q row 0 relative to k row 0 —
+    the chunked-prefill case where a q chunk attends its full causal key
+    prefix (Tq + q_offset ≤ Tk). The packed grid only visits reachable
+    (q-block, k-block) pairs, so a chunk costs its true triangle-slab
+    FLOPs. Square self-attention is q_offset=0, Tq == Tk.
     """
-    H, T, D = q.shape
-    H_kv = k.shape[0]
+    H, Tq, D = q.shape
+    H_kv, Tk, _ = k.shape
     group = H // H_kv
     scale = 1.0 / (D ** 0.5)
 
-    bq = min(block_q, _round_up(T, 128))
-    bk = min(block_k, _round_up(T, 128))
-    Tp = _round_up(T, max(bq, bk))
-    if Tp != T:
-        pad = ((0, 0), (0, Tp - T), (0, 0))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    bq = min(block_q, _round_up(Tq, 128))
+    bk = min(block_k, _round_up(Tk, 128))
+    Tqp = _round_up(Tq, bq)
+    Tkp = _round_up(Tk, bk)
+    if Tqp != Tq:
+        q = jnp.pad(q, ((0, 0), (0, Tqp - Tq), (0, 0)))
+    if Tkp != Tk:
+        pad = ((0, 0), (0, Tkp - Tk), (0, 0))
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
 
     if valid_len is None:
-        valid_len = T
+        valid_len = Tk
 
     if causal and bq == bk:
-        # packed lower-triangle grid: one step per reachable block pair
+        # packed reachable-pair grid: one step per (q-block, k-block) pair
+        # with j·bk ≤ q_offset + (i+1)·bq − 1; fin marks each row's last
+        # (diagonal) pair
         import numpy as _np
-        nq = Tp // bq
-        qi = _np.repeat(_np.arange(nq), _np.arange(1, nq + 1))
-        kj = _np.concatenate([_np.arange(i + 1) for i in range(nq)])
+        nq, nk = Tqp // bq, Tkp // bk
+        jmax = _np.minimum((q_offset + (_np.arange(nq) + 1) * bq - 1) // bk,
+                           nk - 1)
+        qi = _np.repeat(_np.arange(nq), jmax + 1)
+        kj = _np.concatenate([_np.arange(m + 1) for m in jmax])
+        fin = _np.concatenate(
+            [(_np.arange(m + 1) == m).astype(_np.int32) for m in jmax])
         n_pairs = qi.size
         scalars = jnp.concatenate([
             jnp.asarray([valid_lo, valid_len], jnp.int32),
-            jnp.asarray(qi, jnp.int32), jnp.asarray(kj, jnp.int32)])
+            jnp.asarray(qi, jnp.int32), jnp.asarray(kj, jnp.int32),
+            jnp.asarray(fin, jnp.int32)])
         kernel = functools.partial(
-            _flash_kernel_tri, scale=scale, block=bq, n_pairs=n_pairs)
+            _flash_kernel_tri, scale=scale, block=bq, n_pairs=n_pairs,
+            q_offset=q_offset)
         out = pl.pallas_call(
             kernel,
             # the default 16 MB scoped-VMEM budget is ~0.4 MB short of the
@@ -224,17 +251,18 @@ def flash_attention(
                     pltpu.VMEM((bq, D), jnp.float32),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((H, Tp, D), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((H, Tqp, D), q.dtype),
             interpret=interpret,
         )(scalars, q, k, v)
-        return out[:, :T]
+        return out[:, :Tq]
 
     scalars = jnp.asarray(
         [valid_lo, valid_len], jnp.int32)
 
-    grid = (H, Tp // bq, Tp // bk)
+    grid = (H, Tqp // bq, Tkp // bk)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, block_q=bq, block_k=bk, causal=causal)
+        _flash_kernel, scale=scale, block_q=bq, block_k=bk, causal=causal,
+        q_offset=q_offset)
 
     out = pl.pallas_call(
         kernel,
@@ -257,10 +285,10 @@ def flash_attention(
                 pltpu.VMEM((bq, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((H, Tp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, Tqp, D), q.dtype),
         interpret=interpret,
     )(scalars, q, k, v)
-    return out[:, :T]
+    return out[:, :Tq]
 
 
 def _round_up(x: int, m: int) -> int:

@@ -38,17 +38,21 @@ class OriginalPolicy:
         return make_dense_state(self.cfg, self.max_len, dtype=dtype)
 
     def prefill_attn(self, state: DenseState, idx, q, k, v, pad_len, true_len):
-        P = q.shape[1]
         out, _ = dense_prefill_attention(q, k, v, pad_len)
+        return out, self.prefill_tail(state, idx, k, v, pad_len, true_len)
+
+    def prefill_tail(self, state: DenseState, idx, k, v, pad_len, true_len):
+        """Layer-state writes given this layer's full K/V (chunked-prefill
+        contract, models/llama.py prefill_chunked)."""
+        P = k.shape[1]
         dt = state.k_cache.dtype
-        new = state.replace(
+        return state.replace(
             k_cache=jax.lax.dynamic_update_slice(
                 state.k_cache, k.astype(dt)[None], (idx, 0, 0, 0)),
             v_cache=jax.lax.dynamic_update_slice(
                 state.v_cache, v.astype(dt)[None], (idx, 0, 0, 0)),
             length=jnp.asarray(P, jnp.int32), start=pad_len.astype(jnp.int32),
             pos=true_len.astype(jnp.int32))
-        return out, new
 
     def decode_attn(self, state: DenseState, idx, q, k_new, v_new, shared):
         length, start = shared["length"], shared["start"]

@@ -73,9 +73,21 @@ class Engine:
                else _with_policy(cfg, policy_name))
         policy = get_policy(eff, budget)
 
+        # chunked (activation-bounded) prefill for long buckets: bounds the
+        # q/attention/MLP transients at prefill_chunk rows (full-length
+        # chains OOM single-chip prefill past ~128k at llama31-width)
+        ch = cfg.runtime.prefill_chunk
+        chunked = (ch and P > ch and P % ch == 0
+                   and hasattr(policy, "prefill_tail"))
+
         def prefill_fn(params, state, tokens, pad_len, true_len):
-            logits, st = llama.prefill(cfg.model, params, policy, state,
-                                       tokens, pad_len, true_len)
+            if chunked:
+                logits, st = llama.prefill_chunked(
+                    cfg.model, params, policy, state, tokens, pad_len,
+                    true_len, chunk=ch)
+            else:
+                logits, st = llama.prefill(cfg.model, params, policy, state,
+                                           tokens, pad_len, true_len)
             return jnp.argmax(logits).astype(jnp.int32), st
 
         def decode_fn(params, state, token, pos, n_steps):
@@ -121,6 +133,9 @@ class Engine:
         P = min(P, cfg.runtime.max_seq_len)
         if true_len > P:  # middle truncation is the harness's job
             raise ValueError(f"prompt {true_len} exceeds max_seq_len {P}")
+        ch = cfg.runtime.prefill_chunk
+        if ch and P > ch:
+            P = -(-P // ch) * ch    # chunk-multiple padding
 
         policy_name = self.pick_policy(true_len, P)
         if self._off_engine is not None and policy_name == "pq_search":

@@ -39,7 +39,8 @@ from pqcache_tpu.core import pq
 from pqcache_tpu.core.budget import Budget, compute_budget
 from pqcache_tpu.models import llama
 from pqcache_tpu.ops.attention_xla import decode_window_attention_segments
-from pqcache_tpu.ops.dispatch import dense_prefill_attention
+from pqcache_tpu.ops.dispatch import (dense_prefill_attention,
+                                      prefill_chunk_attention)
 from pqcache_tpu.runtime.host_offload import HostKVStore, assemble_blocks
 
 
@@ -75,6 +76,9 @@ class OffloadEngine:
         self.d_sub = m.head_dim // self.S
         self.metric = cfg.pq.metric
         self.bs = cfg.cache.block_size
+        # chunked prefill slab (rows); 0 = single-shot full-length prefill.
+        # Static on self (jit keying): set once from the frozen config.
+        self.prefill_chunk = cfg.runtime.prefill_chunk
         # joint-histogram block scorer (core/pq.py): block selection as one
         # matmul instead of an O(T) ADC code sweep — same conditions as
         # policies/pq_search.py use_jhist; the offload tier's selection is
@@ -106,20 +110,16 @@ class OffloadEngine:
 
     # -- jitted device programs -------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _prefill_layer(self, layers, state, idx, hidden, cos, sin, pad_len,
-                       true_len):
-        # layer params sliced INSIDE the program (loop-fused reads of the
-        # stacked arrays) — materializing per-layer copies on the host
-        # side doubled the parameter footprint (+1.75 GB at llama31-width)
-        lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
+    def _tail_update(self, state, idx, k, v, pad_len, true_len):
+        """Shared prefill tail (traced): roll out the left pad, split
+        sink / local ring / candidate tail, train the layer's PQ codebooks,
+        write the layer state. k/v [H_kv, P, D] raw (pad rows at the
+        front). Returns (state, kv_tail) with kv_tail the interleaved K‖V
+        candidate rows — a DEVICE array the store moves straight to pinned
+        host (no tunnel/numpy round trip)."""
         cfg = self.cfg.model
         b = self.budget
-        P = hidden.shape[0]
-        h_norm = llama.rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = llama._qkv(cfg, lp, h_norm, cos, sin)
-        out, _ = dense_prefill_attention(q, k, v, pad_len)
-
+        P = k.shape[1]
         shift = -pad_len.astype(jnp.int32)
         k_r, v_r = jnp.roll(k, shift, axis=1), jnp.roll(v, shift, axis=1)
         k_tail, v_tail = k_r[:, b.sink:], v_r[:, b.sink:]
@@ -169,16 +169,106 @@ class OffloadEngine:
             J = pq.build_joint_hist(codes_full, n_cand0,
                                     n_centroids=self.C, block=self.bs)
             state = state.replace(jhist=up(state.jhist, J))
+        kv_tail = jnp.concatenate(
+            [k_tail, v_tail], axis=-1).astype(self.dtype)
+        return state, kv_tail
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _prefill_layer(self, layers, state, idx, hidden, cos, sin, pad_len,
+                       true_len):
+        # layer params sliced INSIDE the program (loop-fused reads of the
+        # stacked arrays) — materializing per-layer copies on the host
+        # side doubled the parameter footprint (+1.75 GB at llama31-width)
+        lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
+        cfg = self.cfg.model
+        P = hidden.shape[0]
+        h_norm = llama.rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = llama._qkv(cfg, lp, h_norm, cos, sin)
+        out, _ = dense_prefill_attention(q, k, v, pad_len)
+
+        state, kv_tail = self._tail_update(state, idx, k, v, pad_len,
+                                           true_len)
 
         attn = out.transpose(1, 0, 2).reshape(P, -1)
         hidden = hidden + attn @ lp["wo"]
         h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
         hidden = hidden + llama.mlp(lp, h2)
-        # interleaved K‖V tail rows, DEVICE array — the store moves complete
-        # blocks straight to pinned host (no tunnel/numpy round trip)
-        kv_tail = jnp.concatenate(
-            [k_tail, v_tail], axis=-1).astype(self.dtype)
         return hidden, state, kv_tail
+
+    # -- chunked (activation-bounded) prefill -------------------------------
+    #
+    # Full-length prefill OOMs before the KV does: at 192k the q chain
+    # ([H, P, D] ≈ 2 GB), h_norm and the flash temps each cost full-length
+    # activations. Chunked prefill processes each layer in three passes —
+    # (A) full-length K/V via a lax.map over row chunks (K/V themselves are
+    # needed whole for attention and clustering, but they are H_kv/H ≈ 1/4
+    # the q chain), (B) per-chunk q → flash(q_chunk, K-prefix) → MLP with a
+    # STATIC chunk offset (the packed-pair flash grid visits exactly the
+    # chunk's causal triangle slab; one compiled program per chunk index,
+    # shared across layers and cached persistently), (C) the shared
+    # codebook/state tail. Activation transients are bounded at chunk
+    # length; there is no recompute (the reference's single-GPU answer is
+    # Mistral's 32k-token chunked LN/MLP, mistral_patch.py:246-279, which
+    # still materializes full-length attention inputs).
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _prefill_layer_kv(self, layers, idx, hidden, cos, sin):
+        """Pass A: this layer's full-length rope'd K/V, chunk-bounded."""
+        lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
+        cfg = self.cfg.model
+        P, E = hidden.shape
+        ch = self.prefill_chunk
+        nc = P // ch
+        H_kv, D = cfg.num_kv_heads, cfg.head_dim
+
+        def kv_chunk(args):
+            h_c, cos_c, sin_c = args
+            h_norm = llama.rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
+            kc = (h_norm @ lp["wk"]).reshape(ch, H_kv, D).transpose(1, 0, 2)
+            vc = (h_norm @ lp["wv"]).reshape(ch, H_kv, D).transpose(1, 0, 2)
+            return llama.apply_rope(kc, cos_c, sin_c), vc
+
+        ks, vs = jax.lax.map(kv_chunk, (
+            hidden.reshape(nc, ch, E),
+            cos.reshape(nc, ch, -1), sin.reshape(nc, ch, -1)))
+        k = ks.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
+        v = vs.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
+        return k, v
+
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(4,))
+    def _prefill_attn_chunk(self, layers, idx, c0, hidden, k_full, v_full,
+                            cos, sin, pad_len):
+        """Pass B: attention + MLP for rows [c0, c0+chunk) of layer idx.
+        c0 is STATIC: the causal key prefix is a static slice and the
+        packed flash grid covers exactly the reachable blocks."""
+        lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
+        cfg = self.cfg.model
+        ch = self.prefill_chunk
+        E = hidden.shape[1]
+        H, H_kv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        h_c = jax.lax.dynamic_slice(hidden, (c0, 0), (ch, E))
+        cos_c = jax.lax.dynamic_slice(cos, (c0, 0), (ch, cos.shape[1]))
+        sin_c = jax.lax.dynamic_slice(sin, (c0, 0), (ch, sin.shape[1]))
+        h_norm = llama.rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
+        q = llama.apply_rope(
+            (h_norm @ lp["wq"]).reshape(ch, H, D).transpose(1, 0, 2),
+            cos_c, sin_c)
+        k_pref = jax.lax.slice(k_full, (0, 0, 0), (H_kv, c0 + ch, D))
+        v_pref = jax.lax.slice(v_full, (0, 0, 0), (H_kv, c0 + ch, D))
+        out = prefill_chunk_attention(q, k_pref, v_pref, pad_len,
+                                      q_offset=c0)
+        h_c = h_c + out.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
+        h2 = llama.rms_norm(h_c, lp["ln2"], cfg.rms_norm_eps)
+        h_c = h_c + llama.mlp(lp, h2)
+        return jax.lax.dynamic_update_slice(hidden, h_c, (c0, 0))
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def _prefill_tail_chunked(self, state, idx, k_full, v_full, pad_len,
+                              true_len):
+        """Pass C: the shared codebook/state tail on the full-length K/V."""
+        return self._tail_update(state, idx, k_full, v_full, pad_len,
+                                 true_len)
 
     def _score_and_topk(self, lp, state, idx, hidden, cos, sin, n_sel):
         """Q/K/V projection + ADC scoring + BLOCK top-k for layer `idx`
@@ -348,6 +438,10 @@ class OffloadEngine:
         true_len = int(ids.shape[0])
         from pqcache_tpu.runtime.generate import bucket_length
         P = bucket_length(true_len, cfg.runtime.prefill_bucket)
+        ch = self.prefill_chunk
+        chunked = bool(ch) and P > ch
+        if chunked:
+            P = -(-P // ch) * ch     # chunk-multiple padding
         pad = P - true_len
         self.budget = self._budget(P, max_new_tokens)
         b = self.budget
@@ -371,10 +465,22 @@ class OffloadEngine:
         cos, sin = llama.rope_cos_sin(m, positions)
         stored = true_len - b.sink          # tail rows valid in the store
         for l in range(m.num_layers):
-            hidden, state, kv_tail = self._prefill_layer(
-                layers, state, jnp.asarray(l, jnp.int32), hidden,
-                cos, sin, pad_j, tl_j)
+            li = jnp.asarray(l, jnp.int32)
+            if chunked:
+                k_full, v_full = self._prefill_layer_kv(
+                    layers, li, hidden, cos, sin)
+                for c in range(P // ch):
+                    hidden = self._prefill_attn_chunk(
+                        layers, li, c * ch, hidden, k_full, v_full,
+                        cos, sin, pad_j)
+                state, kv_tail = self._prefill_tail_chunked(
+                    state, li, k_full, v_full, pad_j, tl_j)
+                del k_full, v_full
+            else:
+                hidden, state, kv_tail = self._prefill_layer(
+                    layers, state, li, hidden, cos, sin, pad_j, tl_j)
             store.offload_layer_device(l, kv_tail, stored)
+            del kv_tail
             # bound in-flight prefill work to ~1 layer (compute AND the
             # pinned-host leaf transfers): without these barriers the
             # async dispatch allocates every layer's [H_kv, P, 2D] tail

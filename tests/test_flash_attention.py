@@ -86,3 +86,68 @@ class TestMaxScoreSweep:
                            score_mode="max", interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestQOffsetChunk:
+    """Rectangular chunked-prefill attention: a q chunk at absolute offset
+    q_offset attending its full causal key prefix (the chunked prefill
+    path, runtime/offload_engine.py _prefill_attn_chunk)."""
+
+    @pytest.mark.parametrize("bq,bk", [(128, 128), (128, 256)])
+    def test_flash_q_offset_matches_dense(self, bq, bk):
+        rng = np.random.default_rng(7)
+        H, H_kv, D = 4, 2, 128
+        Tk, Tq, off, pad = 1024, 256, 512, 37
+        q = _rand(rng, H, Tq, D)
+        k, v = _rand(rng, H_kv, Tk, D), _rand(rng, H_kv, Tk, D)
+        ref = dense_attention(q, k, v, causal=True, q_offset=off,
+                              valid_lo=pad)
+        out = flash_attention(q, k, v, valid_lo=pad, causal=True,
+                              q_offset=off, block_q=bq, block_k=bk,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_flash_q_offset_ragged_tq(self):
+        # Tq not a block multiple: padded q rows must not perturb real rows
+        rng = np.random.default_rng(8)
+        H, H_kv, D = 2, 1, 128
+        Tk, Tq, off = 768, 200, 256
+        q = _rand(rng, H, Tq, D)
+        k, v = _rand(rng, H_kv, Tk, D), _rand(rng, H_kv, Tk, D)
+        ref = dense_attention(q, k, v, causal=True, q_offset=off)
+        out = flash_attention(q, k, v, causal=True, q_offset=off,
+                              block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_xla_rect_matches_dense(self):
+        from pqcache_tpu.ops.attention_xla import chunked_attention_rect
+        rng = np.random.default_rng(9)
+        H, H_kv, D = 4, 2, 64       # D % 128 != 0: the XLA fallback's case
+        Tk, Tq, off, pad = 640, 192, 320, 21
+        q = _rand(rng, H, Tq, D)
+        k, v = _rand(rng, H_kv, Tk, D), _rand(rng, H_kv, Tk, D)
+        ref = dense_attention(q, k, v, causal=True, q_offset=off,
+                              valid_lo=pad)
+        out = chunked_attention_rect(q, k, v, valid_lo=pad, q_offset=off,
+                                     block=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_full_prefill_from_chunks(self):
+        # composing chunk calls over a whole sequence == square prefill
+        rng = np.random.default_rng(10)
+        H, H_kv, D, T, ch = 2, 2, 128, 512, 128
+        q = _rand(rng, H, T, D)
+        k, v = _rand(rng, H_kv, T, D), _rand(rng, H_kv, T, D)
+        ref = flash_attention(q, k, v, causal=True, block_q=128,
+                              block_k=128, interpret=True)
+        outs = [
+            flash_attention(q[:, c:c + ch], k[:, :c + ch], v[:, :c + ch],
+                            causal=True, q_offset=c, block_q=128,
+                            block_k=128, interpret=True)
+            for c in range(0, T, ch)]
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(ref),
+            rtol=2e-4, atol=2e-4)

@@ -72,3 +72,27 @@ def test_engine_offload_flag_routes_to_tier(setup):
     assert off.policy_name == "pq_search_offload"
     agree = sum(a == b for a, b in zip(hbm.tokens, off.tokens))
     assert agree >= 6, (hbm.tokens, off.tokens)
+
+
+def test_chunked_prefill_matches_full(setup):
+    """Chunked (activation-bounded) prefill must reproduce the single-shot
+    prefill: same codebooks/state (the tail pass is shared code), same
+    attention math (flash q_offset chunks vs the square kernel). Token
+    agreement with the full-prefill engine over 10 greedy steps."""
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    bs = 32
+    base = dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=bs),
+        cache=CacheConfig(block_size=bs, hbm_cache_tokens=128,
+                          cache_topk_blocks=4))
+    full = OffloadEngine(base, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=10)
+    chunked_cfg = dataclasses.replace(
+        base, runtime=dataclasses.replace(base.runtime, prefill_chunk=64))
+    eng = OffloadEngine(chunked_cfg, params, dtype=jnp.float32)
+    chunked = eng.generate(ids, max_new_tokens=10)
+    assert chunked[0] == full[0], (chunked, full)
+    agree = sum(a == b for a, b in zip(full, chunked))
+    assert agree >= 8, (full, chunked)

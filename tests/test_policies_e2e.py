@@ -200,3 +200,66 @@ class TestEndToEnd:
         valid_after = np.asarray(st.repr_valid).any(axis=(1, 3))[0]
         assert valid_after[nb_pre:].sum() > 0, (nb_pre, valid_after)
         assert valid_after.sum() > valid_before.sum()
+
+
+class TestChunkedPrefill:
+    """Chunked (activation-bounded) HBM-tier prefill must reproduce the
+    single-shot prefill for both the pq and dense policies: logits from
+    prefill_chunked equal prefill's (same math, chunked schedule)."""
+
+    @pytest.mark.parametrize("policy", ["pq_search", "original"])
+    def test_chunked_prefill_logits_match(self, setup, policy):
+        import dataclasses
+        from pqcache_tpu.core.budget import compute_budget
+        from pqcache_tpu.policies.base import get_policy
+        cfg, params, ids = setup
+        P, ch = 256, 64
+        ids = np.asarray(ids[:P], np.int32)
+        ecfg = EngineConfig(
+            model=cfg,
+            pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8),
+            budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                                sink_size=4),
+            runtime=RuntimeConfig(policy=policy, prefill_bucket=64,
+                                  max_new_tokens=16, max_seq_len=1024),
+        )
+        b = compute_budget(ecfg.budget, P, 16)
+        pol = get_policy(ecfg, b)
+        lg_full, st_full = jax.jit(
+            lambda par, s, t: llama.prefill(
+                cfg, par, pol, s, t, jnp.asarray(0), jnp.asarray(P)))(
+            params, pol.init_state(jnp.float32), jnp.asarray(ids))
+        lg_ch, st_ch = jax.jit(
+            lambda par, s, t: llama.prefill_chunked(
+                cfg, par, pol, s, t, jnp.asarray(0), jnp.asarray(P),
+                chunk=ch))(
+            params, pol.init_state(jnp.float32), jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(lg_ch), np.asarray(lg_full),
+                                   rtol=2e-3, atol=2e-3)
+        # state parity: every leaf (codebooks, caches, counters) must agree
+        for a, c in zip(jax.tree_util.tree_leaves(st_full),
+                        jax.tree_util.tree_leaves(st_ch)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                rtol=2e-3, atol=2e-3)
+
+    def test_engine_chunked_prefill_generates(self, setup):
+        import dataclasses
+        cfg, params, ids = setup
+        ecfg = EngineConfig(
+            model=cfg,
+            pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8),
+            budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                                sink_size=4),
+            runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                                  max_new_tokens=16, max_seq_len=1024),
+        )
+        full = Engine(ecfg, params, dtype=jnp.float32).generate(
+            ids, max_new_tokens=10)
+        ecfg_ch = dataclasses.replace(
+            ecfg, runtime=dataclasses.replace(ecfg.runtime,
+                                              prefill_chunk=64))
+        chunked = Engine(ecfg_ch, params, dtype=jnp.float32).generate(
+            ids, max_new_tokens=10)
+        agree = sum(a == b for a, b in zip(full.tokens, chunked.tokens))
+        assert agree >= 8, (full.tokens, chunked.tokens)
