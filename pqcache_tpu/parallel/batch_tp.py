@@ -92,32 +92,38 @@ class BatchTPEngine:
         sspec = batch_state_specs(jhist=policy.use_jhist,
                                   ring=bool(policy.ring_k))
 
-        def prefill_wave(p, bstate, tokens, pad, tlen, lslot):
+        def prefill_wave(p, bstate, tokens, pad, tlen, lslot, admit):
             """One dp wave: each dp group prefills ITS prompt (tokens local
-            [1, P]) and inserts the result at local slot `lslot`."""
+            [1, P]) and inserts the result at local slot `lslot` — unless
+            its `admit` flag is 0 (continuous serving: groups with nothing
+            to admit participate in the collective prefill but leave their
+            state untouched; lax.cond keeps the no-admit branch copy-free)."""
             single = policy.init_state(dtype)
             logits, st = llama.prefill(local_m, p, policy, single,
                                        tokens[0], pad[0], tlen[0],
                                        axis_name="tp")
             first = jnp.argmax(logits).astype(jnp.int32)
 
-            def ins(b, s):
-                # b [L, B_loc, H_kv_loc, ...]; s [L, H_kv_loc, ...]
-                return jax.lax.dynamic_update_slice(
-                    b, s[:, None].astype(b.dtype),
-                    (0, lslot) + (0,) * (b.ndim - 2))
-            new = PQState(
-                k_sink=ins(bstate.k_sink, st.k_sink),
-                v_sink=ins(bstate.v_sink, st.v_sink),
-                kv_tail=ins(bstate.kv_tail, st.kv_tail),
-                codes=ins(bstate.codes, st.codes),
-                centroids=ins(bstate.centroids, st.centroids),
-                phi=ins(bstate.phi, st.phi),
-                n_cand=bstate.n_cand.at[lslot].set(st.n_cand),
-                pos=bstate.pos.at[lslot].set(st.pos),
-                jhist=(ins(bstate.jhist, st.jhist)
-                       if policy.use_jhist else None),
-                ring_kv=bstate.ring_kv, ring_r=bstate.ring_r)
+            def do_insert(b_in):
+                def ins(b, s):
+                    # b [L, B_loc, H_kv_loc, ...]; s [L, H_kv_loc, ...]
+                    return jax.lax.dynamic_update_slice(
+                        b, s[:, None].astype(b.dtype),
+                        (0, lslot) + (0,) * (b.ndim - 2))
+                return PQState(
+                    k_sink=ins(b_in.k_sink, st.k_sink),
+                    v_sink=ins(b_in.v_sink, st.v_sink),
+                    kv_tail=ins(b_in.kv_tail, st.kv_tail),
+                    codes=ins(b_in.codes, st.codes),
+                    centroids=ins(b_in.centroids, st.centroids),
+                    phi=ins(b_in.phi, st.phi),
+                    n_cand=b_in.n_cand.at[lslot].set(st.n_cand),
+                    pos=b_in.pos.at[lslot].set(st.pos),
+                    jhist=(ins(b_in.jhist, st.jhist)
+                           if policy.use_jhist else None),
+                    ring_kv=b_in.ring_kv, ring_r=b_in.ring_r)
+
+            new = jax.lax.cond(admit[0] > 0, do_insert, lambda b: b, bstate)
             return first[None], new
 
         def decode_chunk(p, bstate, toks, poss, n):
@@ -128,16 +134,20 @@ class BatchTPEngine:
             return out.T, _unfold(folded, B_loc)   # [B_loc, n]
 
         self.chunk = min(16, max(max_new_tokens - 1, 1))
+        if policy.ring_k:
+            self.chunk = min(self.chunk, policy.ring_k)
         self._prefill = jax.jit(shard_map(
             prefill_wave, mesh=mesh,
             in_specs=(PARAM_SPECS, sspec, P("dp", None), P("dp"), P("dp"),
-                      P()),
-            out_specs=(P("dp"), sspec), check_rep=False))
+                      P(), P("dp")),
+            out_specs=(P("dp"), sspec), check_rep=False),
+            donate_argnums=(1,))
         self._decode = jax.jit(shard_map(
             lambda p, s, t, pos, n=self.chunk: decode_chunk(p, s, t, pos, n),
             mesh=mesh,
             in_specs=(PARAM_SPECS, sspec, P("dp"), P("dp")),
-            out_specs=(P("dp", None), sspec), check_rep=False))
+            out_specs=(P("dp", None), sspec), check_rep=False),
+            donate_argnums=(1,))
 
     def init_state(self, B: int) -> PQState:
         """Global 5-D zero state for B slots (B divisible by dp)."""
@@ -177,7 +187,8 @@ class BatchTPEngine:
                 toks[g, pads[g]:] = ids
             first, bstate = self._prefill(
                 self.params, bstate, jnp.asarray(toks), jnp.asarray(pads),
-                jnp.asarray(tlens), jnp.asarray(w, jnp.int32))
+                jnp.asarray(tlens), jnp.asarray(w, jnp.int32),
+                jnp.ones((self.dp,), jnp.int32))
             f = np.asarray(first)
             for g in range(self.dp):
                 firsts[g * B_loc + w] = f[g]

@@ -179,14 +179,113 @@ class DistributedBatchTPEngine(BatchTPEngine):
         input under multi-process jit)."""
         if jax.process_count() == 1:
             return super().init_state(B)
-        from pqcache_tpu.parallel.batch_tp import BATCH_STATE_SPECS
+        from pqcache_tpu.parallel.batch_tp import batch_state_specs
+        specs = batch_state_specs(jhist=self.policy.use_jhist,
+                                  ring=bool(self.policy.ring_k))
         shardings = jax.tree_util.tree_map(
-            lambda s: NamedSharding(self.mesh, s), BATCH_STATE_SPECS)
+            lambda s: NamedSharding(self.mesh, s), specs)
         shapes = jax.eval_shape(lambda: BatchTPEngine.init_state(self, B))
         return jax.jit(
             lambda: jax.tree_util.tree_map(
                 lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes),
             out_shardings=shardings)()
+
+    def serve_local(self, requests: Sequence, max_new_tokens: int,
+                    eos_ids=(), slots_per_group: int = 1) -> dict:
+        """Continuous batching across hosts: this process's request queue
+        (seq_id, prompt_ids) feeds its dp groups' slot pool; finished slots
+        retire and new requests are admitted at chunk boundaries
+        (iteration-level scheduling, the multi-host form of
+        runtime/batch_engine.BatchEngine.run).
+
+        All device programs are collective: a prefill wave runs when ANY
+        host has an admission for that local slot index (groups with
+        nothing to admit join the wave with admit=0 and their state is
+        untouched — the predicated insert in batch_tp.prefill_wave), and
+        decode chunks advance every slot everywhere. Agreement uses only
+        host-side process allgathers. Returns {seq_id: tokens} for THIS
+        process's requests."""
+        n_proc = jax.process_count()
+        dp_local = self.dp // n_proc
+        B_loc = slots_per_group
+        B = B_loc * self.dp
+        mesh = self.mesh
+        queue = list(requests)
+        results: dict = {}
+        bstate = self.init_state(B)
+
+        # slot bookkeeping: [dp_local][B_loc] — device slot order for this
+        # process's rows is (local group g, local slot w)
+        slots = [[{"done": True, "sid": None, "toks": None, "pos": 0}
+                  for _ in range(B_loc)] for _ in range(dp_local)]
+
+        def admit_wave(w, bstate):
+            admit = np.zeros((dp_local,), np.int32)
+            toks = np.zeros((dp_local, self.P), np.int32)
+            pads = np.zeros((dp_local,), np.int32)
+            tlens = np.full((dp_local,), self.P, np.int32)  # dummy-valid
+            pend = {}
+            for g in range(dp_local):
+                if slots[g][w]["done"] and queue:
+                    sid, ids = queue.pop(0)
+                    ids = np.asarray(ids, np.int32)
+                    admit[g] = 1
+                    pads[g] = self.P - len(ids)
+                    tlens[g] = len(ids)
+                    toks[g, pads[g]:] = ids
+                    pend[g] = (sid, len(ids))
+            # collective skip: no admissions anywhere at this slot index
+            if all_hosts_done(admit.sum() == 0):
+                return bstate, False
+            first, bstate = self._prefill(
+                self.params, bstate,
+                host_local_rows(mesh, P("dp", None), (self.dp, self.P),
+                                toks, np.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), pads, np.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), tlens, np.int32),
+                jnp.asarray(w, jnp.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), admit, np.int32))
+            f, _ = read_local_rows(first, self.dp)
+            for g, (sid, tlen) in pend.items():
+                slots[g][w] = {"done": int(f[g]) in eos_ids, "sid": sid,
+                               "toks": [int(f[g])], "pos": tlen}
+                if slots[g][w]["done"]:
+                    results[sid] = slots[g][w]["toks"]
+            return bstate, True
+
+        while True:
+            for w in range(B_loc):
+                bstate, _ = admit_wave(w, bstate)
+            idle = all(s["done"] for row in slots for s in row)
+            if all_hosts_done(idle and not queue):
+                break
+            cur = np.zeros((B_loc * dp_local,), np.int32)
+            poss = np.zeros((B_loc * dp_local,), np.int32)
+            for g in range(dp_local):
+                for w in range(B_loc):
+                    s = slots[g][w]
+                    i = g * B_loc + w
+                    cur[i] = s["toks"][-1] if s["toks"] else 0
+                    poss[i] = s["pos"]
+            toks, bstate = self._decode(
+                self.params, bstate,
+                host_local_rows(mesh, P("dp"), (B,), cur, np.int32),
+                host_local_rows(mesh, P("dp"), (B,), poss, np.int32))
+            t_np, _ = read_local_rows(toks, B)      # [B_local, chunk]
+            for g in range(dp_local):
+                for w in range(B_loc):
+                    s = slots[g][w]
+                    s["pos"] += self.chunk
+                    if s["done"]:
+                        continue
+                    for t in t_np[g * B_loc + w]:
+                        s["toks"].append(int(t))
+                        if (int(t) in eos_ids
+                                or len(s["toks"]) >= max_new_tokens):
+                            s["done"] = True
+                            results[s["sid"]] = s["toks"][:max_new_tokens]
+                            break
+        return results
 
     def generate_batch_local(self, local_prompts: Sequence,
                              max_new_tokens: int, eos_ids=()) -> list:
@@ -223,7 +322,9 @@ class DistributedBatchTPEngine(BatchTPEngine):
                                 toks, np.int32),
                 host_local_rows(mesh, P("dp"), (self.dp,), pads, np.int32),
                 host_local_rows(mesh, P("dp"), (self.dp,), tlens, np.int32),
-                jnp.asarray(w, jnp.int32))
+                jnp.asarray(w, jnp.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,),
+                                np.ones((dp_local,), np.int32), np.int32))
             f, _ = read_local_rows(first, self.dp)
             for g in range(dp_local):
                 firsts[g * B_loc + w] = f[g]

@@ -81,3 +81,45 @@ def test_distributed_engine_matches_plain_batch_tp():
                                        max_new_tokens=8, dtype=jnp.float32)
     outs = eng.generate_batch_local(prompts, max_new_tokens=8)
     assert outs == refs
+
+
+@needs8
+def test_continuous_serving_matches_static_batches():
+    """serve_local (cross-host continuous batching: admit/retire at chunk
+    boundaries, predicated prefill waves) must produce the same tokens as
+    static generate_batch runs over the same request pairs — under one
+    process the collective plumbing is exercised with local == global."""
+    from pqcache_tpu.parallel.batch_tp import BatchTPEngine
+    cfg_m = tiny_model_config(num_layers=2, num_heads=8, num_kv_heads=4,
+                              hidden_size=64)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(9),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla"),
+    )
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, cfg_m.vocab_size, size=256).astype(np.int32)
+               for _ in range(6)]
+
+    mesh = dcn.serving_mesh(2, 4)
+    ref_eng = BatchTPEngine(ecfg, params, mesh, prefill_len=256,
+                            max_new_tokens=8, dtype=jnp.float32)
+    refs = {}
+    # queue drain order with 2 groups × 1 slot: pairs (0,1), (2,3), (4,5)
+    for i in range(0, 6, 2):
+        for sid, toks in zip((i, i + 1), ref_eng.generate_batch(
+                prompts[i:i + 2], max_new_tokens=8)):
+            refs[sid] = toks
+
+    eng = dcn.DistributedBatchTPEngine(ecfg, params, mesh, prefill_len=256,
+                                       max_new_tokens=8, dtype=jnp.float32)
+    outs = eng.serve_local(list(enumerate(prompts)), max_new_tokens=8)
+    assert set(outs) == set(range(6))
+    assert outs == refs
