@@ -99,9 +99,15 @@ class BatchTPEngine:
             to admit participate in the collective prefill but leave their
             state untouched; lax.cond keeps the no-admit branch copy-free)."""
             single = policy.init_state(dtype)
-            logits, st = llama.prefill(local_m, p, policy, single,
-                                       tokens[0], pad[0], tlen[0],
-                                       axis_name="tp")
+            ch = cfg.runtime.prefill_chunk
+            if ch and prefill_len > ch and prefill_len % ch == 0:
+                logits, st = llama.prefill_chunked(
+                    local_m, p, policy, single, tokens[0], pad[0], tlen[0],
+                    chunk=ch, axis_name="tp")
+            else:
+                logits, st = llama.prefill(local_m, p, policy, single,
+                                           tokens[0], pad[0], tlen[0],
+                                           axis_name="tp")
             first = jnp.argmax(logits).astype(jnp.int32)
 
             def do_insert(b_in):
