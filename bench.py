@@ -58,6 +58,10 @@ def main():
     # full-length prefill activations OOM a single chip before the KV does
     pf_chunk = int(os.environ.get(
         "BENCH_PREFILL_CHUNK", "32768" if ctx > 98304 else "0"))
+    # pair fetch (BENCH_FETCH_PAIR=1): DMA 2·block-aligned pairs with the
+    # unselected half masked — select_block ≤ 128 quality at ~half the
+    # latency-bound DMA count (ops/block_attn_pallas.py)
+    fetch_pair = os.environ.get("BENCH_FETCH_PAIR", "0") == "1"
     # headline = batched serving (B concurrent 32k streams on one chip,
     # batch-as-heads decode) — the regime PQCache exists for; the
     # reference is hard-limited to batch 1 (mistral_patch.py:61).
@@ -87,7 +91,8 @@ def main():
         cfg = EngineConfig(
             model=model,
             pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
-                        select_block=sel_block, fetch_par=fetch_par),
+                        select_block=sel_block, fetch_par=fetch_par,
+                        fetch_pair=fetch_pair),
             budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
                                 sink_size=32),
             runtime=RuntimeConfig(policy=policy_name, prefill_bucket=1024,

@@ -107,6 +107,13 @@ class PQConfig:
     # sequential wait count — at the price of n_par× the double-buffered
     # VMEM (n_par · 2 · block · 2D · 2B).
     fetch_par: int = 4
+    # Pair fetch: keep SELECTION at select_block granularity but DMA the
+    # 2·block-aligned pair containing each selected block (unselected half
+    # masked): adjacent selections share one DMA, halving the
+    # latency-bound DMA count under key locality while retrieval quality
+    # stays at the finer granularity. select_block ≤ 128 only (the tail is
+    # 256-row-aligned).
+    fetch_pair: bool = False
     # Block-score backend: "auto" uses the joint-code-histogram matmul
     # scorer (core/pq.py joint_block_mass — O(C²·NB) MXU work per step
     # instead of an O(T) code sweep, exactly the same normalized-mass

@@ -36,11 +36,12 @@ NEG_INF = -1e30
 
 
 def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
-            n_heads, scale):
+            n_heads, scale, pair=False):
     kv_refs = rest[:n_par]
     m_ref, l_ref, acc_ref, m_scr, l_scr, acc_scr = rest[n_par:]
     h = pl.program_id(0)
     j = pl.program_id(1)
+    n_steps = nb_pad // n_par
     n_cand = scal_ref[1 + h]                      # per-head (per-slot) count
 
     @pl.when(j == 0)
@@ -53,17 +54,30 @@ def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
     # n_par selected blocks per grid step: their HBM→VMEM DMAs are issued
     # together by the pipeline (the per-block DMA is latency- not
     # bandwidth-bound at 512 B × bs rows), the online-softmax update walks
-    # them sequentially in VMEM.
+    # them sequentially in VMEM. Lane assignment is BLOCKED (lane p owns
+    # the sorted slice [p·n_steps, (p+1)·n_steps)) so that in pair mode
+    # adjacent selected blocks of one 2bs-aligned pair hit the same ref on
+    # consecutive steps and the second DMA is elided (same block index).
+    fetch = 2 * bs if pair else bs
     for p_i in range(n_par):
-        jj = j * n_par + p_i
+        jj = p_i * n_steps + j
         blk = scal_ref[1 + n_heads + h * nb_pad + jj]
-        kv = kv_refs[p_i][0, 0]                        # [bs, 2D]
+        kv = kv_refs[p_i][0, 0]                        # [fetch, 2D]
         k = kv[:, :D].astype(jnp.float32)
         v = kv[:, D:].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [g, bs]
-        tok = blk * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        mask = (tok < n_cand) & (jj < nb_sel)          # padded steps no-op
+                                preferred_element_type=jnp.float32)  # [g, fetch]
+        if pair:
+            # fetched the 2bs-aligned pair containing blk; attend only the
+            # selected bs-half (selection quality stays at bs granularity)
+            tok = ((blk // 2) * fetch
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, fetch), 1))
+            half = (tok >= blk * bs) & (tok < blk * bs + bs)
+            mask = half & (tok < n_cand) & (jj < nb_sel)
+        else:
+            tok = blk * bs + jax.lax.broadcasted_iota(
+                jnp.int32, (1, fetch), 1)
+            mask = (tok < n_cand) & (jj < nb_sel)      # padded steps no-op
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -85,7 +99,8 @@ def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
         acc_ref[0] = acc_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block", "n_par", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "n_par", "pair",
+                                             "interpret"))
 def block_topk_attention(
     q: jax.Array,
     kv_tail: jax.Array,
@@ -95,6 +110,7 @@ def block_topk_attention(
     *,
     block: int,
     n_par: int = 4,
+    pair: bool = False,
     interpret: bool = False,
 ):
     """Attention partials of q over the selected candidate blocks.
@@ -109,6 +125,13 @@ def block_topk_attention(
     latency-bound, so overlapping n_par of them cuts the sequential DMA
     count n_par× (measured 1.6 → ~0.5 ms/step at 32k/8L/26 blocks).
 
+    `pair=True` keeps SELECTION at `block` granularity but DMAs the
+    2·block-aligned pair containing each selected block, masking the
+    unselected half: sorted adjacent selections share one DMA (the lane's
+    next step maps to the same pair → the copy is elided), halving the
+    latency-bound DMA count at key-locality-heavy selections while quality
+    stays at the finer granularity. Requires N % (2·block) == 0.
+
     Returns (m [H_kv, g], l [H_kv, g], acc [H_kv, g, D]) f32 online-softmax
     partials (logits scaled by 1/sqrt(D)) for segment merging.
     """
@@ -117,6 +140,8 @@ def block_topk_attention(
     group = H // H_kv
     nb_sel = blk_idx.shape[1]
     assert N % block == 0 and D2 == 2 * D
+    if pair:
+        assert N % (2 * block) == 0, (N, block)
     scale = 1.0 / (D ** 0.5)
     n_par = min(n_par, nb_sel)
     nb_pad = -(-nb_sel // n_par) * n_par
@@ -135,16 +160,25 @@ def block_topk_attention(
     ])
     qg = q.reshape(H_kv, group, D)
 
-    grid = (H_kv, nb_pad // n_par)
+    n_steps = nb_pad // n_par
+    grid = (H_kv, n_steps)
     kernel = functools.partial(_kernel, bs=block, D=D, nb_pad=nb_pad,
                                nb_sel=nb_sel, n_par=n_par, n_heads=H_kv,
-                               scale=scale)
+                               scale=scale, pair=pair)
+
+    fetch = 2 * block if pair else block
 
     def kv_spec(p_i):
+        # blocked lane assignment: lane p reads scalar slot p·n_steps + j
+        if pair:
+            return pl.BlockSpec(
+                (1, 1, fetch, D2),
+                lambda h, j, s, p=p_i, nb=nb_pad, hk=H_kv, ns=n_steps: (
+                    s[0], h, s[1 + hk + h * nb + p * ns + j] // 2, 0))
         return pl.BlockSpec(
-            (1, 1, block, D2),
-            lambda h, j, s, p=p_i, nb=nb_pad, hk=H_kv, np_=n_par: (
-                s[0], h, s[1 + hk + h * nb + j * np_ + p], 0))
+            (1, 1, fetch, D2),
+            lambda h, j, s, p=p_i, nb=nb_pad, hk=H_kv, ns=n_steps: (
+                s[0], h, s[1 + hk + h * nb + p * ns + j], 0))
 
     m, l, acc = pl.pallas_call(
         kernel,

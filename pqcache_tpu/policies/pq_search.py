@@ -69,6 +69,9 @@ class PQSearchPolicy:
         self.adc_mode = cfg.pq.adc_mode
         self.fetch_mode = cfg.pq.fetch_mode
         self.gather_mode = cfg.pq.gather_mode
+        # pair fetch needs the tail 2·block-aligned (n_tail_max rounds to
+        # 256, so select_block ≤ 128)
+        self.fetch_pair = cfg.pq.fetch_pair and 1 < self.select_block <= 128
         self.check_recall = cfg.pq.check_recall
         # GQA=False: per-q-head top-k (no group reduction). The reference
         # parses the flag but raises "wo GQA not supported currently"
@@ -338,7 +341,8 @@ class PQSearchPolicy:
                     block_topk_attention)
                 m_p, l_p, acc_p = block_topk_attention(
                     q, state.kv_tail, idx, blk_idx, n_cand, block=bs,
-                    n_par=self.cfg.pq.fetch_par, interpret=self.interpret)
+                    n_par=self.cfg.pq.fetch_par, pair=self.fetch_pair,
+                    interpret=self.interpret)
                 return self._finish_decode(
                     state, idx, q, k_new, v_new, n_cand, centroids,
                     k_sink, v_sink, None, None, None,
@@ -646,7 +650,8 @@ class PQSearchPolicy:
                 m_p, l_p, acc_p = block_topk_attention(
                     qf.reshape(B * H, 1, self.D), state.kv_tail, idx,
                     blk_idx, n_cand_h, block=bs,
-                    n_par=self.cfg.pq.fetch_par, interpret=self.interpret)
+                    n_par=self.cfg.pq.fetch_par, pair=self.fetch_pair,
+                    interpret=self.interpret)
                 partials = [(m_p, l_p, acc_p)]
             else:
                 topk_idx = (blk_idx[:, :, None] * bs

@@ -158,3 +158,32 @@ def test_batched_block_modes_match_token_mode():
                                                shared)
     np.testing.assert_allclose(np.asarray(o_blk_pal), np.asarray(o_blk_xla),
                                rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("nb_sel,n_cand,n_par", [(3, 512, 1), (5, 700, 2),
+                                                 (7, 1024, 4), (4, 300, 16)])
+def test_pair_fetch_matches_xla_reference(nb_sel, n_cand, n_par):
+    """pair=True DMAs the 256-aligned pair of each selected 128-block and
+    masks the unselected half — identical partials to per-block fetch."""
+    rng = np.random.default_rng(2)
+    L, H_kv, group, N, D, bs = 2, 2, 4, 1024, 128, 128
+    H = H_kv * group
+    kv_tail = _mk(rng, L, H_kv, N, 2 * D).astype(jnp.bfloat16)
+    q = _mk(rng, H, 1, D)
+    blk_idx = jnp.sort(jnp.asarray(
+        np.stack([rng.choice(N // bs, nb_sel, replace=False)
+                  for _ in range(H_kv)]), jnp.int32), axis=-1)
+    layer = jnp.asarray(1, jnp.int32)
+    nc = jnp.asarray(n_cand, jnp.int32)
+
+    m, l, acc = block_topk_attention(q, kv_tail, layer, blk_idx, nc,
+                                     block=bs, n_par=n_par, pair=True,
+                                     interpret=True)
+    mr, lr, accr = block_topk_attention_xla(q, kv_tail, layer, blk_idx, nc,
+                                            block=bs)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(mr), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(lr), rtol=1e-2,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(accr), rtol=2e-2,
+                               atol=2e-2)
