@@ -44,7 +44,8 @@ def run(args) -> list[dict]:
                                     recent_ratio=0.5, sink_size=32),
                 runtime=RuntimeConfig(policy=policy, prefill_bucket=1024,
                                       max_new_tokens=32,
-                                      max_seq_len=max(args.ctx) + 2048),
+                                      max_seq_len=max(args.ctx) + 2048,
+                                      prefill_chunk=args.prefill_chunk),
             )
             eng = Engine(cfg, params)
             ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
@@ -78,6 +79,9 @@ def parse_args(argv=None):
                    help="retrieval granularity (128 = fused-kernel path)")
     p.add_argument("--policies", nargs="*",
                    default=["pq_search", "original"])
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="chunked (activation-bounded) prefill slab; "
+                        "0 = full-length (needed past ~96k on one chip)")
     return p.parse_args(argv)
 
 
