@@ -99,11 +99,13 @@ class BatchTPEngine:
             to admit participate in the collective prefill but leave their
             state untouched; lax.cond keeps the no-admit branch copy-free)."""
             single = policy.init_state(dtype)
+            from pqcache_tpu.runtime.generate import chunk_plan
             ch = cfg.runtime.prefill_chunk
-            if ch and prefill_len > ch and prefill_len % ch == 0:
+            ch_eff = chunk_plan(prefill_len, ch)[1] if ch else 0
+            if ch and prefill_len > ch and prefill_len % max(ch_eff, 1) == 0:
                 logits, st = llama.prefill_chunked(
                     local_m, p, policy, single, tokens[0], pad[0], tlen[0],
-                    chunk=ch, axis_name="tp")
+                    chunk=ch_eff, axis_name="tp")
             else:
                 logits, st = llama.prefill(local_m, p, policy, single,
                                            tokens[0], pad[0], tlen[0],

@@ -32,6 +32,19 @@ def bucket_length(n: int, bucket: int, minimum: int = 128) -> int:
     return b
 
 
+def chunk_plan(P: int, ch: int, quantum: int = 1024) -> tuple[int, int]:
+    """(P_padded, chunk) for chunked prefill: n = ceil(P/ch) chunks of
+    equal quantum-aligned length, P_padded = n·chunk. Rounding P up to a
+    multiple of `ch` itself can nearly double the work (33792 → 65536 at
+    ch=32768); shrinking the chunk instead pads at most one quantum per
+    chunk (33792 → 2×17408 = 34816). Idempotent on its own output."""
+    quantum = min(quantum, ch)
+    n = -(-P // ch)
+    per = -(-P // n)
+    chunk = (per + quantum - 1) // quantum * quantum
+    return n * chunk, chunk
+
+
 @dataclass
 class GenerateResult:
     tokens: list            # generated token ids (ints)
@@ -74,17 +87,21 @@ class Engine:
         policy = get_policy(eff, budget)
 
         # chunked (activation-bounded) prefill for long buckets: bounds the
-        # q/attention/MLP transients at prefill_chunk rows (full-length
-        # chains OOM single-chip prefill past ~128k at llama31-width)
+        # q/attention/MLP transients at ~prefill_chunk rows (full-length
+        # chains OOM single-chip prefill past ~128k at llama31-width).
+        # chunk_plan is idempotent, so recomputing it from the padded P
+        # reproduces generate()'s choice.
         ch = cfg.runtime.prefill_chunk
-        chunked = (ch and P > ch and P % ch == 0
-                   and hasattr(policy, "prefill_tail"))
+        chunked = ch and P > ch and hasattr(policy, "prefill_tail")
+        if chunked:
+            P_c, ch_eff = chunk_plan(P, ch)
+            chunked = P_c == P     # P from a caller that didn't pad: fall back
 
         def prefill_fn(params, state, tokens, pad_len, true_len):
             if chunked:
                 logits, st = llama.prefill_chunked(
                     cfg.model, params, policy, state, tokens, pad_len,
-                    true_len, chunk=ch)
+                    true_len, chunk=ch_eff)
             else:
                 logits, st = llama.prefill(cfg.model, params, policy, state,
                                            tokens, pad_len, true_len)
@@ -135,7 +152,7 @@ class Engine:
             raise ValueError(f"prompt {true_len} exceeds max_seq_len {P}")
         ch = cfg.runtime.prefill_chunk
         if ch and P > ch:
-            P = -(-P // ch) * ch    # chunk-multiple padding
+            P, _ = chunk_plan(P, ch)
 
         policy_name = self.pick_policy(true_len, P)
         if self._off_engine is not None and policy_name == "pq_search":

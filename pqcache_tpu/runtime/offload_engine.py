@@ -211,13 +211,12 @@ class OffloadEngine:
     # Mistral's 32k-token chunked LN/MLP, mistral_patch.py:246-279, which
     # still materializes full-length attention inputs).
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _prefill_layer_kv(self, layers, idx, hidden, cos, sin):
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def _prefill_layer_kv(self, layers, idx, hidden, cos, sin, ch):
         """Pass A: this layer's full-length rope'd K/V, chunk-bounded."""
         lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         cfg = self.cfg.model
         P, E = hidden.shape
-        ch = self.prefill_chunk
         nc = P // ch
         H_kv, D = cfg.num_kv_heads, cfg.head_dim
 
@@ -235,15 +234,15 @@ class OffloadEngine:
         v = vs.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
         return k, v
 
-    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(4,))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 10),
+                       donate_argnums=(4,))
     def _prefill_attn_chunk(self, layers, idx, c0, hidden, k_full, v_full,
-                            cos, sin, pad_len):
+                            cos, sin, pad_len, ch):
         """Pass B: attention + MLP for rows [c0, c0+chunk) of layer idx.
-        c0 is STATIC: the causal key prefix is a static slice and the
-        packed flash grid covers exactly the reachable blocks."""
+        c0 and ch are STATIC: the causal key prefix is a static slice and
+        the packed flash grid covers exactly the reachable blocks."""
         lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         cfg = self.cfg.model
-        ch = self.prefill_chunk
         E = hidden.shape[1]
         H, H_kv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -441,7 +440,8 @@ class OffloadEngine:
         ch = self.prefill_chunk
         chunked = bool(ch) and P > ch
         if chunked:
-            P = -(-P // ch) * ch     # chunk-multiple padding
+            from pqcache_tpu.runtime.generate import chunk_plan
+            P, ch = chunk_plan(P, ch)
         pad = P - true_len
         self.budget = self._budget(P, max_new_tokens)
         b = self.budget
@@ -468,11 +468,11 @@ class OffloadEngine:
             li = jnp.asarray(l, jnp.int32)
             if chunked:
                 k_full, v_full = self._prefill_layer_kv(
-                    layers, li, hidden, cos, sin)
+                    layers, li, hidden, cos, sin, ch)
                 for c in range(P // ch):
                     hidden = self._prefill_attn_chunk(
                         layers, li, c * ch, hidden, k_full, v_full,
-                        cos, sin, pad_j)
+                        cos, sin, pad_j, ch)
                 state, kv_tail = self._prefill_tail_chunked(
                     state, li, k_full, v_full, pad_j, tl_j)
                 del k_full, v_full

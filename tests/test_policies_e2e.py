@@ -263,3 +263,14 @@ class TestChunkedPrefill:
             ids, max_new_tokens=10)
         agree = sum(a == b for a, b in zip(full.tokens, chunked.tokens))
         assert agree >= 8, (full.tokens, chunked.tokens)
+
+    def test_chunk_plan_pads_one_quantum_not_one_chunk(self):
+        from pqcache_tpu.runtime.generate import chunk_plan
+        # naive chunk-multiple rounding would give 65536 here
+        assert chunk_plan(33792, 32768) == (34816, 17408)
+        assert chunk_plan(131072, 32768) == (131072, 32768)
+        assert chunk_plan(320, 64) == (320, 64)
+        for P, ch in [(33792, 32768), (500, 64), (98304, 32768)]:
+            Pp, c = chunk_plan(P, ch)
+            assert Pp % c == 0 and Pp >= P
+            assert chunk_plan(Pp, ch) == (Pp, c)   # idempotent
