@@ -82,6 +82,17 @@ def main():
     rng = np.random.default_rng(0)
     ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
 
+    # chunked prefill needs P to be a chunk multiple: left-pad the prompt
+    # to the chunk_plan length (same plan every engine-path caller uses)
+    from pqcache_tpu.runtime.generate import chunk_plan
+    if pf_chunk and ctx > pf_chunk:
+        P, ch_eff = chunk_plan(ctx, pf_chunk)
+    else:
+        P, ch_eff = ctx, 0
+    pad = P - ctx
+    toks_np = np.zeros((P,), np.int32)
+    toks_np[pad:] = ids
+
     # contexts where the dense baseline cannot run (OOM — e.g. 128k on one
     # chip): measure pq alone, report vs_baseline as null
     skip_base = os.environ.get("BENCH_SKIP_BASE", "0") == "1"
@@ -97,35 +108,36 @@ def main():
                                 sink_size=32),
             runtime=RuntimeConfig(policy=policy_name, prefill_bucket=1024,
                                   max_new_tokens=gen + 2,
-                                  max_seq_len=ctx + 2048,
+                                  max_seq_len=P + 2048,
                                   prefill_chunk=pf_chunk),
         )
-        budget = compute_budget(cfg.budget, ctx, gen + 2)
+        budget = compute_budget(cfg.budget, P, gen + 2)
         policy = get_policy(cfg, budget)
 
         # prefill one sequence (argmax fused into the program; first call
         # compiles, second call is the reported prefill time)
         def prefill_fn(p, s, t):
-            if pf_chunk and ctx > pf_chunk:
+            if ch_eff:
                 logits, st = llama.prefill_chunked(
-                    model, p, policy, s, t, jnp.asarray(0, jnp.int32),
-                    jnp.asarray(ctx, jnp.int32), chunk=pf_chunk)
+                    model, p, policy, s, t, jnp.asarray(pad, jnp.int32),
+                    jnp.asarray(ctx, jnp.int32), chunk=ch_eff)
             else:
                 logits, st = llama.prefill(
-                    model, p, policy, s, t, jnp.asarray(0, jnp.int32),
+                    model, p, policy, s, t, jnp.asarray(pad, jnp.int32),
                     jnp.asarray(ctx, jnp.int32))
             return jnp.argmax(logits).astype(jnp.int32), st
         prefill = jax.jit(prefill_fn, donate_argnums=(1,))
         state = policy.init_state(jnp.bfloat16)
-        tok0, state = prefill(params, state, jnp.asarray(ids))
+        tok0, state = prefill(params, state, jnp.asarray(toks_np))
         first = int(tok0)
         state2 = policy.init_state(jnp.bfloat16)
         t0 = time.perf_counter()
-        tok0, state = prefill(params, state2, jnp.asarray(ids))
+        tok0, state = prefill(params, state2, jnp.asarray(toks_np))
         int(tok0)
         prefill_s = time.perf_counter() - t0
 
         if B == 1:
+            steps = gen
             decode = jax.jit(
                 lambda p, s, t, pos: llama.decode_loop(
                     model, p, policy, s, t, pos, gen),
@@ -155,6 +167,11 @@ def main():
             # capacity (flushes happen at program end; BENCH_GEN above the
             # cap runs several fused chunks per rep)
             chunk = min(gen, getattr(policy, "ring_k", 0) or gen)
+            # a rep decodes whole chunks; when gen isn't a chunk multiple
+            # the rep overshoots — time and report the ACTUAL step count
+            # so per-step/tok_s stay exact (and reps never overlap the
+            # previous rep's position range)
+            steps = -(-gen // chunk) * chunk
             decode = jax.jit(
                 lambda p, bs, t, pos: llama.decode_loop_batched(
                     model, p, policy, bs, t, pos, chunk),
@@ -167,10 +184,10 @@ def main():
             for rep in range(3):
                 t0 = time.perf_counter()
                 done = 0
-                while done < gen:
+                while done < steps:
                     out, bstate = decode(
                         params, bstate, toks + 0,
-                        poss + (gen * (rep + 1) + done))
+                        poss + (chunk + steps * rep + done))
                     done += chunk
                 np.asarray(out)
                 times.append(time.perf_counter() - t0)
@@ -182,8 +199,8 @@ def main():
             bstate = None
             state = None
         results[policy_name] = {
-            "tok_s": B * gen / dt,
-            "per_step_ms": dt / gen * 1e3,
+            "tok_s": B * steps / dt,
+            "per_step_ms": dt / steps * 1e3,
             "prefill_s": prefill_s,
         }
         del state, policy

@@ -203,6 +203,60 @@ def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
     return logits, new_state
 
 
+def kv_full_chunked(cfg: ModelConfig, lp: dict, hidden: jax.Array,
+                    cos: jax.Array, sin: jax.Array, chunk: int):
+    """Pass A of chunked prefill: one layer's full-length rope'd K/V,
+    computed in `chunk`-row pieces so the h_norm transient stays bounded.
+    Shared by prefill_chunked and OffloadEngine._prefill_layer_kv."""
+    P, E = hidden.shape
+    nc = P // chunk
+    H_kv, D = cfg.num_kv_heads, cfg.head_dim
+
+    def kv_chunk(args):
+        h_c, cos_c, sin_c = args
+        h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
+        kc = (h_norm @ lp["wk"]).reshape(chunk, H_kv, D).transpose(1, 0, 2)
+        vc = (h_norm @ lp["wv"]).reshape(chunk, H_kv, D).transpose(1, 0, 2)
+        return apply_rope(kc, cos_c, sin_c), vc
+
+    ks, vs = jax.lax.map(kv_chunk, (
+        hidden.reshape(nc, chunk, E),
+        cos.reshape(nc, chunk, -1), sin.reshape(nc, chunk, -1)))
+    return (ks.transpose(1, 0, 2, 3).reshape(H_kv, P, D),
+            vs.transpose(1, 0, 2, 3).reshape(H_kv, P, D))
+
+
+def attn_mlp_chunk(cfg: ModelConfig, lp: dict, h_c: jax.Array,
+                   cos_c: jax.Array, sin_c: jax.Array, k_pref: jax.Array,
+                   v_pref: jax.Array, pad_len, c0: int, *,
+                   use_pallas=None, interpret: bool = False,
+                   axis_name=None) -> jax.Array:
+    """Pass B body of chunked prefill: attention of the chunk's rows
+    (absolute offset c0, STATIC — the packed flash grid covers exactly the
+    chunk's reachable blocks) against the causal K prefix, then the MLP.
+    Returns the chunk's updated hidden rows. Shared by prefill_chunked and
+    OffloadEngine._prefill_attn_chunk."""
+    from pqcache_tpu.ops.dispatch import prefill_chunk_attention
+    ch = h_c.shape[0]
+    H, D = cfg.num_heads, cfg.head_dim
+    h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
+    q = apply_rope(
+        (h_norm @ lp["wq"]).reshape(ch, H, D).transpose(1, 0, 2),
+        cos_c, sin_c)
+    att = prefill_chunk_attention(q, k_pref, v_pref, pad_len, q_offset=c0,
+                                  use_pallas=use_pallas,
+                                  interpret=interpret)
+    attn_out = att.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
+    if axis_name is not None:
+        attn_out = jax.lax.psum(attn_out, axis_name)
+    h_c = h_c + attn_out
+    h2 = rms_norm(h_c, lp["ln2"], cfg.rms_norm_eps)
+    mlp_out = mlp(lp, h2)
+    if axis_name is not None:
+        mlp_out = jax.lax.psum(mlp_out, axis_name)
+    return h_c + mlp_out
+
+
 def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
                     tokens: jax.Array, pad_len: jax.Array,
                     true_len: jax.Array, *, chunk: int,
@@ -219,8 +273,6 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
     The reference's single-GPU answer is a 32k-token chunked LN/MLP
     (mistral_patch.py:246-279) that still materializes full-length
     attention inputs. Requires P % chunk == 0 and policy.prefill_tail."""
-    from pqcache_tpu.ops.dispatch import prefill_chunk_attention
-
     P = tokens.shape[0]
     L = cfg.num_layers
     E = cfg.hidden_size
@@ -243,20 +295,7 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
         lp, idx = xs
 
         # pass A: this layer's full-length rope'd K/V in row chunks
-        def kv_chunk(args):
-            h_c, cos_c, sin_c = args
-            h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
-            kc = (h_norm @ lp["wk"]).reshape(chunk, H_kv, D).transpose(
-                1, 0, 2)
-            vc = (h_norm @ lp["wv"]).reshape(chunk, H_kv, D).transpose(
-                1, 0, 2)
-            return apply_rope(kc, cos_c, sin_c), vc
-
-        ks, vs = jax.lax.map(kv_chunk, (
-            hidden.reshape(nc, chunk, E),
-            cos.reshape(nc, chunk, -1), sin.reshape(nc, chunk, -1)))
-        k = ks.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
-        v = vs.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
+        k, v = kv_full_chunked(cfg, lp, hidden, cos, sin, chunk)
 
         # pass B: per-chunk attention + MLP (static chunk offsets — the
         # packed flash grid covers exactly each chunk's reachable blocks)
@@ -266,25 +305,12 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
             h_c = jax.lax.slice(hidden, (c0, 0), (c0 + chunk, E))
             cos_c = jax.lax.slice(cos, (c0, 0), (c0 + chunk, cos.shape[1]))
             sin_c = jax.lax.slice(sin, (c0, 0), (c0 + chunk, sin.shape[1]))
-            h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
-            q = apply_rope(
-                (h_norm @ lp["wq"]).reshape(chunk, H, D).transpose(1, 0, 2),
-                cos_c, sin_c)
             k_pref = jax.lax.slice(k, (0, 0, 0), (H_kv, c0 + chunk, D))
             v_pref = jax.lax.slice(v, (0, 0, 0), (H_kv, c0 + chunk, D))
-            att = prefill_chunk_attention(q, k_pref, v_pref, pad_len,
-                                          q_offset=c0,
-                                          use_pallas=use_pallas,
-                                          interpret=interpret)
-            attn_out = att.transpose(1, 0, 2).reshape(chunk, -1) @ lp["wo"]
-            if axis_name is not None:
-                attn_out = jax.lax.psum(attn_out, axis_name)
-            h_c = h_c + attn_out
-            h2 = rms_norm(h_c, lp["ln2"], cfg.rms_norm_eps)
-            mlp_out = mlp(lp, h2)
-            if axis_name is not None:
-                mlp_out = jax.lax.psum(mlp_out, axis_name)
-            outs.append(h_c + mlp_out)
+            outs.append(attn_mlp_chunk(
+                cfg, lp, h_c, cos_c, sin_c, k_pref, v_pref, pad_len, c0,
+                use_pallas=use_pallas, interpret=interpret,
+                axis_name=axis_name))
         hidden = jnp.concatenate(outs, axis=0)
 
         # pass C: the policy's codebook/state tail on the full K/V

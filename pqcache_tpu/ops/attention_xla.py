@@ -242,22 +242,31 @@ def chunked_attention_rect(
         qpos = q_offset + i * block + offs
 
         def kv_step(carry, k_inp):
-            m, l, acc = carry
             j, k_j, v_j = k_inp
-            lg = jnp.einsum("hgqd,hkd->hgqk", q_i, k_j,
-                            preferred_element_type=jnp.float32)
-            kpos = j * block + offs
-            mask = ((kpos[None, :] < valid_len)
-                    & (kpos[None, :] >= valid_lo)
-                    & (kpos[None, :] <= qpos[:, None]))
-            lg = jnp.where(mask[None, None], lg, NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
-            p = jnp.exp(lg - m_new[..., None])
-            corr = jnp.exp(m - m_new)
-            l_new = l * corr + jnp.sum(p, axis=-1)
-            acc_new = acc * corr[..., None] + jnp.einsum(
-                "hgqk,hkd->hgqd", p, v_j, preferred_element_type=jnp.float32)
-            return (m_new, l_new, acc_new), None
+
+            def do(carry):
+                m, l, acc = carry
+                lg = jnp.einsum("hgqd,hkd->hgqk", q_i, k_j,
+                                preferred_element_type=jnp.float32)
+                kpos = j * block + offs
+                mask = ((kpos[None, :] < valid_len)
+                        & (kpos[None, :] >= valid_lo)
+                        & (kpos[None, :] <= qpos[:, None]))
+                lg = jnp.where(mask[None, None], lg, NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
+                p = jnp.exp(lg - m_new[..., None])
+                corr = jnp.exp(m - m_new)
+                l_new = l * corr + jnp.sum(p, axis=-1)
+                acc_new = acc * corr[..., None] + jnp.einsum(
+                    "hgqk,hkd->hgqd", p, v_j,
+                    preferred_element_type=jnp.float32)
+                return m_new, l_new, acc_new
+
+            # whole blocks past the causal frontier contribute nothing —
+            # skip their matmuls (the scan length is static, the bound
+            # isn't, so predicate instead of truncating)
+            reachable = j * block <= q_offset + i * block + block - 1
+            return jax.lax.cond(reachable, do, lambda c: c, carry), None
 
         m0 = jnp.full((H_kv, group, block), NEG_INF, jnp.float32)
         l0 = jnp.zeros((H_kv, group, block), jnp.float32)

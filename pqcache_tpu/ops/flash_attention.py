@@ -93,11 +93,16 @@ def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
     q_offset (static): absolute position of q row 0 relative to k row 0 —
     the rectangular chunked-prefill case (a q chunk attending its causal
     key prefix). scal[2+2·n_pairs+t] == 1 marks the pair as its row's last
-    (the diagonal block), replacing the square case's j == i."""
+    (the diagonal block), replacing the square case's j == i.
+    scal[2+3·n_pairs+t] == 1 marks pairs that straddle the causal frontier
+    and need the per-element mask — for bk-aligned q_offset that is exactly
+    the diagonal pair, but a misaligned q_offset (chunk not a block
+    multiple) puts the frontier inside up to two trailing blocks per row."""
     t = pl.program_id(1)
     i = scal_ref[2 + t]
     j = scal_ref[2 + n_pairs + t]
     fin = scal_ref[2 + 2 * n_pairs + t]
+    msk = scal_ref[2 + 3 * n_pairs + t]
     valid_lo = scal_ref[0]
     valid_hi = scal_ref[1]
 
@@ -132,7 +137,7 @@ def _flash_kernel_tri(scal_ref, q_ref, k_ref, v_ref, o_ref,
     # bounds only cut into blocks straddling valid_lo/valid_hi — interior
     # pairs (the vast majority) skip the iota/compare/select chain, which
     # is pure VPU work the kernel is bound on
-    boundary = ((fin == 1) | (j * block < valid_lo)
+    boundary = ((msk == 1) | (j * block < valid_lo)
                 | ((j + 1) * block > valid_hi))
 
     @pl.when(boundary)
@@ -213,11 +218,16 @@ def flash_attention(
         kj = _np.concatenate([_np.arange(m + 1) for m in jmax])
         fin = _np.concatenate(
             [(_np.arange(m + 1) == m).astype(_np.int32) for m in jmax])
+        # pairs straddling the causal frontier: the block's last key position
+        # can exceed the row's FIRST query position. For bk-aligned q_offset
+        # this is exactly the diagonal (== fin); misaligned offsets put the
+        # frontier inside up to two trailing blocks per row.
+        msk = ((kj + 1) * bk - 1 > q_offset + qi * bq).astype(_np.int32)
         n_pairs = qi.size
         scalars = jnp.concatenate([
             jnp.asarray([valid_lo, valid_len], jnp.int32),
             jnp.asarray(qi, jnp.int32), jnp.asarray(kj, jnp.int32),
-            jnp.asarray(fin, jnp.int32)])
+            jnp.asarray(fin, jnp.int32), jnp.asarray(msk, jnp.int32)])
         kernel = functools.partial(
             _flash_kernel_tri, scale=scale, block=bq, n_pairs=n_pairs,
             q_offset=q_offset)

@@ -80,6 +80,13 @@ class BatchTPEngine:
         self.dp = mesh.shape["dp"]
         self.tp = mesh.shape["tp"]
         self.cfg_local = local_model_config(cfg, self.tp)
+        # with chunked prefill on, round the slot capacity up to the
+        # chunk_plan padding so prefill_wave ALWAYS takes the chunked path
+        # (a silent full-length fallback would reintroduce the activation
+        # OOM the feature exists to prevent); callers pad prompts to self.P
+        if cfg.runtime.prefill_chunk and prefill_len > cfg.runtime.prefill_chunk:
+            from pqcache_tpu.runtime.generate import chunk_plan
+            prefill_len, _ = chunk_plan(prefill_len, cfg.runtime.prefill_chunk)
         self.P = prefill_len
         self.max_new = max_new_tokens
         self.dtype = dtype
@@ -102,7 +109,9 @@ class BatchTPEngine:
             from pqcache_tpu.runtime.generate import chunk_plan
             ch = cfg.runtime.prefill_chunk
             ch_eff = chunk_plan(prefill_len, ch)[1] if ch else 0
-            if ch and prefill_len > ch and prefill_len % max(ch_eff, 1) == 0:
+            if ch and prefill_len > ch:
+                # __init__ chunk-planned self.P, so the plan always divides
+                assert prefill_len % ch_eff == 0, (prefill_len, ch_eff)
                 logits, st = llama.prefill_chunked(
                     local_m, p, policy, single, tokens[0], pad[0], tlen[0],
                     chunk=ch_eff, axis_name="tp")

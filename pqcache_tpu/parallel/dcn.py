@@ -78,10 +78,23 @@ def serving_mesh(dp: int, tp: int, *, devices=None) -> Mesh:
         if dp % n_proc:
             raise ValueError(f"dp={dp} must be a multiple of process "
                              f"count {n_proc}")
-        devs = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // n_proc, tp),
-            dcn_mesh_shape=(n_proc, 1),
-            devices=devices)
+        try:
+            devs = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(dp // n_proc, tp),
+                dcn_mesh_shape=(n_proc, 1),
+                devices=devices)
+        except ValueError:
+            # non-TPU multi-process (e.g. the 2-process CPU validation,
+            # tools_dcn_2proc.py): devices carry no slice_index, so group
+            # by process_index directly — same invariant (host h owns dp
+            # rows [h·dp/n_proc, (h+1)·dp/n_proc))
+            all_devs = list(devices) if devices is not None else jax.devices()
+            by_proc: dict = {}
+            for d in all_devs:
+                by_proc.setdefault(d.process_index, []).append(d)
+            rows = [np.asarray(by_proc[p], object).reshape(
+                        dp // n_proc, tp) for p in sorted(by_proc)]
+            devs = np.concatenate(rows, axis=0)
     else:
         devs = mesh_utils.create_device_mesh((dp, tp), devices=devices)
     return Mesh(devs, axis_names=("dp", "tp"))

@@ -95,6 +95,8 @@ class Engine:
         chunked = ch and P > ch and hasattr(policy, "prefill_tail")
         if chunked:
             P_c, ch_eff = chunk_plan(P, ch)
+            if P_c != P:           # generate() may have used the finer plan
+                P_c, ch_eff = chunk_plan(P, ch, quantum=256)
             chunked = P_c == P     # P from a caller that didn't pad: fall back
 
         def prefill_fn(params, state, tokens, pad_len, true_len):
@@ -152,7 +154,15 @@ class Engine:
             raise ValueError(f"prompt {true_len} exceeds max_seq_len {P}")
         ch = cfg.runtime.prefill_chunk
         if ch and P > ch:
-            P, _ = chunk_plan(P, ch)
+            # max_seq_len is a hard reservation cap: never let chunk
+            # padding expand past it. Try finer alignment before giving up
+            # on chunking (no aligned plan under the cap → unchunked
+            # prefill at P; _fns recomputes the same decision).
+            P_c, _ = chunk_plan(P, ch)
+            if P_c > cfg.runtime.max_seq_len:
+                P_c, _ = chunk_plan(P, ch, quantum=256)
+            if P_c <= cfg.runtime.max_seq_len:
+                P = P_c
 
         policy_name = self.pick_policy(true_len, P)
         if self._off_engine is not None and policy_name == "pq_search":

@@ -213,26 +213,11 @@ class OffloadEngine:
 
     @functools.partial(jax.jit, static_argnums=(0, 6))
     def _prefill_layer_kv(self, layers, idx, hidden, cos, sin, ch):
-        """Pass A: this layer's full-length rope'd K/V, chunk-bounded."""
+        """Pass A: this layer's full-length rope'd K/V, chunk-bounded
+        (shared body: models/llama.py kv_full_chunked)."""
         lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
-        cfg = self.cfg.model
-        P, E = hidden.shape
-        nc = P // ch
-        H_kv, D = cfg.num_kv_heads, cfg.head_dim
-
-        def kv_chunk(args):
-            h_c, cos_c, sin_c = args
-            h_norm = llama.rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
-            kc = (h_norm @ lp["wk"]).reshape(ch, H_kv, D).transpose(1, 0, 2)
-            vc = (h_norm @ lp["wv"]).reshape(ch, H_kv, D).transpose(1, 0, 2)
-            return llama.apply_rope(kc, cos_c, sin_c), vc
-
-        ks, vs = jax.lax.map(kv_chunk, (
-            hidden.reshape(nc, ch, E),
-            cos.reshape(nc, ch, -1), sin.reshape(nc, ch, -1)))
-        k = ks.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
-        v = vs.transpose(1, 0, 2, 3).reshape(H_kv, P, D)
-        return k, v
+        return llama.kv_full_chunked(self.cfg.model, lp, hidden, cos, sin,
+                                     ch)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 10),
                        donate_argnums=(4,))
@@ -240,26 +225,19 @@ class OffloadEngine:
                             cos, sin, pad_len, ch):
         """Pass B: attention + MLP for rows [c0, c0+chunk) of layer idx.
         c0 and ch are STATIC: the causal key prefix is a static slice and
-        the packed flash grid covers exactly the reachable blocks."""
+        the packed flash grid covers exactly the reachable blocks
+        (shared body: models/llama.py attn_mlp_chunk)."""
         lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         cfg = self.cfg.model
         E = hidden.shape[1]
-        H, H_kv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-
+        H_kv, D = cfg.num_kv_heads, cfg.head_dim
         h_c = jax.lax.dynamic_slice(hidden, (c0, 0), (ch, E))
         cos_c = jax.lax.dynamic_slice(cos, (c0, 0), (ch, cos.shape[1]))
         sin_c = jax.lax.dynamic_slice(sin, (c0, 0), (ch, sin.shape[1]))
-        h_norm = llama.rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
-        q = llama.apply_rope(
-            (h_norm @ lp["wq"]).reshape(ch, H, D).transpose(1, 0, 2),
-            cos_c, sin_c)
         k_pref = jax.lax.slice(k_full, (0, 0, 0), (H_kv, c0 + ch, D))
         v_pref = jax.lax.slice(v_full, (0, 0, 0), (H_kv, c0 + ch, D))
-        out = prefill_chunk_attention(q, k_pref, v_pref, pad_len,
-                                      q_offset=c0)
-        h_c = h_c + out.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
-        h2 = llama.rms_norm(h_c, lp["ln2"], cfg.rms_norm_eps)
-        h_c = h_c + llama.mlp(lp, h2)
+        h_c = llama.attn_mlp_chunk(cfg, lp, h_c, cos_c, sin_c, k_pref,
+                                   v_pref, pad_len, c0)
         return jax.lax.dynamic_update_slice(hidden, h_c, (c0, 0))
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))

@@ -123,3 +123,48 @@ def test_continuous_serving_matches_static_batches():
     outs = eng.serve_local(list(enumerate(prompts)), max_new_tokens=8)
     assert set(outs) == set(range(6))
     assert outs == refs
+
+
+@needs8
+def test_continuous_serving_ragged_queue():
+    """Fewer requests than dp groups (1 into a 2-group pool) and an odd
+    queue (3 requests → ragged final wave): no-admit groups ride the
+    predicated prefill waves without corrupting live slots, and tokens are
+    slot-placement-independent (match a duplicate-prompt static batch)."""
+    from pqcache_tpu.parallel.batch_tp import BatchTPEngine
+    cfg_m = tiny_model_config(num_layers=2, num_heads=8, num_kv_heads=4,
+                              hidden_size=64)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(9),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla"),
+    )
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, cfg_m.vocab_size, size=256).astype(np.int32)
+               for _ in range(3)]
+
+    mesh = dcn.serving_mesh(2, 4)
+    ref_eng = BatchTPEngine(ecfg, params, mesh, prefill_len=256,
+                            max_new_tokens=8, dtype=jnp.float32)
+    refs = {}
+    for sid, toks in enumerate(
+            ref_eng.generate_batch(prompts[:2], max_new_tokens=8)):
+        refs[sid] = toks
+    # duplicate-prompt pair: slot placement must not change the tokens
+    refs[2] = ref_eng.generate_batch([prompts[2], prompts[2]],
+                                     max_new_tokens=8)[0]
+
+    eng = dcn.DistributedBatchTPEngine(ecfg, params, mesh, prefill_len=256,
+                                       max_new_tokens=8, dtype=jnp.float32)
+    solo = eng.serve_local([(0, prompts[0])], max_new_tokens=8)
+    assert solo == {0: refs[0]}
+
+    outs = eng.serve_local(list(enumerate(prompts)), max_new_tokens=8)
+    assert outs == refs

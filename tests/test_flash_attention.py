@@ -121,6 +121,23 @@ class TestQOffsetChunk:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("off", [96, 160, 224])
+    def test_flash_q_offset_misaligned_packed(self, off):
+        # q_offset NOT a block multiple on the packed (bq == bk) grid: the
+        # causal frontier lands inside interior k-blocks, which must take
+        # the masked path (regression: unmasked interior blocks leaked
+        # future keys, max err 0.49)
+        rng = np.random.default_rng(11)
+        H, H_kv, D = 2, 1, 128
+        Tk, Tq = off + 256, 256
+        q = _rand(rng, H, Tq, D)
+        k, v = _rand(rng, H_kv, Tk, D), _rand(rng, H_kv, Tk, D)
+        ref = dense_attention(q, k, v, causal=True, q_offset=off)
+        out = flash_attention(q, k, v, causal=True, q_offset=off,
+                              block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_xla_rect_matches_dense(self):
         from pqcache_tpu.ops.attention_xla import chunked_attention_rect
         rng = np.random.default_rng(9)
