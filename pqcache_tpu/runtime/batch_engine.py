@@ -111,26 +111,64 @@ class BatchEngine:
         return slot
 
     def run(self, requests: Iterable[tuple[int, np.ndarray]],
-            eos_ids=(), chunk: int = 16) -> dict[int, list]:
-        """Process (seq_id, prompt_ids) requests; returns seq_id → tokens."""
+            eos_ids=(), chunk: int = 16,
+            arrivals: Optional[dict] = None,
+            timing: Optional[dict] = None) -> dict[int, list]:
+        """Process (seq_id, prompt_ids) requests; returns seq_id → tokens.
+
+        arrivals: seq_id → earliest admission time (seconds relative to the
+        call start) — a simulated request-arrival schedule; requests are
+        admitted FIFO once their arrival time has passed (admission happens
+        at chunk boundaries, so the chunk length bounds admission latency).
+        timing: pass an empty dict to collect per-sequence wall-clock events
+        (seconds relative to call start): "arrive", "admit" (prefill start,
+        admit−arrive = queue wait), "first" (prefill done = first token
+        available; first−arrive = TTFT under load), "done", and
+        "token_times" (completion time of the chunk that produced each
+        generated token — chunk-granularity decode pacing).
+        """
+        import time
+
         ring_k = getattr(self.policy, "ring_k", 0)
         if ring_k:
             chunk = min(chunk, ring_k)   # chunks bounded by ring capacity
         queue = list(requests)
+        arrivals = arrivals or {}
         results: dict[int, list] = {}
+        t0 = time.perf_counter()
+        now = lambda: time.perf_counter() - t0
+
+        def rec(sid, key, val):
+            if timing is not None:
+                timing.setdefault(sid, {})[key] = val
 
         def admit_all():
             while queue and any(s.done for s in self.slots):
-                sid, ids = queue.pop(0)
+                sid, ids = queue[0]
+                if now() < arrivals.get(sid, 0.0):
+                    break                 # FIFO: wait for the next arrival
+                queue.pop(0)
+                rec(sid, "arrive", arrivals.get(sid, 0.0))
+                rec(sid, "admit", now())
                 self._admit(sid, np.asarray(ids, np.int32))
+                rec(sid, "first", now())   # _admit syncs on the first token
+                if timing is not None:
+                    timing[sid]["token_times"] = [timing[sid]["first"]]
 
         admit_all()
-        while any(not s.done for s in self.slots):
+        while queue or any(not s.done for s in self.slots):
+            if not any(not s.done for s in self.slots):
+                # pool idle, requests still queued: sleep until the FIFO
+                # head arrives (admission is strictly FIFO)
+                time.sleep(max(0.0, arrivals.get(queue[0][0], 0.0) - now()))
+                admit_all()
+                continue
             toks = jnp.asarray([s.next_tok for s in self.slots], jnp.int32)
             poss = jnp.asarray([s.pos for s in self.slots], jnp.int32)
             out_toks, self.bstate = self._decode(
                 self.params, self.bstate, toks, poss, chunk)
-            out_np = np.asarray(out_toks)  # [B, chunk]
+            out_np = np.asarray(out_toks)  # [B, chunk] (sync point)
+            t_chunk = now()
             for i, s in enumerate(self.slots):
                 if s.done:
                     continue
@@ -138,9 +176,12 @@ class BatchEngine:
                     t = int(t)
                     s.tokens.append(t)
                     s.pos += 1
+                    if timing is not None:
+                        timing[s.seq_id]["token_times"].append(t_chunk)
                     if t in eos_ids or len(s.tokens) >= self.max_new:
                         s.done = True
                         results[s.seq_id] = s.tokens
+                        rec(s.seq_id, "done", t_chunk)
                         break
                 s.next_tok = s.tokens[-1]
             admit_all()

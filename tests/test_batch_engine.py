@@ -87,6 +87,37 @@ def test_batch_as_heads_matches_single_exact(setup):
     assert out[2] == ref_a
 
 
+def test_serving_timing_and_arrivals(setup):
+    """run(arrivals=..., timing=...) collects ordered per-sequence events,
+    respects FIFO arrival times (a staggered request is not admitted before
+    it arrives), and tokens are unchanged by instrumentation."""
+    ecfg, params = setup
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, ecfg.model.vocab_size, size=256)
+               .astype(np.int32) for _ in range(3)]
+    be = BatchEngine(ecfg, params, batch_size=2, prefill_len=256,
+                     max_new_tokens=6, dtype=jnp.float32)
+    base = be.run([(i, p) for i, p in enumerate(prompts)], chunk=3)
+
+    timing = {}
+    arrivals = {0: 0.0, 1: 0.0, 2: 0.15}
+    out = be.run([(i, p) for i, p in enumerate(prompts)], chunk=3,
+                 arrivals=arrivals, timing=timing)
+    assert out == base                       # instrumentation is inert
+    assert set(timing) == {0, 1, 2}
+    for sid, ev in timing.items():
+        assert ev["arrive"] <= ev["admit"] <= ev["first"] <= ev["done"]
+        assert len(ev["token_times"]) == len(out[sid])
+        assert ev["token_times"] == sorted(ev["token_times"])
+    assert timing[2]["admit"] >= 0.15        # not admitted before arrival
+
+    from pqcache_tpu.harness.serving import summarize
+    m = summarize(timing, wall_s=1.0)
+    assert m["agg_tok_s"] == 18.0            # 3 × 6 tokens / 1 s
+    assert m["ttft_p95_s"] >= m["wait_p95_s"] >= 0.0
+    assert "tbt_p50_ms" in m
+
+
 def test_batch_original_policy_matches_single(setup):
     import dataclasses
     ecfg, params = setup
