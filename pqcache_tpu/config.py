@@ -195,6 +195,15 @@ class RuntimeConfig:
     # h2o / no_drop_lb knobs (vq_pred.py:32, 42)
     important_ratio: float = 0.5
     score_func: str = "sum"
+    # sampling (beyond the reference, which is greedy-only —
+    # vq_pred.py:166-185 do_sample=False): temperature 0 = greedy (argmax,
+    # the default everywhere); >0 enables categorical sampling with
+    # optional top-k / nucleus (top-p) truncation, seeded per generate()
+    # call for reproducibility (core/sampling.py)
+    temperature: float = 0.0
+    top_k: int = 0                    # 0 = off
+    top_p: float = 1.0                # 1.0 = off
+    sample_seed: int = 0
 
 
 @dataclass(frozen=True)

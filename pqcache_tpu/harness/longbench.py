@@ -94,6 +94,10 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             sparq_topr=args.topr,
             important_ratio=args.important_ratio,
             prefill_chunk=args.prefill_chunk,
+            temperature=args.temperature,
+            top_k=args.top_k,
+            top_p=args.top_p,
+            sample_seed=args.sample_seed,
         ),
     )
 
@@ -296,6 +300,11 @@ def parse_args(argv=None):
     pp.add_argument("--global-cache-size", type=int, default=4096)
     pp.add_argument("--cache-topk", type=int, default=32)
     pp.add_argument("--prefill-bucket", type=int, default=2048)
+    pp.add_argument("--temperature", type=float, default=0.0,
+                    help="0 = greedy (the reference protocol); >0 samples")
+    pp.add_argument("--top-k", dest="top_k", type=int, default=0)
+    pp.add_argument("--top-p", dest="top_p", type=float, default=1.0)
+    pp.add_argument("--sample-seed", dest="sample_seed", type=int, default=0)
     pp.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked (activation-bounded) prefill slab in "
                          "tokens (HBM and offload tiers); 0 = full-length")

@@ -440,9 +440,12 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
 
 def decode_loop_batched(cfg: ModelConfig, params: dict, policy, state: Any,
                         tokens: jax.Array, pos: jax.Array, n_steps: int,
-                        axis_name=None) -> Tuple[jax.Array, Any]:
-    """Greedy-decode n_steps tokens for B slots in ONE device program.
-    tokens/pos [B]. Returns (tokens [n_steps, B] i32, state).
+                        axis_name=None, sample=None,
+                        rng: jax.Array | None = None) -> Tuple[jax.Array, Any]:
+    """Decode n_steps tokens for B slots in ONE device program.
+    tokens/pos [B]. Returns (tokens [n_steps, B] i32, state). Greedy by
+    default; `sample` + `rng` as in decode_loop (one key per step draws
+    all B slots — categorical vectorizes over the leading batch dim).
 
     A policy with a write-combining ring (PQState.ring_kv) accumulates
     the chunk's new tokens there and bulk-commits them into the per-slot
@@ -455,14 +458,19 @@ def decode_loop_batched(cfg: ModelConfig, params: dict, policy, state: Any,
                 f"decode chunk {n_steps} exceeds ring capacity {ring_k}")
 
     def body(carry, _):
-        tok, p, st = carry
+        tok, p, key, st = carry
         logits, st = decode_step_batched(cfg, params, policy, st, tok, p,
                                          axis_name)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, p + 1, st), nxt
+        if sample is None:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            nxt = sample(sub, logits)
+        return (nxt, p + 1, key, st), nxt
 
-    (_, _, state), toks = jax.lax.scan(
-        body, (tokens.astype(jnp.int32), pos.astype(jnp.int32), state),
+    key0 = rng if rng is not None else jax.random.PRNGKey(0)
+    (_, _, _, state), toks = jax.lax.scan(
+        body, (tokens.astype(jnp.int32), pos.astype(jnp.int32), key0, state),
         None, length=n_steps)
     if ring_k and getattr(state, "ring_kv", None) is not None:
         state = policy.flush_ring_batched(state)
@@ -471,25 +479,42 @@ def decode_loop_batched(cfg: ModelConfig, params: dict, policy, state: Any,
 
 def decode_loop(cfg: ModelConfig, params: dict, policy, state: Any,
                 token: jax.Array, pos: jax.Array, n_steps: int,
-                axis_name=None) -> Tuple[jax.Array, Any]:
-    """Greedy-decode n_steps tokens in ONE device program (scan over steps,
+                axis_name=None, sample=None,
+                rng: jax.Array | None = None) -> Tuple[jax.Array, Any]:
+    """Decode n_steps tokens in ONE device program (scan over steps,
     each step scanning over layers). This replaces the reference's
     one-token-per-host-roundtrip HF generate loop — on TPU the whole
     generation runs on-device and only the final token ids come back.
+
+    Greedy by default; pass `sample` (core/sampling.make_sampler) + `rng`
+    for stochastic decoding — the key rides the scan carry and is split
+    once per step, so the same (rng, state) reproduces the same tokens.
 
     Returns (tokens [n_steps] i32 — token fed at step 0 is `token`, output
     starts with its successor... precisely: tokens[i] is the model's output
     after consuming the (i-1)-th output, with tokens[-1] unconsumed).
     """
+    if sample is None:
+        def body(carry, _):
+            tok, p, st = carry
+            logits, st = decode_step(cfg, params, policy, st, tok, p,
+                                     axis_name)
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            return (nxt, p + 1, st), nxt
+
+        (_, _, state), toks = jax.lax.scan(
+            body, (token.astype(jnp.int32), pos.astype(jnp.int32), state),
+            None, length=n_steps)
+        return toks, state
 
     def body(carry, _):
-        tok, p, st = carry
-        logits, st = decode_step(cfg, params, policy, st, tok, p,
-                                 axis_name)
-        nxt = jnp.argmax(logits).astype(jnp.int32)
-        return (nxt, p + 1, st), nxt
+        tok, p, key, st = carry
+        logits, st = decode_step(cfg, params, policy, st, tok, p, axis_name)
+        key, sub = jax.random.split(key)
+        nxt = sample(sub, logits)
+        return (nxt, p + 1, key, st), nxt
 
-    (_, _, state), toks = jax.lax.scan(
-        body, (token.astype(jnp.int32), pos.astype(jnp.int32), state),
+    (_, _, _, state), toks = jax.lax.scan(
+        body, (token.astype(jnp.int32), pos.astype(jnp.int32), rng, state),
         None, length=n_steps)
     return toks, state

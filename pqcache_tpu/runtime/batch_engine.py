@@ -69,20 +69,34 @@ class BatchEngine:
                 f"policy {cfg.runtime.policy!r} has no batch-as-heads decode")
 
         m = cfg.model
+        from pqcache_tpu.core.sampling import make_sampler
+        self.sampler = make_sampler(cfg.runtime.temperature,
+                                    cfg.runtime.top_k, cfg.runtime.top_p)
+        self._key = jax.random.PRNGKey(cfg.runtime.sample_seed)
 
         def prefill_fn(params, state, tokens, pad_len, true_len):
             logits, st = llama.prefill(m, params, self.policy, state,
                                        tokens, pad_len, true_len)
-            return jnp.argmax(logits).astype(jnp.int32), st
-
-        def decode_chunk(params, bstate, toks, poss, n_steps):
-            out, bstate = llama.decode_loop_batched(
-                m, params, self.policy, bstate, toks, poss, n_steps)
-            return out.T, bstate          # [B, chunk]
+            if self.sampler is None:
+                return jnp.argmax(logits).astype(jnp.int32), st
+            return logits, st             # first token sampled host-side
 
         self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
-        self._decode = jax.jit(decode_chunk, donate_argnums=(1,),
-                               static_argnums=(4,))
+        if self.sampler is None:
+            def decode_chunk(params, bstate, toks, poss, n_steps):
+                out, bstate = llama.decode_loop_batched(
+                    m, params, self.policy, bstate, toks, poss, n_steps)
+                return out.T, bstate      # [B, chunk]
+            self._decode = jax.jit(decode_chunk, donate_argnums=(1,),
+                                   static_argnums=(4,))
+        else:
+            def decode_chunk(params, bstate, toks, poss, rng, n_steps):
+                out, bstate = llama.decode_loop_batched(
+                    m, params, self.policy, bstate, toks, poss, n_steps,
+                    sample=self.sampler, rng=rng)
+                return out.T, bstate      # [B, chunk]
+            self._decode = jax.jit(decode_chunk, donate_argnums=(1,),
+                                   static_argnums=(5,))
         self._insert = jax.jit(
             lambda bstate, state, slot: self.policy.insert_slot(
                 bstate, state, slot),
@@ -103,6 +117,9 @@ class BatchEngine:
         first, state = self._prefill(
             self.params, state, jnp.asarray(tokens),
             jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
+        if self.sampler is not None:  # prefill returned logits: sample
+            self._key, sub = jax.random.split(self._key)
+            first = self.sampler(sub, first)
         self.bstate = self._insert(self.bstate, state,
                                    jnp.asarray(slot, jnp.int32))
         self.slots[slot] = _Slot(seq_id=seq_id, tokens=[int(first)],
@@ -165,8 +182,13 @@ class BatchEngine:
                 continue
             toks = jnp.asarray([s.next_tok for s in self.slots], jnp.int32)
             poss = jnp.asarray([s.pos for s in self.slots], jnp.int32)
-            out_toks, self.bstate = self._decode(
-                self.params, self.bstate, toks, poss, chunk)
+            if self.sampler is None:
+                out_toks, self.bstate = self._decode(
+                    self.params, self.bstate, toks, poss, chunk)
+            else:
+                self._key, sub = jax.random.split(self._key)
+                out_toks, self.bstate = self._decode(
+                    self.params, self.bstate, toks, poss, sub, chunk)
             out_np = np.asarray(out_toks)  # [B, chunk] (sync point)
             t_chunk = now()
             for i, s in enumerate(self.slots):

@@ -99,6 +99,13 @@ class Engine:
                 P_c, ch_eff = chunk_plan(P, ch, quantum=256)
             chunked = P_c == P     # P from a caller that didn't pad: fall back
 
+        # stochastic decoding (RuntimeConfig.temperature > 0): the sampler
+        # is a static closure, so each sampling configuration is its own
+        # compiled program; greedy keeps the key-free fast path
+        from pqcache_tpu.core.sampling import make_sampler
+        sampler = make_sampler(cfg.runtime.temperature, cfg.runtime.top_k,
+                               cfg.runtime.top_p)
+
         def prefill_fn(params, state, tokens, pad_len, true_len):
             if chunked:
                 logits, st = llama.prefill_chunked(
@@ -107,16 +114,26 @@ class Engine:
             else:
                 logits, st = llama.prefill(cfg.model, params, policy, state,
                                            tokens, pad_len, true_len)
-            return jnp.argmax(logits).astype(jnp.int32), st
+            if sampler is None:
+                return jnp.argmax(logits).astype(jnp.int32), st
+            return logits, st     # first token sampled host-side
 
-        def decode_fn(params, state, token, pos, n_steps):
-            return llama.decode_loop(cfg.model, params, policy, state,
-                                     token, pos, n_steps)
+        if sampler is None:
+            def decode_fn(params, state, token, pos, n_steps):
+                return llama.decode_loop(cfg.model, params, policy, state,
+                                         token, pos, n_steps)
+            decode_jit = jax.jit(decode_fn, donate_argnums=(1,),
+                                 static_argnums=(4,))
+        else:
+            def decode_fn(params, state, token, pos, rng, n_steps):
+                return llama.decode_loop(cfg.model, params, policy, state,
+                                         token, pos, n_steps,
+                                         sample=sampler, rng=rng)
+            decode_jit = jax.jit(decode_fn, donate_argnums=(1,),
+                                 static_argnums=(5,))
 
         prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,))
-        decode_jit = jax.jit(decode_fn, donate_argnums=(1,),
-                             static_argnums=(4,))
-        out = (policy, budget, prefill_jit, decode_jit)
+        out = (policy, budget, prefill_jit, decode_jit, sampler)
         self._prefill_cache[key] = out
         return out
 
@@ -172,7 +189,10 @@ class Engine:
                 tokens=toks, prefill_seconds=0.0,
                 decode_seconds=time.perf_counter() - t0,
                 policy_name="pq_search_offload")
-        policy, budget, prefill_jit, decode_jit = self._fns(P, policy_name)
+        policy, budget, prefill_jit, decode_jit, sampler = self._fns(
+            P, policy_name)
+        rng = (jax.random.PRNGKey(cfg.runtime.sample_seed)
+               if sampler is not None else None)
 
         pad = P - true_len
         tokens = np.zeros((P,), np.int32)
@@ -183,6 +203,9 @@ class Engine:
         first_tok, state = prefill_jit(
             self.params, state, jnp.asarray(tokens),
             jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
+        if sampler is not None:       # prefill returned logits: sample
+            rng, sub = jax.random.split(rng)
+            first_tok = sampler(sub, first_tok)
         next_tok = int(first_tok)
         t1 = time.perf_counter()
 
@@ -199,9 +222,15 @@ class Engine:
         chunk = min(32, max(cfg.runtime.max_new_tokens - 1, 1))
         stop = next_tok in eos_ids
         while remaining > 0 and not stop and chunk > 0:
-            toks, state = decode_jit(
-                self.params, state, jnp.asarray(next_tok, jnp.int32),
-                jnp.asarray(pos, jnp.int32), chunk)
+            if sampler is None:
+                toks, state = decode_jit(
+                    self.params, state, jnp.asarray(next_tok, jnp.int32),
+                    jnp.asarray(pos, jnp.int32), chunk)
+            else:
+                rng, sub = jax.random.split(rng)
+                toks, state = decode_jit(
+                    self.params, state, jnp.asarray(next_tok, jnp.int32),
+                    jnp.asarray(pos, jnp.int32), sub, chunk)
             toks = np.asarray(toks).tolist()
             pos += chunk
             remaining -= chunk
