@@ -65,6 +65,10 @@ def middle_truncate(tokenizer, prompt: str, max_length: int):
 
 
 def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
+    """EngineConfig from a harness argparse namespace. Knobs not exposed by
+    every harness (gsm8k/nah share this builder but have leaner CLIs) fall
+    back to the longbench-CLI defaults via getattr."""
+    g = lambda name, default: getattr(args, name, default)
     return EngineConfig(
         model=model_cfg,
         pq=PQConfig(
@@ -72,7 +76,7 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             n_subbits=args.n_subbits,
             metric=args.metric,
             kmeans_iters=args.max_iter if args.max_iter > 0 else 8,
-            select_block=args.select_block,
+            select_block=g("select_block", 1),
         ),
         budget=BudgetConfig(
             compress_ratio=args.compress_ratio,
@@ -80,10 +84,10 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             sink_size=args.sink_size,
         ),
         cache=CacheConfig(
-            offload=args.offload,
-            block_size=args.cache_block_size,
-            hbm_cache_tokens=args.global_cache_size,
-            cache_topk_blocks=args.cache_topk,
+            offload=g("offload", False),
+            block_size=g("cache_block_size", 128),
+            hbm_cache_tokens=g("global_cache_size", 4096),
+            cache_topk_blocks=g("cache_topk", 32),
         ),
         runtime=RuntimeConfig(
             policy=args.compressor,
@@ -93,11 +97,11 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             gqa=args.gqa,
             sparq_topr=args.topr,
             important_ratio=args.important_ratio,
-            prefill_chunk=args.prefill_chunk,
-            temperature=args.temperature,
-            top_k=args.top_k,
-            top_p=args.top_p,
-            sample_seed=args.sample_seed,
+            prefill_chunk=g("prefill_chunk", 0),
+            temperature=g("temperature", 0.0),
+            top_k=g("top_k", 0),
+            top_p=g("top_p", 1.0),
+            sample_seed=g("sample_seed", 0),
         ),
     )
 
@@ -127,7 +131,7 @@ class WhitespaceTokenizer:
         return " ".join(m["content"] for m in messages)
 
 
-def _load_model(args):
+def load_model(args):
     """checkpoint = HF directory, or 'random:tiny' / 'random:<preset>' for
     an asset-free random-weight model with the whitespace tokenizer."""
     if args.checkpoint.startswith("random:"):
@@ -156,7 +160,7 @@ def predict(args) -> None:
     dataset2maxlen = _load_json("dataset2maxlen.json")
 
     max_length = model2maxlen.get(args.model, args.max_seq_len)
-    model_cfg, params, tokenizer = _load_model(args)
+    model_cfg, params, tokenizer = load_model(args)
     cfg = make_engine_config(args, model_cfg)
     engine = Engine(cfg, params)
     eos_ids = tuple(tokenizer.eos_token_id

@@ -35,17 +35,15 @@ def build_haystack(tokenizer, ctx_tokens: int, depth: float) -> str:
 
 
 def run(args) -> None:
-    from transformers import AutoTokenizer
-
-    from pqcache_tpu.harness.longbench import make_engine_config
-    from pqcache_tpu.models.loader import load_hf_checkpoint
+    from pqcache_tpu.harness.longbench import load_model, make_engine_config
     from pqcache_tpu.runtime.generate import Engine
     from pqcache_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    model_cfg, params = load_hf_checkpoint(args.checkpoint)
+    # checkpoint = HF directory, or 'random:tiny' for an asset-free run
+    # with the whitespace tokenizer (harness smoke / CI)
+    model_cfg, params, tokenizer = load_model(args)
     cfg = make_engine_config(args, model_cfg)
-    tokenizer = AutoTokenizer.from_pretrained(args.checkpoint, use_fast=True)
     engine = Engine(cfg, params)
     eos = (tokenizer.eos_token_id,)
 

@@ -111,3 +111,43 @@ def test_resume_counts_existing_lines(tmp_path):
     with open(out, encoding="utf-8") as f:
         done = sum(1 for _ in f)
     assert done == 2
+
+
+def test_gsm8k_pipeline_end_to_end(tmp_path, capsys):
+    """GSM8k harness asset-free (random:tiny + whitespace tokenizer):
+    n-shot prompt build → generate → last-number scoring → summary JSON."""
+    from pqcache_tpu.harness import gsm8k
+    train = tmp_path / "train.jsonl"
+    test = tmp_path / "test.jsonl"
+    train.write_text("".join(
+        json.dumps({"question": f"What is {i} plus {i}?",
+                    "answer": f"#### {2 * i}"}) + "\n" for i in range(3)))
+    test.write_text(json.dumps(
+        {"question": "What is 2 times 3?", "answer": "#### 6"}) + "\n")
+    out = tmp_path / "preds.jsonl"
+    gsm8k.run(gsm8k.parse_args([
+        "--checkpoint", "random:tiny", "--train", str(train),
+        "--test", str(test), "--shots", "2", "--max-new", "6",
+        "--max-seq-len", "256", "--prefill-bucket", "64",
+        "--compress-ratio", "0.3", "--out", str(out)]))
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n"] == 1 and summary["shots"] == 2
+    assert 0.0 <= summary["accuracy"] <= 1.0
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 1 and {"pred", "gold", "correct"} <= set(rows[0])
+
+
+def test_nah_synthetic_grid_end_to_end(capsys):
+    """NAH harness asset-free: haystack build at two depths → generate →
+    per-cell hit rows + accuracy summary."""
+    from pqcache_tpu.harness import nah
+    nah.run(nah.parse_args([
+        "--checkpoint", "random:tiny", "--ctx", "192",
+        "--depths", "0.25", "0.75", "--max-new", "4",
+        "--max-seq-len", "256", "--prefill-bucket", "64",
+        "--compress-ratio", "0.3"]))
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    cells = [l for l in lines if "depth" in l]
+    assert len(cells) == 2 and all("hit" in c for c in cells)
+    assert "accuracy" in lines[-1]
