@@ -85,6 +85,10 @@ class OffloadEngine:
         # block-granular at the cache block size already
         self.use_jhist = (cfg.pq.scorer == "auto" and self.S == 2
                           and self.metric == "euc" and self.bs <= 256)
+        # stochastic decoding (static on self — jit keys on it)
+        from pqcache_tpu.core.sampling import make_sampler
+        self.sampler = make_sampler(cfg.runtime.temperature,
+                                    cfg.runtime.top_k, cfg.runtime.top_p)
 
     def _budget(self, P: int, max_new: int) -> Budget:
         return compute_budget(self.cfg.budget, P, max_new)
@@ -376,8 +380,9 @@ class OffloadEngine:
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
     def _decode_last(self, layers, params_out, state, idx, hidden, q, k_new,
                      v_new, blk_idx, slots, miss_pos, staged, cache, tail,
-                     n_sel, n_tail_att):
-        """Final layer + LM head + argmax in one program."""
+                     n_sel, n_tail_att, key=None):
+        """Final layer + LM head + token selection (argmax, or the
+        configured sampler drawing with `key`) in one program."""
         lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         hidden, state, kv_ev = self._attn_and_tail(
             lp, state, idx, hidden, q, k_new, v_new, blk_idx, slots,
@@ -386,7 +391,10 @@ class OffloadEngine:
         last = llama.rms_norm(hidden, params_out["final_norm"],
                               cfg.rms_norm_eps)
         logits = (last @ params_out["lm_head"]).astype(jnp.float32)[0]
-        nxt = jnp.argmax(logits).astype(jnp.int32)
+        if self.sampler is None:
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+        else:
+            nxt = self.sampler(key, logits)
         state = state.replace(
             n_cand=state.n_cand + 1,
             ring_ptr=(state.ring_ptr + 1) % self.budget.local,
@@ -413,13 +421,24 @@ class OffloadEngine:
                         "steps": 0}
         ids = np.asarray(prompt_ids, np.int32)
         true_len = int(ids.shape[0])
-        from pqcache_tpu.runtime.generate import bucket_length
+        from pqcache_tpu.runtime.generate import bucket_length, chunk_plan
         P = bucket_length(true_len, cfg.runtime.prefill_bucket)
+        P = min(P, cfg.runtime.max_seq_len)
+        if true_len > P:
+            raise ValueError(
+                f"prompt {true_len} exceeds max_seq_len {P}")
         ch = self.prefill_chunk
         chunked = bool(ch) and P > ch
         if chunked:
-            from pqcache_tpu.runtime.generate import chunk_plan
-            P, ch = chunk_plan(P, ch)
+            # same cap discipline as Engine.generate: chunk padding must
+            # not expand the reservation past max_seq_len
+            P_c, ch_c = chunk_plan(P, ch)
+            if P_c > cfg.runtime.max_seq_len:
+                P_c, ch_c = chunk_plan(P, ch, quantum=256)
+            if P_c <= cfg.runtime.max_seq_len:
+                P, ch = P_c, ch_c
+            else:
+                chunked = False
         pad = P - true_len
         self.budget = self._budget(P, max_new_tokens)
         b = self.budget
@@ -468,7 +487,13 @@ class OffloadEngine:
         last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
                               m.rms_norm_eps)
         logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
-        next_tok = int(jnp.argmax(logits))
+        rng = (jax.random.PRNGKey(cfg.runtime.sample_seed)
+               if self.sampler is not None else None)
+        if self.sampler is None:
+            next_tok = int(jnp.argmax(logits))
+        else:
+            rng, sub = jax.random.split(rng)
+            next_tok = int(self.sampler(sub, logits))
         out_tokens = [next_tok]
 
         params_out = {"final_norm": self.params["final_norm"],
@@ -510,9 +535,15 @@ class OffloadEngine:
                         layers, state, li,
                         hidden, cos, sin, q, k_new, v_new, *args)
                 else:
-                    state, kv_ev, nxt = self._decode_last(
-                        layers, params_out, state, li, hidden, q,
-                        k_new, v_new, *args)
+                    if self.sampler is not None:
+                        rng, sub = jax.random.split(rng)
+                        state, kv_ev, nxt = self._decode_last(
+                            layers, params_out, state, li, hidden, q,
+                            k_new, v_new, *args, key=sub)
+                    else:
+                        state, kv_ev, nxt = self._decode_last(
+                            layers, params_out, state, li, hidden, q,
+                            k_new, v_new, *args)
                 kv_evs.append(kv_ev)
             # evicted tokens beyond the prefilled region extend the store
             # (prefill already stored positions < true_len - sink; the

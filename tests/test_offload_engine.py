@@ -96,3 +96,44 @@ def test_chunked_prefill_matches_full(setup):
     assert chunked[0] == full[0], (chunked, full)
     agree = sum(a == b for a, b in zip(full, chunked))
     assert agree >= 8, (full, chunked)
+
+
+def test_offload_sampling_reproducible(setup):
+    """Stochastic decoding through the offload tier: same seed → same
+    tokens; greedy (temperature 0) is unchanged by the sampler wiring."""
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    bs = 32
+    base = dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=bs),
+        cache=CacheConfig(block_size=bs, hbm_cache_tokens=128,
+                          cache_topk_blocks=4))
+    greedy_ref = OffloadEngine(base, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=6)
+
+    samp = dataclasses.replace(base, runtime=dataclasses.replace(
+        base.runtime, temperature=1.0, sample_seed=3))
+    a = OffloadEngine(samp, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=6)
+    b = OffloadEngine(samp, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=6)
+    assert a == b and len(a) == 6
+    g2 = OffloadEngine(base, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=6)
+    assert g2 == greedy_ref
+
+
+def test_offload_respects_max_seq_len(setup):
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    cfg = dataclasses.replace(
+        ecfg,
+        pq=dataclasses.replace(ecfg.pq, select_block=32),
+        cache=CacheConfig(block_size=32, hbm_cache_tokens=128,
+                          cache_topk_blocks=4),
+        runtime=dataclasses.replace(ecfg.runtime, max_seq_len=128))
+    with pytest.raises(ValueError, match="max_seq_len"):
+        OffloadEngine(cfg, params, dtype=jnp.float32).generate(
+            ids, max_new_tokens=4)   # 260-token prompt > 128 cap
