@@ -157,13 +157,50 @@ class Engine:
                  eos_ids=(), collect_timing: bool = False) -> GenerateResult:
         import time
 
-        cfg = self.cfg
-        max_new = max_new_tokens or cfg.runtime.max_new_tokens
-        if max_new > cfg.runtime.max_new_tokens:
+        max_new = self._check_max_new(max_new_tokens)
+        ids = np.asarray(prompt_ids, np.int32)
+        t0 = time.perf_counter()
+        it = self._stream(ids, max_new, eos_ids)
+        out_tokens = [next(it)]
+        t1 = time.perf_counter()
+        out_tokens.extend(it)
+        t2 = time.perf_counter()
+        if self._last_policy == "pq_search_offload":
+            # the offload tier streams per token; its TTFT is the first-
+            # token latency, the rest is decode
+            return GenerateResult(tokens=out_tokens, prefill_seconds=t1 - t0,
+                                  decode_seconds=t2 - t1,
+                                  policy_name=self._last_policy)
+        return GenerateResult(tokens=out_tokens, prefill_seconds=t1 - t0,
+                              decode_seconds=t2 - t1,
+                              policy_name=self._last_policy)
+
+    def generate_stream(self, prompt_ids,
+                        max_new_tokens: Optional[int] = None,
+                        eos_ids=(), chunk: int = 8):
+        """Yield generated token ids as they become available: the first
+        token right after prefill, then one per decoded token (tokens
+        arrive in device chunks of `chunk` — smaller = lower streaming
+        latency, one extra compiled loop program per distinct chunk size;
+        the offload tier streams per token natively). Abandoning the
+        iterator early leaves the engine reusable but skips the current
+        sequence's remaining decode."""
+        max_new = self._check_max_new(max_new_tokens)
+        yield from self._stream(np.asarray(prompt_ids, np.int32), max_new,
+                                eos_ids, chunk=chunk)
+
+    def _check_max_new(self, max_new_tokens: Optional[int]) -> int:
+        max_new = max_new_tokens or self.cfg.runtime.max_new_tokens
+        if max_new > self.cfg.runtime.max_new_tokens:
             raise ValueError(
                 f"max_new_tokens {max_new} exceeds the engine reservation "
-                f"{cfg.runtime.max_new_tokens}")
-        ids = np.asarray(prompt_ids, np.int32)
+                f"{self.cfg.runtime.max_new_tokens}")
+        return max_new
+
+    def _stream(self, ids: np.ndarray, max_new: int, eos_ids=(),
+                chunk: Optional[int] = None):
+        """Core generation loop: yields generated token ids (ints)."""
+        cfg = self.cfg
         true_len = int(ids.shape[0])
         P = bucket_length(true_len, cfg.runtime.prefill_bucket)
         P = min(P, cfg.runtime.max_seq_len)
@@ -183,12 +220,11 @@ class Engine:
 
         policy_name = self.pick_policy(true_len, P)
         if self._off_engine is not None and policy_name == "pq_search":
-            t0 = time.perf_counter()
-            toks = self._off_engine.generate(ids, max_new, eos_ids=eos_ids)
-            return GenerateResult(
-                tokens=toks, prefill_seconds=0.0,
-                decode_seconds=time.perf_counter() - t0,
-                policy_name="pq_search_offload")
+            self._last_policy = "pq_search_offload"
+            yield from self._off_engine.stream(ids, max_new,
+                                               eos_ids=eos_ids)
+            return
+        self._last_policy = policy_name
         policy, budget, prefill_jit, decode_jit, sampler = self._fns(
             P, policy_name)
         rng = (jax.random.PRNGKey(cfg.runtime.sample_seed)
@@ -199,7 +235,6 @@ class Engine:
         tokens[pad:] = ids
         state = policy.init_state(self.dtype)
 
-        t0 = time.perf_counter()
         first_tok, state = prefill_jit(
             self.params, state, jnp.asarray(tokens),
             jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
@@ -207,19 +242,21 @@ class Engine:
             rng, sub = jax.random.split(rng)
             first_tok = sampler(sub, first_tok)
         next_tok = int(first_tok)
-        t1 = time.perf_counter()
+        yield next_tok
 
         # Decode runs fully on-device in fused chunks (lax.scan over steps):
         # no EOS → one chunk of exactly max_new-1; with EOS, fixed-size
         # chunks so we can stop between device calls (a tunnel/PCIe round
         # trip per chunk instead of per token).
-        out_tokens = [next_tok]
         pos = true_len
+        count = 1
         remaining = max_new - 1
         # fixed chunk size independent of the per-call max_new → ONE
         # compiled loop program per engine config; tail chunks overshoot
-        # and are trimmed below
-        chunk = min(32, max(cfg.runtime.max_new_tokens - 1, 1))
+        # and their excess tokens are not yielded
+        if chunk is None:
+            chunk = min(32, max(cfg.runtime.max_new_tokens - 1, 1))
+        chunk = min(chunk, max(cfg.runtime.max_new_tokens - 1, 1))
         stop = next_tok in eos_ids
         while remaining > 0 and not stop and chunk > 0:
             if sampler is None:
@@ -235,17 +272,12 @@ class Engine:
             pos += chunk
             remaining -= chunk
             for t in toks:
-                out_tokens.append(int(t))
-                if int(t) in eos_ids:
+                next_tok = int(t)
+                yield next_tok
+                count += 1
+                if next_tok in eos_ids or count >= max_new:
                     stop = True
                     break
-            next_tok = out_tokens[-1]
-        out_tokens = out_tokens[:max_new]
-        t2 = time.perf_counter()
-
-        return GenerateResult(tokens=out_tokens, prefill_seconds=t1 - t0,
-                              decode_seconds=t2 - t1,
-                              policy_name=policy_name)
 
 
 def _with_policy(cfg: EngineConfig, name: str) -> EngineConfig:

@@ -412,6 +412,12 @@ class OffloadEngine:
     # -- public API --------------------------------------------------------
 
     def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
+        return list(self.stream(prompt_ids, max_new_tokens, eos_ids))
+
+    def stream(self, prompt_ids, max_new_tokens: int, eos_ids=()):
+        """Generate tokens, yielding each as soon as its decode step
+        completes (the offload tier decodes one token per host-driven
+        step, so streaming is per-token natively)."""
         import time
         cfg = self.cfg
         m = cfg.model
@@ -494,7 +500,7 @@ class OffloadEngine:
         else:
             rng, sub = jax.random.split(rng)
             next_tok = int(self.sampler(sub, logits))
-        out_tokens = [next_tok]
+        yield next_tok
 
         params_out = {"final_norm": self.params["final_norm"],
                       "lm_head": self.params["lm_head"]}
@@ -553,10 +559,9 @@ class OffloadEngine:
                     store.append_row_device(l, kv_ev)
             n_cand_py += 1
             next_tok = int(nxt)
-            out_tokens.append(next_tok)
             pos += 1
             self.timings["decode_s"] += time.perf_counter() - t_step
             self.timings["steps"] += 1
+            yield next_tok
         store.flush()
         self.store = store
-        return out_tokens

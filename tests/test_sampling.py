@@ -118,3 +118,44 @@ class TestEngineSampling:
         b = be2.run([(i, p) for i, p in enumerate(prompts)], chunk=3)
         assert a == b
         assert all(len(v) == 6 for v in a.values())
+
+
+class TestStreaming:
+    def test_generate_stream_matches_generate(self, setup):
+        cfg_m, params = setup
+        rng = np.random.default_rng(6)
+        ids = rng.integers(0, cfg_m.vocab_size, size=250).astype(np.int32)
+        eng = Engine(_ecfg(cfg_m), params, dtype=jnp.float32)
+        ref = eng.generate(ids, max_new_tokens=10).tokens
+        streamed = list(eng.generate_stream(ids, max_new_tokens=10,
+                                            chunk=3))
+        assert streamed == ref
+
+    def test_generate_stream_incremental_and_abandonable(self, setup):
+        cfg_m, params = setup
+        rng = np.random.default_rng(7)
+        ids = rng.integers(0, cfg_m.vocab_size, size=250).astype(np.int32)
+        eng = Engine(_ecfg(cfg_m), params, dtype=jnp.float32)
+        it = eng.generate_stream(ids, max_new_tokens=10, chunk=3)
+        first_three = [next(it) for _ in range(3)]
+        it.close()                      # abandon mid-stream
+        # the engine stays reusable and deterministic afterwards
+        ref = eng.generate(ids, max_new_tokens=10).tokens
+        assert first_three == ref[:3]
+
+    def test_offload_stream_matches_generate(self, setup):
+        import dataclasses
+        from pqcache_tpu.config import CacheConfig
+        from pqcache_tpu.runtime.offload_engine import OffloadEngine
+        cfg_m, params = setup
+        rng = np.random.default_rng(8)
+        ids = rng.integers(0, cfg_m.vocab_size, size=260).astype(np.int32)
+        ecfg = dataclasses.replace(
+            _ecfg(cfg_m), pq=dataclasses.replace(
+                _ecfg(cfg_m).pq, select_block=32),
+            cache=CacheConfig(block_size=32, hbm_cache_tokens=128,
+                              cache_topk_blocks=4))
+        eng = OffloadEngine(ecfg, params, dtype=jnp.float32)
+        ref = eng.generate(ids, max_new_tokens=6)
+        eng2 = OffloadEngine(ecfg, params, dtype=jnp.float32)
+        assert list(eng2.stream(ids, max_new_tokens=6)) == ref
