@@ -326,6 +326,102 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
     return logits, new_state
 
 
+def prefill_capture_kv(cfg: ModelConfig, params: dict, tokens: jax.Array,
+                       *, use_pallas=None, interpret: bool = False,
+                       axis_name=None) -> Tuple[jax.Array, jax.Array]:
+    """Prefix-cache snapshot: per-layer rope'd K/V of an UNPADDED prefix
+    prompt. tokens [T_pre] i32 → (k, v) [L, H_kv, T_pre, D].
+
+    Policy-independent (the snapshot is raw KV; the retrieval policy's
+    codebooks/state are trained later over [prefix | suffix] in
+    prefill_with_prefix) — one snapshot serves every policy and every
+    suffix. The serving win: a shared system prompt's prefill runs once
+    (at 32k that is the ~1.4 s TTFT term) and each request pays only its
+    suffix's triangle slab."""
+    from pqcache_tpu.ops.dispatch import dense_prefill_attention
+
+    P = tokens.shape[0]
+    L = cfg.num_layers
+    hidden = jnp.take(params["embed"], tokens, axis=0)
+    cos, sin = rope_cos_sin(cfg, jnp.arange(P, dtype=jnp.int32))
+
+    def body(hidden, lp):
+        h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, h_norm, cos, sin)
+        att, _ = dense_prefill_attention(q, k, v, 0, use_pallas=use_pallas,
+                                         interpret=interpret)
+        attn_out = att.transpose(1, 0, 2).reshape(P, -1) @ lp["wo"]
+        if axis_name is not None:
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        hidden = hidden + attn_out
+        h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
+        mlp_out = mlp(lp, h2)
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        return hidden + mlp_out, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, hidden, params["layers"])
+    return ks, vs
+
+
+def prefill_with_prefix(cfg: ModelConfig, params: dict, policy, state: Any,
+                        pre_k: jax.Array, pre_v: jax.Array,
+                        tokens: jax.Array, true_suf: jax.Array,
+                        axis_name=None) -> Tuple[jax.Array, Any]:
+    """Prefill continuing from a cached prefix snapshot (prefill_capture_kv).
+
+    pre_k/pre_v [L, H_kv, T_pre, D]; tokens [P_suf] i32 is the suffix,
+    RIGHT-padded to its bucket (rows ≥ true_suf are padding — masked by
+    valid_len everywhere, and the returned logits come from the last REAL
+    row). The suffix is attention-wise one chunk at q_offset = T_pre, so
+    this reuses the chunked-prefill pass-B body; the policy tail then
+    trains codebooks/state over the COMBINED [prefix | suffix] K/V with
+    pad_len=0, true_len=T_pre+true_suf — bit-identical inputs to a
+    one-shot prefill of the concatenated prompt."""
+    P_suf = tokens.shape[0]
+    T_pre = pre_k.shape[2]
+    L = cfg.num_layers
+    H_kv, D = cfg.num_kv_heads, cfg.head_dim
+    true_suf = jnp.asarray(true_suf, jnp.int32)
+    true_total = T_pre + true_suf
+    use_pallas = getattr(policy, "use_pallas", None)
+    interpret = getattr(policy, "interpret", False)
+
+    hidden = jnp.take(params["embed"], tokens, axis=0)
+    positions = T_pre + jnp.arange(P_suf, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(cfg, positions)
+
+    def body(carry, xs):
+        hidden, state = carry
+        lp, idx, pk, pv = xs
+        h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+        k_suf = apply_rope(
+            (h_norm @ lp["wk"]).reshape(P_suf, H_kv, D).transpose(1, 0, 2),
+            cos, sin)
+        v_suf = (h_norm @ lp["wv"]).reshape(P_suf, H_kv, D).transpose(
+            1, 0, 2)
+        k_full = jnp.concatenate([pk, k_suf], axis=1)
+        v_full = jnp.concatenate([pv, v_suf], axis=1)
+        hidden = attn_mlp_chunk(
+            cfg, lp, hidden, cos, sin, k_full, v_full,
+            jnp.asarray(0, jnp.int32), T_pre, use_pallas=use_pallas,
+            interpret=interpret, axis_name=axis_name)
+        state = policy.prefill_tail(state, idx, k_full, v_full,
+                                    jnp.asarray(0, jnp.int32), true_total)
+        return (hidden, state), None
+
+    (hidden, new_state), _ = jax.lax.scan(
+        body, (hidden, state),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32), pre_k, pre_v))
+
+    last_row = jax.lax.dynamic_slice(
+        hidden, (true_suf - 1, jnp.asarray(0, jnp.int32)),
+        (1, cfg.hidden_size))
+    last = rms_norm(last_row, params["final_norm"], cfg.rms_norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    return logits, new_state
+
+
 def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
                 token: jax.Array, pos: jax.Array,
                 axis_name=None) -> Tuple[jax.Array, Any]:

@@ -54,6 +54,18 @@ class GenerateResult:
     policy_name: str
 
 
+@dataclass
+class PrefixCache:
+    """Snapshot of a prefilled shared prompt PREFIX (e.g. a system prompt):
+    the per-layer rope'd K/V, policy-independent. Build once with
+    Engine.prefill_prefix, reuse across requests via generate(prefix=...) —
+    each request then pays only its suffix's prefill (at 32k the shared
+    part is the ~1.4 s TTFT term). HBM cost = the prefix's dense KV."""
+    k: object               # [L, H_kv, T_pre, D]
+    v: object               # [L, H_kv, T_pre, D]
+    n: int                  # T_pre (unpadded prefix length)
+
+
 class Engine:
     """Single-sequence generation engine (batch via outer vmap later)."""
 
@@ -137,6 +149,56 @@ class Engine:
         self._prefill_cache[key] = out
         return out
 
+    def _fns_prefix(self, T_pre: int, P_suf: int, policy_name: str):
+        """Jitted prefix-continuation prefill for a (T_pre, P_suf) shape
+        pair. The decode program and sampler are shared with the plain
+        path at P_total = T_pre + P_suf (state shapes are identical)."""
+        key = ("prefix", T_pre, P_suf, policy_name)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+        policy, budget, _, decode_jit, sampler = self._fns(
+            T_pre + P_suf, policy_name)
+        cfg = self.cfg
+
+        def prefill_fn(params, state, pre_k, pre_v, tokens, true_suf):
+            logits, st = llama.prefill_with_prefix(
+                cfg.model, params, policy, state, pre_k, pre_v, tokens,
+                true_suf)
+            if sampler is None:
+                return jnp.argmax(logits).astype(jnp.int32), st
+            return logits, st
+
+        prefill_jit = jax.jit(prefill_fn, donate_argnums=(1,))
+        out = (policy, budget, prefill_jit, decode_jit, sampler)
+        self._prefill_cache[key] = out
+        return out
+
+    def prefill_prefix(self, prefix_ids) -> PrefixCache:
+        """Prefill a shared prompt prefix once and snapshot its per-layer
+        K/V for reuse (generate(..., prefix=...)). The prefix is processed
+        UNPADDED — one compile per distinct prefix length, which is the
+        intended use (a fixed system prompt)."""
+        ids = np.asarray(prefix_ids, np.int32)
+        T_pre = int(ids.shape[0])
+        if T_pre + 1 > self.cfg.runtime.max_seq_len:
+            raise ValueError(
+                f"prefix {T_pre} leaves no room under max_seq_len "
+                f"{self.cfg.runtime.max_seq_len}")
+        key = ("prefix_capture", T_pre)
+        if key not in self._prefill_cache:
+            cfg = self.cfg
+            mode = cfg.runtime.kernels
+            import jax as _jax
+            use_pallas = (_jax.default_backend() == "tpu" if mode == "auto"
+                          else mode.startswith("pallas"))
+            interpret = mode == "pallas-interpret"
+            self._prefill_cache[key] = jax.jit(
+                lambda params, tokens: llama.prefill_capture_kv(
+                    cfg.model, params, tokens, use_pallas=use_pallas,
+                    interpret=interpret))
+        k, v = self._prefill_cache[key](self.params, jnp.asarray(ids))
+        return PrefixCache(k=k, v=v, n=T_pre)
+
     def pick_policy(self, true_len: int, P: int) -> str:
         """Host-side policy selection incl. the short-prompt dense fallback."""
         name = self.cfg.runtime.policy
@@ -154,13 +216,14 @@ class Engine:
     # -- public API --------------------------------------------------------
 
     def generate(self, prompt_ids, max_new_tokens: Optional[int] = None,
-                 eos_ids=(), collect_timing: bool = False) -> GenerateResult:
+                 eos_ids=(), collect_timing: bool = False,
+                 prefix: Optional[PrefixCache] = None) -> GenerateResult:
         import time
 
         max_new = self._check_max_new(max_new_tokens)
         ids = np.asarray(prompt_ids, np.int32)
         t0 = time.perf_counter()
-        it = self._stream(ids, max_new, eos_ids)
+        it = self._stream(ids, max_new, eos_ids, prefix=prefix)
         out_tokens = [next(it)]
         t1 = time.perf_counter()
         out_tokens.extend(it)
@@ -177,7 +240,8 @@ class Engine:
 
     def generate_stream(self, prompt_ids,
                         max_new_tokens: Optional[int] = None,
-                        eos_ids=(), chunk: int = 8):
+                        eos_ids=(), chunk: int = 8,
+                        prefix: Optional[PrefixCache] = None):
         """Yield generated token ids as they become available: the first
         token right after prefill, then one per decoded token (tokens
         arrive in device chunks of `chunk` — smaller = lower streaming
@@ -187,7 +251,7 @@ class Engine:
         sequence's remaining decode."""
         max_new = self._check_max_new(max_new_tokens)
         yield from self._stream(np.asarray(prompt_ids, np.int32), max_new,
-                                eos_ids, chunk=chunk)
+                                eos_ids, chunk=chunk, prefix=prefix)
 
     def _check_max_new(self, max_new_tokens: Optional[int]) -> int:
         max_new = max_new_tokens or self.cfg.runtime.max_new_tokens
@@ -198,10 +262,47 @@ class Engine:
         return max_new
 
     def _stream(self, ids: np.ndarray, max_new: int, eos_ids=(),
-                chunk: Optional[int] = None):
+                chunk: Optional[int] = None,
+                prefix: Optional[PrefixCache] = None):
         """Core generation loop: yields generated token ids (ints)."""
         cfg = self.cfg
         true_len = int(ids.shape[0])
+
+        if prefix is not None:
+            # continuation from a cached prefix: the suffix is RIGHT-padded
+            # to its bucket (causality masks the pad keys; the logits come
+            # from the last real row), positions start at prefix.n
+            if self._off_engine is not None:
+                raise ValueError(
+                    "prefix caching is not supported on the offload tier")
+            true_total = prefix.n + true_len
+            if true_total + max_new > cfg.runtime.max_seq_len:
+                raise ValueError(
+                    f"prefix {prefix.n} + suffix {true_len} + {max_new} new "
+                    f"tokens exceeds max_seq_len {cfg.runtime.max_seq_len}")
+            P_suf = min(bucket_length(true_len, cfg.runtime.prefill_bucket),
+                        cfg.runtime.max_seq_len - prefix.n)
+            policy_name = self.pick_policy(true_total, prefix.n + P_suf)
+            self._last_policy = policy_name
+            policy, budget, prefill_jit, decode_jit, sampler = \
+                self._fns_prefix(prefix.n, P_suf, policy_name)
+            rng = (jax.random.PRNGKey(cfg.runtime.sample_seed)
+                   if sampler is not None else None)
+            tokens = np.zeros((P_suf,), np.int32)
+            tokens[:true_len] = ids
+            state = policy.init_state(self.dtype)
+            first_tok, state = prefill_jit(
+                self.params, state, prefix.k, prefix.v, jnp.asarray(tokens),
+                jnp.asarray(true_len, jnp.int32))
+            if sampler is not None:
+                rng, sub = jax.random.split(rng)
+                first_tok = sampler(sub, first_tok)
+            next_tok = int(first_tok)
+            yield next_tok
+            yield from self._decode_stream(
+                decode_jit, sampler, rng, state, next_tok, true_total,
+                max_new, eos_ids, chunk)
+            return
         P = bucket_length(true_len, cfg.runtime.prefill_bucket)
         P = min(P, cfg.runtime.max_seq_len)
         if true_len > P:  # middle truncation is the harness's job
@@ -243,12 +344,17 @@ class Engine:
             first_tok = sampler(sub, first_tok)
         next_tok = int(first_tok)
         yield next_tok
+        yield from self._decode_stream(decode_jit, sampler, rng, state,
+                                       next_tok, true_len, max_new,
+                                       eos_ids, chunk)
 
-        # Decode runs fully on-device in fused chunks (lax.scan over steps):
-        # no EOS → one chunk of exactly max_new-1; with EOS, fixed-size
-        # chunks so we can stop between device calls (a tunnel/PCIe round
-        # trip per chunk instead of per token).
-        pos = true_len
+    def _decode_stream(self, decode_jit, sampler, rng, state, next_tok: int,
+                       pos: int, max_new: int, eos_ids, chunk):
+        """Decode runs fully on-device in fused chunks (lax.scan over
+        steps): no EOS → one chunk of exactly max_new-1; with EOS,
+        fixed-size chunks so we can stop between device calls (a
+        tunnel/PCIe round trip per chunk instead of per token)."""
+        cfg = self.cfg
         count = 1
         remaining = max_new - 1
         # fixed chunk size independent of the per-call max_new → ONE

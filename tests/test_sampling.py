@@ -159,3 +159,60 @@ class TestStreaming:
         ref = eng.generate(ids, max_new_tokens=6)
         eng2 = OffloadEngine(ecfg, params, dtype=jnp.float32)
         assert list(eng2.stream(ids, max_new_tokens=6)) == ref
+
+
+class TestPrefixCache:
+    def test_prefix_generate_matches_concatenated(self, setup):
+        """generate(prefix=...) over [prefix | suffix] must agree with a
+        one-shot generate of the concatenated prompt: same bucketed P,
+        same budgets, same k-means draws — only the attention summation
+        order differs (suffix runs as a q_offset chunk), so require
+        near-total token agreement plus structural checks."""
+        cfg_m, params = setup
+        rng = np.random.default_rng(10)
+        pre = rng.integers(0, cfg_m.vocab_size, size=192).astype(np.int32)
+        suf = rng.integers(0, cfg_m.vocab_size, size=64).astype(np.int32)
+        both = np.concatenate([pre, suf])
+
+        eng = Engine(_ecfg(cfg_m), params, dtype=jnp.float32)
+        ref = eng.generate(both, max_new_tokens=10).tokens
+
+        pc = eng.prefill_prefix(pre)
+        assert pc.n == 192 and pc.k.shape == (
+            cfg_m.num_layers, cfg_m.num_kv_heads, 192, cfg_m.head_dim)
+        out = eng.generate(suf, max_new_tokens=10, prefix=pc).tokens
+        agree = sum(a == b for a, b in zip(ref, out))
+        assert agree >= 8, (ref, out)
+
+        # the snapshot is reusable: a second suffix runs without error and
+        # the same suffix reproduces the same tokens
+        out2 = eng.generate(suf, max_new_tokens=10, prefix=pc).tokens
+        assert out2 == out
+
+    def test_prefix_snapshot_matches_oneshot_kv(self, setup):
+        # the captured prefix K/V must equal the K/V a one-shot prefill
+        # computes for those rows (causality: prefix rows see only prefix)
+        cfg_m, params = setup
+        rng = np.random.default_rng(11)
+        pre = rng.integers(0, cfg_m.vocab_size, size=128).astype(np.int32)
+        both = np.concatenate(
+            [pre, rng.integers(0, cfg_m.vocab_size, size=64)
+             .astype(np.int32)])
+        k_pre, _ = llama.prefill_capture_kv(
+            cfg_m, params, jnp.asarray(pre))
+        k_both, _ = llama.prefill_capture_kv(
+            cfg_m, params, jnp.asarray(both))
+        np.testing.assert_allclose(np.asarray(k_pre),
+                                   np.asarray(k_both[:, :, :128]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_prefix_respects_reservation(self, setup):
+        cfg_m, params = setup
+        rng = np.random.default_rng(12)
+        eng = Engine(_ecfg(cfg_m), params, dtype=jnp.float32)
+        pc = eng.prefill_prefix(
+            rng.integers(0, cfg_m.vocab_size, size=448).astype(np.int32))
+        suf = rng.integers(0, cfg_m.vocab_size, size=64).astype(np.int32)
+        with pytest.raises(ValueError, match="max_seq_len"):
+            # 448 + 64 + 12 > 512
+            list(eng.generate_stream(suf, max_new_tokens=12, prefix=pc))
