@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-2 pending TPU measurements (run when the axon tunnel is back).
+# Appends one JSON line per arm to $OUT. Each arm bounded by `timeout`
+# (remote compiles are 1-10 min cold; generous bounds).
+#
+# Usage: bash tools_round2_measure.sh [outfile]
+set -u
+OUT="${1:-/root/repo/MEASURE_r2.jsonl}"
+cd /root/repo
+
+run() {
+  local label="$1"; shift
+  echo "=== $label ==="
+  local t0=$(date +%s)
+  local out
+  out=$("$@" 2>&1 | tail -1)
+  local rc=$?
+  local dt=$(( $(date +%s) - t0 ))
+  echo "{\"arm\": \"$label\", \"rc\": $rc, \"wall_s\": $dt, \"line\": $(python3 -c "import json,sys; print(json.dumps(sys.argv[1]))" "$out")}" >> "$OUT"
+  echo "$out"
+}
+
+# 1. headline serving protocol (bench defaults, after the bench fixes)
+run serving_B8_32k_block256 timeout 3600 python bench.py
+
+# 2. quality-safe granularity + pair fetch (round-notes item 5 experiment)
+run serving_B8_32k_block128 env BENCH_PQ_BLOCK=128 BENCH_FETCH_PAR=4 \
+    timeout 3600 python bench.py
+run serving_B8_32k_block128_pair env BENCH_PQ_BLOCK=128 BENCH_FETCH_PAR=16 \
+    BENCH_FETCH_PAIR=1 timeout 3600 python bench.py
+
+# 3. single-stream arms (bench.py fixes changed none of these protocols)
+run single_32k env BENCH_BATCH=1 timeout 3600 python bench.py
+run single_65k env BENCH_BATCH=1 BENCH_CTX=65536 timeout 3600 python bench.py
+
+# 4. 128k HBM-resident arm unlocked by chunked prefill (state ~9.5 GB
+#    incl. the dense baseline; bench chunks automatically past 96k)
+run single_128k_chunked env BENCH_BATCH=1 BENCH_CTX=131072 \
+    timeout 5400 python bench.py
+
+# 5. offload tier at 192k with chunked prefill (previously OOMed)
+run offload_192k_chunked env CTX=196608 LAYERS=8 GEN=16 \
+    PREFILL_CHUNK=32768 SKIP_HBM=1 \
+    timeout 5400 python -m pqcache_tpu.harness.offload_bench
+
+# 6. serving-latency percentiles under load (new harness; B=8 pool)
+run serving_latency_32k_pool8 timeout 5400 python -m \
+    pqcache_tpu.harness.serving --ctx 32768 --pool 8 --requests 12 \
+    --gen 32 --chunk 16 --policies pq_search
+
+echo "done -> $OUT"
