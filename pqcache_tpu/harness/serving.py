@@ -102,8 +102,19 @@ def run(args) -> list[dict]:
                                   max_new_tokens=args.gen,
                                   max_seq_len=args.ctx + 2048),
         )
+        # shared system-prompt prefix: prefill once, every request pays
+        # only its suffix (prompts become ctx - prefix_len long)
+        prefix = None
+        if args.prefix_len:
+            from pqcache_tpu.runtime.generate import Engine
+            pre_ids = rng.integers(0, model.vocab_size, size=args.prefix_len
+                                   ).astype(np.int32)
+            prefix = Engine(cfg, params).prefill_prefix(pre_ids)
         eng = BatchEngine(cfg, params, batch_size=args.pool,
-                          prefill_len=args.ctx, max_new_tokens=args.gen)
+                          prefill_len=args.ctx, max_new_tokens=args.gen,
+                          prefix=prefix)
+        if prefix is not None:
+            prompts = [p[: args.ctx - args.prefix_len] for p in prompts]
         # warm-up: compile prefill + insert + decode-chunk programs
         eng.run([(10_000, prompts[0])], chunk=args.chunk)
 
@@ -117,6 +128,7 @@ def run(args) -> list[dict]:
         row = {"policy": policy, "ctx": args.ctx, "pool": args.pool,
                "requests": args.requests, "gen": args.gen,
                "chunk": args.chunk, "stagger_s": args.stagger,
+               "prefix_len": args.prefix_len,
                "wall_s": round(wall, 3), **summarize(timing, wall)}
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -135,6 +147,9 @@ def parse_args(argv=None):
                    help="decode chunk (bounds admission latency)")
     p.add_argument("--stagger", type=float, default=0.0,
                    help="seconds between request arrivals (0 = burst)")
+    p.add_argument("--prefix-len", dest="prefix_len", type=int, default=0,
+                   help="shared system-prompt prefix length (prefilled "
+                        "once, reused by every request; 0 = off)")
     p.add_argument("--compress", type=float, default=0.2)
     p.add_argument("--select-block", type=int, default=256)
     p.add_argument("--fetch-par", type=int, default=16)

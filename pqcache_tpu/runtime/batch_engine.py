@@ -55,11 +55,22 @@ class BatchEngine:
     """Fixed-pool continuous batching over B slots (one device)."""
 
     def __init__(self, cfg: EngineConfig, params: dict, *, batch_size: int = 4,
-                 prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16):
+                 prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16,
+                 prefix=None):
+        """prefix: optional PrefixCache (runtime/generate.prefill_prefix) —
+        the pool-wide shared prompt prefix (the serving pattern: one system
+        prompt for every request). Each admitted prompt is then a SUFFIX of
+        at most prefill_len - prefix.n tokens; its prefill pays only the
+        suffix's triangle slab against the cached prefix K/V."""
         self.cfg = cfg
         self.params = params
         self.B = batch_size
         self.P = prefill_len
+        self.prefix = prefix
+        self.P_suf = prefill_len - (prefix.n if prefix is not None else 0)
+        if self.P_suf <= 0:
+            raise ValueError(f"prefix {prefix.n} leaves no suffix room "
+                             f"under prefill_len {prefill_len}")
         self.max_new = max_new_tokens
         self.dtype = dtype
         self.budget = compute_budget(cfg.budget, prefill_len, max_new_tokens)
@@ -67,6 +78,10 @@ class BatchEngine:
         if not hasattr(self.policy, "decode_attn_batched"):
             raise ValueError(
                 f"policy {cfg.runtime.policy!r} has no batch-as-heads decode")
+        if prefix is not None and not hasattr(self.policy, "prefill_tail"):
+            raise ValueError(
+                f"policy {cfg.runtime.policy!r} has no prefill_tail; "
+                f"prefix caching unsupported")
 
         m = cfg.model
         from pqcache_tpu.core.sampling import make_sampler
@@ -75,8 +90,14 @@ class BatchEngine:
         self._key = jax.random.PRNGKey(cfg.runtime.sample_seed)
 
         def prefill_fn(params, state, tokens, pad_len, true_len):
-            logits, st = llama.prefill(m, params, self.policy, state,
-                                       tokens, pad_len, true_len)
+            if self.prefix is not None:
+                # tokens [P_suf] right-padded; true_len = suffix length
+                logits, st = llama.prefill_with_prefix(
+                    m, params, self.policy, state, self.prefix.k,
+                    self.prefix.v, tokens, true_len)
+            else:
+                logits, st = llama.prefill(m, params, self.policy, state,
+                                           tokens, pad_len, true_len)
             if self.sampler is None:
                 return jnp.argmax(logits).astype(jnp.int32), st
             return logits, st             # first token sampled host-side
@@ -108,11 +129,23 @@ class BatchEngine:
     def _admit(self, seq_id: int, ids: np.ndarray) -> int:
         slot = next(i for i, s in enumerate(self.slots) if s.done)
         true_len = int(ids.shape[0])
-        pad = self.P - true_len
-        if pad < 0:
-            raise ValueError(f"prompt {true_len} > engine prefill_len {self.P}")
-        tokens = np.zeros((self.P,), np.int32)
-        tokens[pad:] = ids
+        if self.prefix is not None:
+            # suffix of the pool's shared prefix: RIGHT-padded to P_suf
+            if true_len > self.P_suf:
+                raise ValueError(f"suffix {true_len} > suffix capacity "
+                                 f"{self.P_suf} (prefix {self.prefix.n})")
+            pad = 0
+            tokens = np.zeros((self.P_suf,), np.int32)
+            tokens[:true_len] = ids
+            pos0 = self.prefix.n + true_len
+        else:
+            pad = self.P - true_len
+            if pad < 0:
+                raise ValueError(
+                    f"prompt {true_len} > engine prefill_len {self.P}")
+            tokens = np.zeros((self.P,), np.int32)
+            tokens[pad:] = ids
+            pos0 = true_len
         state = self.policy.init_state(self.dtype)
         first, state = self._prefill(
             self.params, state, jnp.asarray(tokens),
@@ -124,7 +157,7 @@ class BatchEngine:
                                    jnp.asarray(slot, jnp.int32))
         self.slots[slot] = _Slot(seq_id=seq_id, tokens=[int(first)],
                                  done=False, next_tok=int(first),
-                                 pos=true_len)
+                                 pos=pos0)
         return slot
 
     def run(self, requests: Iterable[tuple[int, np.ndarray]],

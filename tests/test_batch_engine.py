@@ -133,3 +133,35 @@ def test_batch_original_policy_matches_single(setup):
     out = be.run([(0, a), (1, b)], chunk=3)
     assert out[0] == ref_a, (out[0], ref_a)
     assert len(out[1]) == 6
+
+
+def test_batch_pool_shared_prefix(setup):
+    """Pool-wide shared prefix: a BatchEngine built with prefix=pc must
+    track the one-shot concatenated-prompt reference for each suffix
+    (near-total agreement — separately compiled programs can flip a
+    near-tie argmax on tiny random models), with identical tokens for the
+    same suffix in different slots."""
+    ecfg, params = setup
+    rng = np.random.default_rng(10)
+    pre = rng.integers(0, ecfg.model.vocab_size, size=192).astype(np.int32)
+    sufs = [rng.integers(0, ecfg.model.vocab_size, size=64).astype(np.int32)
+            for _ in range(2)]
+
+    single = Engine(ecfg, params, dtype=jnp.float32)
+    pc = single.prefill_prefix(pre)
+    refs = [single.generate(np.concatenate([pre, s]),
+                            max_new_tokens=6).tokens for s in sufs]
+
+    be = BatchEngine(ecfg, params, batch_size=2, prefill_len=256,
+                     max_new_tokens=6, dtype=jnp.float32, prefix=pc)
+    out = be.run([(i, s) for i, s in enumerate(sufs)], chunk=3)
+    for i in range(2):
+        agree = sum(a == b for a, b in zip(out[i], refs[i]))
+        assert agree >= 4, (i, out[i], refs[i])
+    # same suffix in both slots → identical tokens (slot independence)
+    dup = be.run([(7, sufs[0]), (8, sufs[0])], chunk=3)
+    assert dup[7] == dup[8]
+
+    with pytest.raises(ValueError, match="suffix capacity"):
+        be.run([(9, rng.integers(0, ecfg.model.vocab_size, size=100)
+                 .astype(np.int32))], chunk=3)

@@ -48,4 +48,10 @@ run serving_latency_32k_pool8 timeout 5400 python -m \
     pqcache_tpu.harness.serving --ctx 32768 --pool 8 --requests 12 \
     --gen 32 --chunk 16 --policies pq_search
 
+# 7. prefix caching under load: 24k shared system prompt, 8k suffixes —
+#    TTFT should drop to roughly the suffix slab + queue wait
+run serving_latency_32k_prefix24k timeout 5400 python -m \
+    pqcache_tpu.harness.serving --ctx 32768 --pool 8 --requests 12 \
+    --gen 32 --chunk 16 --prefix-len 24576 --policies pq_search
+
 echo "done -> $OUT"
