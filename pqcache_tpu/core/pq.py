@@ -170,6 +170,7 @@ def _kmeanspp_init(x, valid_len, n_clusters, key, pool: int = 4096,
     return jnp.concatenate([first, rest.transpose(1, 0, 2)], axis=1)
 
 
+@jax.named_scope("pq_kmeans")
 def kmeans(
     x: jax.Array,
     n_clusters: int,
@@ -303,6 +304,7 @@ def _kmeanspp_init_sharded(x, w, n_clusters, key, axis_name, pool: int = 512):
     return jnp.concatenate([first, rest.transpose(1, 0, 2)], axis=1)
 
 
+@jax.named_scope("pq_append")
 def pq_encode(x: jax.Array, centroids: jax.Array) -> jax.Array:
     """Nearest-centroid encoding (pq_search.py:201-212 predict_index).
 
@@ -319,6 +321,7 @@ def pq_encode(x: jax.Array, centroids: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # ADC (asymmetric distance computation) scoring
 
+@jax.named_scope("pq_score")
 def adc_lut_euc(q: jax.Array, centroids: jax.Array) -> jax.Array:
     """Inner-product lookup table for the "euc" metric.
 
@@ -335,6 +338,7 @@ def adc_lut_euc(q: jax.Array, centroids: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
+@jax.named_scope("pq_score")
 def adc_lut_ip(q_lifted: jax.Array, centroids: jax.Array) -> jax.Array:
     """Squared-L2 lookup table for the ip2l2 metric (pq_search.py:408).
 
@@ -349,6 +353,7 @@ def adc_lut_ip(q_lifted: jax.Array, centroids: jax.Array) -> jax.Array:
     return diff_sq
 
 
+@jax.named_scope("pq_score")
 def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
     """Gather+sum the LUT by PQ codes.
 
@@ -382,6 +387,7 @@ def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
 # drops from O(T) to O(C²·T/block) with IDENTICAL ranking (normalized
 # per-q-head block mass, same as adc_block_scores_pallas).
 
+@jax.named_scope("pq_score")
 def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
                      n_centroids: int, block: int) -> jax.Array:
     """codes [H_kv, 2, T] int (T % block == 0); tokens at index >= n_valid
@@ -412,6 +418,7 @@ def jhist_dtype(block: int):
     return jnp.uint8 if block < 256 else jnp.bfloat16
 
 
+@jax.named_scope("pq_append")
 def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
                      pos: jax.Array, *, n_centroids: int,
                      block: int) -> jax.Array:
@@ -429,6 +436,7 @@ def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
     return J.at[lead + (blk, pair)].add(jnp.asarray(1.0, J.dtype))
 
 
+@jax.named_scope("pq_score")
 def joint_block_mass(lut: jax.Array, J: jax.Array, *,
                      head_dim: int) -> jax.Array:
     """Per-q-head normalized block attention mass from the joint histogram.
@@ -468,6 +476,7 @@ def _valid_masks(n_valid: jax.Array, H_kv: int, group: int, T: int):
     return valid_kv, valid_q
 
 
+@jax.named_scope("pq_select")
 def group_scores(
     scores: jax.Array,
     n_valid: jax.Array,
@@ -494,6 +503,7 @@ def group_scores(
     return jnp.where(valid_kv, g, -jnp.inf)
 
 
+@jax.named_scope("pq_select")
 def mips_topk(
     scores: jax.Array,
     n_valid: jax.Array,
@@ -540,6 +550,7 @@ def mips_topk(
     raise ValueError(f"unknown metric {metric}")
 
 
+@jax.named_scope("pq_select")
 def mips_topk_blocks(
     scores: jax.Array,
     n_valid: jax.Array,
@@ -601,6 +612,7 @@ def mips_topk_blocks(
     return idx.astype(jnp.int32), g
 
 
+@jax.named_scope("pq_select")
 def topk_from_block_mass(
     blk_mass: jax.Array,
     n_valid: jax.Array,

@@ -43,6 +43,7 @@ def _adc_kernel(lut_ref, codes_ref, out_ref, *, n_subvec):
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+@jax.named_scope("pq_score")
 def adc_scores_pallas(
     lut: jax.Array,
     codes: jax.Array,
@@ -85,6 +86,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+@jax.named_scope("pq_score")
 def adc_scores_xla(lut: jax.Array, codes: jax.Array) -> jax.Array:
     """Reference XLA implementation (same contract)."""
     gathered = jnp.take_along_axis(
@@ -249,6 +251,7 @@ def _adc_block_call(lut_bd, codes, n_cand, *, S, C, sel_block, scale, bt,
 @functools.partial(jax.jit,
                    static_argnames=("sel_block", "head_dim", "block_t",
                                     "interpret"))
+@jax.named_scope("pq_score")
 def adc_block_scores_pallas(
     lut: jax.Array,
     codes: jax.Array,
@@ -290,6 +293,7 @@ def adc_block_scores_pallas(
 @functools.partial(jax.jit,
                    static_argnames=("sel_block", "head_dim", "block_t",
                                     "interpret"))
+@jax.named_scope("pq_score")
 def adc_block_scores_pallas_batched(
     lut: jax.Array,
     codes: jax.Array,
@@ -319,6 +323,7 @@ def adc_block_scores_pallas_batched(
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+@jax.named_scope("pq_score")
 def adc_scores_pallas_v2(
     lut: jax.Array,
     codes: jax.Array,

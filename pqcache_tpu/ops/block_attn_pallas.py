@@ -101,6 +101,7 @@ def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
 
 @functools.partial(jax.jit, static_argnames=("block", "n_par", "pair",
                                              "interpret"))
+@jax.named_scope("pq_fetch")
 def block_topk_attention(
     q: jax.Array,
     kv_tail: jax.Array,
@@ -209,6 +210,7 @@ def block_topk_attention(
     return m[:, :, 0], l[:, :, 0], acc
 
 
+@jax.named_scope("pq_fetch")
 def block_topk_attention_xla(q, kv_tail, layer, blk_idx, n_cand, *, block):
     """XLA reference with identical contract (tests / non-TPU)."""
     H, _, D = q.shape

@@ -67,6 +67,7 @@ def _gather_kernel(idx_ref, sub_ref, src_ref, out_ref, scratch, sem,
 
 
 @functools.partial(jax.jit, static_argnames=("rows_per_block", "interpret"))
+@jax.named_scope("pq_fetch")
 def gather_rows(
     src: jax.Array,
     idx: jax.Array,
@@ -121,6 +122,7 @@ def gather_rows(
     return out[:, :K]
 
 
+@jax.named_scope("pq_fetch")
 def gather_rows_xla(src: jax.Array, idx: jax.Array) -> jax.Array:
     """Reference implementation."""
     H = src.shape[0]

@@ -54,4 +54,11 @@ run serving_latency_32k_prefix24k timeout 5400 python -m \
     pqcache_tpu.harness.serving --ctx 32768 --pool 8 --requests 12 \
     --gen 32 --chunk 16 --prefix-len 24576 --policies pq_search
 
+# 8. in-program decode decomposition (global-timer parity: ONE traced run
+#    joins the device trace against HLO op_name scopes — harness/trace.py)
+run trace_decomp_32k_block256 env CTX=32768 LAYERS=8 STEPS=16 BLOCK=256 \
+    timeout 3600 python -m pqcache_tpu.harness.trace pq_search
+run trace_decomp_32k_block1 env CTX=32768 LAYERS=8 STEPS=16 BLOCK=1 \
+    timeout 3600 python -m pqcache_tpu.harness.trace pq_search
+
 echo "done -> $OUT"
