@@ -61,4 +61,10 @@ run trace_decomp_32k_block256 env CTX=32768 LAYERS=8 STEPS=16 BLOCK=256 \
 run trace_decomp_32k_block1 env CTX=32768 LAYERS=8 STEPS=16 BLOCK=1 \
     timeout 3600 python -m pqcache_tpu.harness.trace pq_search
 
+# 9. prefill device trace (round-3 item 6: MLP 46% MFU — per-op times
+#    with bytes_accessed; report via tools_trace_report.py afterwards)
+run trace_prefill_32k env TRACE_PREFILL=1 CTX=32768 LAYERS=8 \
+    TRACE_DIR=/root/repo/trace_prefill_32k \
+    timeout 3600 python tools_profile_trace.py
+
 echo "done -> $OUT"
