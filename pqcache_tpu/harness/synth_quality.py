@@ -170,6 +170,12 @@ def main(argv=None):
     ap.add_argument("--eval-n", type=int, default=32)
     ap.add_argument("--gen", type=int, default=24)
     ap.add_argument("--compress-ratio", type=float, default=0.2)
+    ap.add_argument("--metric", default="euc", choices=["euc", "ip"])
+    ap.add_argument("--depth-grid", action="store_true",
+                    help="NAH-style depth sweep: free-run from several "
+                         "offsets so the retrieved positions sit at "
+                         "increasing depths of the evicted middle "
+                         "(reference protocol: test_nah.py depth grid)")
     ap.add_argument("--policies", nargs="*",
                     default=["original", "pq_search", "h2o", "no_drop_lb"])
     args = ap.parse_args(argv)
@@ -178,13 +184,32 @@ def main(argv=None):
     params = train(cfg, args.n, args.steps, batch=args.batch,
                    log_every=max(args.steps // 6, 1))
     train_s = time.perf_counter() - t0
+    if args.depth_grid:
+        # retrieved positions for offset k are [k+1, k+gen] of the n-token
+        # first half — sweep k to place them at 10%..75% depth
+        grid = {}
+        for frac in (0.02, 0.25, 0.5, 0.75):
+            k = max(4, int(args.n * frac))
+            grid[f"depth_{frac}"] = evaluate(
+                cfg, params, args.policies, args.n, eval_n=args.eval_n,
+                gen=args.gen, k_prefix=k,
+                compress_ratio=args.compress_ratio, metric=args.metric)
+        print(json.dumps({
+            "task": f"copy/induction depth grid, half-length {args.n}",
+            "budget": f"compress {args.compress_ratio}, recent 0.5, sink 4",
+            "metric": args.metric, "train_steps": args.steps,
+            "train_s": round(train_s, 1),
+            "accuracy_by_depth": grid}), flush=True)
+        return
     acc = evaluate(cfg, params, args.policies, args.n, eval_n=args.eval_n,
-                   gen=args.gen, compress_ratio=args.compress_ratio)
+                   gen=args.gen, compress_ratio=args.compress_ratio,
+                   metric=args.metric)
     print(json.dumps({
         "task": f"copy/induction, half-length {args.n} (prompt "
                 f"{args.n+4} tokens), free-run {args.gen} tokens",
         "budget": f"compress {args.compress_ratio}, recent 0.5, sink 4 — "
                   "retrieved positions outside the local window",
+        "metric": args.metric,
         "train_steps": args.steps, "train_s": round(train_s, 1),
         "accuracy": acc}), flush=True)
 
