@@ -25,6 +25,7 @@ BENCH_FETCH_PAR (16).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -33,7 +34,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _accelerator_reachable(timeout_s: int = 240) -> bool:
+    """Probe `import jax; jax.devices()` in a subprocess under a timeout.
+
+    When the axon tunnel is down-but-hanging, `import jax` blocks forever
+    in device-plugin init (ROUND_NOTES.md) — without this probe the bench
+    would hang instead of reporting. BENCH_SKIP_PROBE=1 bypasses it.
+    """
+    if os.environ.get("BENCH_SKIP_PROBE", "0") == "1":
+        return True
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+            OSError):
+        return False
+
+
 def main():
+    if not _accelerator_reachable():
+        print(json.dumps({
+            "metric": "pq_search decode tok/s (accelerator unreachable)",
+            "value": 0.0,
+            "unit": "tok/s",
+            "vs_baseline": None,
+            "error": ("jax device init hung/failed (axon tunnel down?); "
+                      "bench aborted instead of hanging — see "
+                      "ROUND_NOTES.md 'tunnel-down hang'"),
+        }))
+        sys.exit(1)
     from pqcache_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
