@@ -73,16 +73,23 @@ def run(args) -> list[dict]:
     import jax
 
     from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
-                                    PQConfig, RuntimeConfig)
+                                    PQConfig, RuntimeConfig,
+                                    tiny_model_config)
     from pqcache_tpu.models import llama
     from pqcache_tpu.runtime.batch_engine import BatchEngine
 
-    model = ModelConfig(
-        name=f"llama31-{args.layers}L",
-        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
-        num_layers=args.layers, num_heads=32, num_kv_heads=8, head_dim=128,
-        rope_theta=500000.0, rope_scaling_factor=8.0,
-        max_position_embeddings=131072)
+    if args.tiny:
+        # CPU-runnable smoke mode: exercises the full serving path
+        # (prefix capture, admission waves, percentile summary) at toy
+        # widths so the harness itself is verifiable asset-free
+        model = tiny_model_config(max_position_embeddings=args.ctx + 2048)
+    else:
+        model = ModelConfig(
+            name=f"llama31-{args.layers}L",
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=args.layers, num_heads=32, num_kv_heads=8,
+            head_dim=128, rope_theta=500000.0, rope_scaling_factor=8.0,
+            max_position_embeddings=131072)
     params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, model.vocab_size, size=args.ctx)
@@ -90,6 +97,23 @@ def run(args) -> list[dict]:
     arrivals = {i: i * args.stagger for i in range(args.requests)}
 
     rows = []
+    # shared system-prompt prefix: the KV capture is policy-independent
+    # (dense prefill of the model), so build it ONCE — same prefix tokens
+    # and one compile for every policy row (rebuilding per policy both
+    # recompiled the capture program and, because rng advances, measured
+    # each policy against different prefix content)
+    prefix = None
+    if args.prefix_len:
+        from pqcache_tpu.runtime.generate import Engine
+        pre_ids = rng.integers(0, model.vocab_size,
+                               size=args.prefix_len).astype(np.int32)
+        cap_cfg = EngineConfig(
+            model=model,
+            runtime=RuntimeConfig(policy="original", prefill_bucket=1024,
+                                  max_new_tokens=args.gen,
+                                  max_seq_len=args.ctx + 2048))
+        prefix = Engine(cap_cfg, params).prefill_prefix(pre_ids)
+        prompts = [p[: args.ctx - args.prefix_len] for p in prompts]
     for policy in args.policies:
         cfg = EngineConfig(
             model=model,
@@ -102,19 +126,9 @@ def run(args) -> list[dict]:
                                   max_new_tokens=args.gen,
                                   max_seq_len=args.ctx + 2048),
         )
-        # shared system-prompt prefix: prefill once, every request pays
-        # only its suffix (prompts become ctx - prefix_len long)
-        prefix = None
-        if args.prefix_len:
-            from pqcache_tpu.runtime.generate import Engine
-            pre_ids = rng.integers(0, model.vocab_size, size=args.prefix_len
-                                   ).astype(np.int32)
-            prefix = Engine(cfg, params).prefill_prefix(pre_ids)
         eng = BatchEngine(cfg, params, batch_size=args.pool,
                           prefill_len=args.ctx, max_new_tokens=args.gen,
                           prefix=prefix)
-        if prefix is not None:
-            prompts = [p[: args.ctx - args.prefix_len] for p in prompts]
         # warm-up: compile prefill + insert + decode-chunk programs
         eng.run([(10_000, prompts[0])], chunk=args.chunk)
 
@@ -155,6 +169,8 @@ def parse_args(argv=None):
     p.add_argument("--fetch-par", type=int, default=16)
     p.add_argument("--policies", nargs="*",
                    default=["pq_search", "original"])
+    p.add_argument("--tiny", action="store_true",
+                   help="toy model widths (CPU smoke test of the harness)")
     return p.parse_args(argv)
 
 

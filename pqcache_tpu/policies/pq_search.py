@@ -70,8 +70,15 @@ class PQSearchPolicy:
         self.fetch_mode = cfg.pq.fetch_mode
         self.gather_mode = cfg.pq.gather_mode
         # pair fetch needs the tail 2·block-aligned (n_tail_max rounds to
-        # 256, so select_block ≤ 128)
-        self.fetch_pair = cfg.pq.fetch_pair and 1 < self.select_block <= 128
+        # 256, so select_block ≤ 128); reject unsatisfiable requests
+        # rather than silently measuring the non-pair path
+        if cfg.pq.fetch_pair and (not 1 < self.select_block <= 128
+                                  or 256 % (2 * self.select_block) != 0):
+            raise ValueError(
+                f"fetch_pair requires 1 < select_block <= 128 with "
+                f"2*select_block dividing the 256-aligned tail "
+                f"(got select_block={self.select_block})")
+        self.fetch_pair = cfg.pq.fetch_pair
         self.check_recall = cfg.pq.check_recall
         # GQA=False: per-q-head top-k (no group reduction). The reference
         # parses the flag but raises "wo GQA not supported currently"

@@ -89,18 +89,27 @@ class BatchEngine:
                                     cfg.runtime.top_k, cfg.runtime.top_p)
         self._key = jax.random.PRNGKey(cfg.runtime.sample_seed)
 
-        def prefill_fn(params, state, tokens, pad_len, true_len):
-            if self.prefix is not None:
+        # prefix K/V are passed as jit OPERANDS (not closure captures):
+        # captured multi-hundred-MB arrays would be baked into the
+        # executable as constants, duplicating the PrefixCache copy and
+        # forcing a retrace if the prefix object is swapped (the Engine
+        # prefix path, generate.py _fns_prefix, threads them the same way)
+        if self.prefix is not None:
+            def prefill_fn(params, state, pre_k, pre_v, tokens, true_len):
                 # tokens [P_suf] right-padded; true_len = suffix length
                 logits, st = llama.prefill_with_prefix(
-                    m, params, self.policy, state, self.prefix.k,
-                    self.prefix.v, tokens, true_len)
-            else:
+                    m, params, self.policy, state, pre_k, pre_v, tokens,
+                    true_len)
+                if self.sampler is None:
+                    return jnp.argmax(logits).astype(jnp.int32), st
+                return logits, st         # first token sampled host-side
+        else:
+            def prefill_fn(params, state, tokens, pad_len, true_len):
                 logits, st = llama.prefill(m, params, self.policy, state,
                                            tokens, pad_len, true_len)
-            if self.sampler is None:
-                return jnp.argmax(logits).astype(jnp.int32), st
-            return logits, st             # first token sampled host-side
+                if self.sampler is None:
+                    return jnp.argmax(logits).astype(jnp.int32), st
+                return logits, st         # first token sampled host-side
 
         self._prefill = jax.jit(prefill_fn, donate_argnums=(1,))
         if self.sampler is None:
@@ -147,9 +156,15 @@ class BatchEngine:
             tokens[pad:] = ids
             pos0 = true_len
         state = self.policy.init_state(self.dtype)
-        first, state = self._prefill(
-            self.params, state, jnp.asarray(tokens),
-            jnp.asarray(pad, jnp.int32), jnp.asarray(true_len, jnp.int32))
+        if self.prefix is not None:
+            first, state = self._prefill(
+                self.params, state, self.prefix.k, self.prefix.v,
+                jnp.asarray(tokens), jnp.asarray(true_len, jnp.int32))
+        else:
+            first, state = self._prefill(
+                self.params, state, jnp.asarray(tokens),
+                jnp.asarray(pad, jnp.int32),
+                jnp.asarray(true_len, jnp.int32))
         if self.sampler is not None:  # prefill returned logits: sample
             self._key, sub = jax.random.split(self._key)
             first = self.sampler(sub, first)

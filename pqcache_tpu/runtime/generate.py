@@ -228,12 +228,6 @@ class Engine:
         t1 = time.perf_counter()
         out_tokens.extend(it)
         t2 = time.perf_counter()
-        if self._last_policy == "pq_search_offload":
-            # the offload tier streams per token; its TTFT is the first-
-            # token latency, the rest is decode
-            return GenerateResult(tokens=out_tokens, prefill_seconds=t1 - t0,
-                                  decode_seconds=t2 - t1,
-                                  policy_name=self._last_policy)
         return GenerateResult(tokens=out_tokens, prefill_seconds=t1 - t0,
                               decode_seconds=t2 - t1,
                               policy_name=self._last_policy)

@@ -274,3 +274,31 @@ class TestChunkedPrefill:
             Pp, c = chunk_plan(P, ch)
             assert Pp % c == 0 and Pp >= P
             assert chunk_plan(Pp, ch) == (Pp, c)   # idempotent
+
+
+def test_fetch_pair_rejects_unsatisfiable_block(setup):
+    """fetch_pair must raise on configs it cannot honor (select_block
+    outside (1,128] or not dividing the 256-aligned tail) instead of
+    silently measuring the non-pair path."""
+    import dataclasses
+    from pqcache_tpu.core.budget import compute_budget
+    from pqcache_tpu.policies.base import get_policy
+    cfg, params, ids = setup
+    ecfg = EngineConfig(
+        model=cfg,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    fetch_pair=True, select_block=256),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=16, max_seq_len=1024),
+    )
+    b = compute_budget(ecfg.budget, 256, 16)
+    for bad in (256, 1, 96):
+        e = dataclasses.replace(
+            ecfg, pq=dataclasses.replace(ecfg.pq, select_block=bad))
+        with pytest.raises(ValueError, match="fetch_pair"):
+            get_policy(e, b)
+    ok = dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=128))
+    assert get_policy(ok, b).fetch_pair

@@ -5,6 +5,9 @@
 #
 # Usage: bash tools_round2_measure.sh [outfile]
 set -u
+# pipefail so `cmd | tail -1` inside $() reports the BENCHMARK's exit
+# status (timeout 124 / bench 1), not tail's unconditional 0
+set -o pipefail
 OUT="${1:-/root/repo/MEASURE_r2.jsonl}"
 cd /root/repo
 
@@ -14,7 +17,7 @@ run() {
   local t0=$(date +%s)
   local out
   out=$("$@" 2>&1 | tail -1)
-  local rc=$?
+  local rc=$?   # with pipefail: the benchmark's exit, not tail's
   local dt=$(( $(date +%s) - t0 ))
   echo "{\"arm\": \"$label\", \"rc\": $rc, \"wall_s\": $dt, \"line\": $(python3 -c "import json,sys; print(json.dumps(sys.argv[1]))" "$out")}" >> "$OUT"
   echo "$out"
