@@ -245,16 +245,30 @@ def kmeans(
         # centroids only ever absorb local outliers.)
         empty = counts <= 0.0  # [G, C]
         if axis_name is not None:
-            # keep centroids replicated: let the lowest-index shard with
-            # valid points win the relocation via a psum-mean
+            # relocate to the GLOBALLY farthest valid point, keeping
+            # centroids replicated: each shard nominates its locally
+            # farthest candidates with their distances; the shard holding
+            # the global max wins (exact ties psum-average, which is a
+            # no-op when the tied rows are identical). Shards with no
+            # valid points nominate val=-1 and never win while any shard
+            # has data; if NO shard has a valid nomination, skip the
+            # relocation (keep the mean update) rather than average
+            # arbitrary rows.
             far_val, far_idx = jax.lax.top_k(
                 jnp.where(w > 0, pdist, -1.0), n_clusters)
             rank = jnp.cumsum(empty.astype(jnp.int32), axis=-1) - 1
             rank = jnp.clip(rank, 0, n_clusters - 1)
             reloc_idx = jnp.take_along_axis(far_idx, rank, axis=-1)
+            reloc_val = jnp.take_along_axis(far_val, rank, axis=-1)  # [G,C]
             reloc = jnp.take_along_axis(x, reloc_idx[..., None], axis=1)
-            reloc = jax.lax.pmean(reloc, axis_name)
-            return jnp.where(empty[..., None], reloc, new)
+            vmax = jax.lax.pmax(reloc_val, axis_name)                # [G,C]
+            win = ((reloc_val >= vmax) & (vmax >= 0.0)
+                   ).astype(jnp.float32)                             # [G,C]
+            n_win = jax.lax.psum(win, axis_name)
+            reloc_g = (jax.lax.psum(reloc * win[..., None], axis_name)
+                       / jnp.maximum(n_win, 1.0)[..., None])
+            do_reloc = empty & (n_win > 0.0)
+            return jnp.where(do_reloc[..., None], reloc_g, new)
         far_val, far_idx = jax.lax.top_k(
             jnp.where(w > 0, pdist, -1.0), n_clusters)  # [G, C]
         rank = jnp.cumsum(empty.astype(jnp.int32), axis=-1) - 1  # [G, C]
@@ -274,7 +288,7 @@ def _kmeanspp_init_sharded(x, w, n_clusters, key, axis_name, pool: int = 512):
     pool × d floats) and the D² Gumbel sampling runs replicated."""
     G, N, d = x.shape
     P = min(N, pool)
-    kperm, kpick = jax.random.split(key)
+    kperm, kfirst, kpick = jax.random.split(key, 3)
     r = jax.lax.axis_index(axis_name)
     # per-shard distinct pool positions (valid-biased: invalid pool entries
     # get zero D² weight below)
@@ -285,7 +299,14 @@ def _kmeanspp_init_sharded(x, w, n_clusters, key, axis_name, pool: int = 512):
     xp = jax.lax.all_gather(xp_loc, axis_name, axis=1,
                             tiled=True)                  # [G, sp*P, d]
     wp = jax.lax.all_gather(wp_loc, axis_name, axis=1, tiled=True)
-    first = xp[:, :1]
+    # first centroid: uniform Gumbel pick over VALID pool entries — for a
+    # left-padded prompt, shard 0's pool (and thus xp[:, :1]) is mostly
+    # pad rows; seeding on one would skew every subsequent D² pick
+    g0 = -jnp.log(-jnp.log(jax.random.uniform(
+        kfirst, (1, xp.shape[1]), minval=1e-12, maxval=1.0)))
+    logit0 = jnp.where(wp > 0, 0.0, -jnp.inf)
+    pick0 = jnp.argmax(logit0 + g0, axis=-1)             # [G]
+    first = jnp.take_along_axis(xp, pick0[:, None, None], axis=1)
 
     def step(carry, key_i):
         min_d2, = carry

@@ -116,9 +116,16 @@ class TPEngine:
 
     def init_state(self):
         """Global-shape zero state; shard_map slices the head dimension.
-        Allocated directly at global shape (no tile-by-tp copies)."""
+        Allocated directly at global shape (no tile-by-tp copies). The
+        jhist buffer must be allocated whenever the policy scores via the
+        joint histogram — the shard_map specs carry a jhist leaf then, and
+        a None state leaf is a pytree-structure mismatch at call time."""
+        from pqcache_tpu.core import pq
         from pqcache_tpu.runtime.state import make_pq_state
-        return make_pq_state(self.cfg_global, self.budget, dtype=self.dtype)
+        return make_pq_state(
+            self.cfg_global, self.budget, dtype=self.dtype,
+            jhist_blocks=self.policy._jhist_blocks(),
+            jhist_dtype=pq.jhist_dtype(self.policy.select_block))
 
     def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
         import numpy as np

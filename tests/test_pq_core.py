@@ -177,3 +177,33 @@ def test_pqconfig_validates_subbits():
     with _pytest.raises(ValueError):
         PQConfig(n_subbits=9)
     PQConfig(n_subbits=8)  # supported with uint8 codes
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sharded_kmeans_ignores_invalid_shards():
+    """Distributed Lloyd over sequence shards where half the shards hold
+    ONLY invalid (pad) rows: neither the k-means++ seeding (first centroid
+    included) nor the empty-cluster relocation may touch a pad row.
+
+    Valid data is a single repeated point at +10 (zeros are pad): every
+    centroid must land exactly on the valid point — the old first-centroid
+    pick (shard 0's pool head) and the pmean relocation both dragged
+    centroids toward the pad cloud at 0."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    G, n_loc, d, C, sp = 2, 64, 8, 4, 8
+    N = sp * n_loc
+    x = np.zeros((G, N, d), np.float32)
+    mask = np.zeros((G, N), np.float32)
+    x[:, N // 2:] = 10.0                      # shards 4..7: valid
+    mask[:, N // 2:] = 1.0
+    mesh = Mesh(np.asarray(jax.devices()[:sp]).reshape(sp,), ("sp",))
+
+    fn = jax.jit(shard_map(
+        lambda xs, ws: pq.kmeans(xs, C, iters=4, seed=0, axis_name="sp",
+                                 valid_mask=ws).centroids,
+        mesh=mesh, in_specs=(P(None, "sp", None), P(None, "sp")),
+        out_specs=P(), check_rep=False))
+    cents = np.asarray(fn(jnp.asarray(x), jnp.asarray(mask)))
+    np.testing.assert_allclose(cents, 10.0, atol=1e-5)

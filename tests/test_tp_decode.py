@@ -82,3 +82,37 @@ def test_batch_tp_engine_dp2_tp4():
         agree = sum(a == b for a, b in zip(ref, out))
         assert out[:5] == ref[:5], (ref, out)
         assert agree >= 6, (ref, out)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs >= 2 devices")
+def test_tp2_jhist_block_scorer_matches_single_device():
+    """TPEngine with the joint-histogram block scorer active
+    (select_block>1): the state must carry a jhist buffer matching the
+    shard_map specs, and tokens must track the single-device engine."""
+    cfg_m = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False, select_block=16),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla"),
+    )
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg_m.vocab_size, size=250).astype(np.int32)
+
+    ref = Engine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=8)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2,), ("tp",))
+    eng = TPEngine(ecfg, params, mesh, prefill_len=256, max_new_tokens=8,
+                   dtype=jnp.float32)
+    assert eng.policy.use_jhist, "test must exercise the jhist path"
+    out = eng.generate(ids, max_new_tokens=8)
+    agree = sum(a == b for a, b in zip(ref.tokens, out))
+    assert out[:5] == ref.tokens[:5], (ref.tokens, out)
+    assert agree >= 6, (ref.tokens, out)
