@@ -46,6 +46,12 @@ run offload_192k_chunked env CTX=196608 LAYERS=8 GEN=16 \
     PREFILL_CHUNK=32768 SKIP_HBM=1 \
     timeout 5400 python -m pqcache_tpu.harness.offload_bench
 
+# 5b. 256k — the chunked-prefill headline target (2× the dense arm's OOM
+#     point; only the per-layer chunk transients + one layer's KV live)
+run offload_256k_chunked env CTX=262144 LAYERS=8 GEN=16 \
+    PREFILL_CHUNK=32768 SKIP_HBM=1 \
+    timeout 7200 python -m pqcache_tpu.harness.offload_bench
+
 # 6. serving-latency percentiles under load (new harness; B=8 pool)
 run serving_latency_32k_pool8 timeout 5400 python -m \
     pqcache_tpu.harness.serving --ctx 32768 --pool 8 --requests 12 \
