@@ -108,7 +108,9 @@ def main():
         vocab_size=128256, hidden_size=4096, intermediate_size=14336,
         num_layers=layers, num_heads=32, num_kv_heads=8, head_dim=128,
         rope_theta=500000.0, rope_scaling_factor=8.0,
-        max_position_embeddings=131072)
+        max_position_embeddings=131072,
+        # prefill-MLP chunk A/B (0 = unchunked); see ModelConfig.mlp_chunk
+        mlp_chunk=int(os.environ.get("BENCH_MLP_CHUNK", "16384")))
 
     params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)

@@ -43,6 +43,10 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 32768
     dtype: str = "bfloat16"
+    # token-chunk size for the prefill MLP (bounds the [chunk, I]
+    # transient; 0 = unchunked). 16384 measured best of the tried sizes;
+    # kept configurable for MFU A/Bs (prefill MLP is ~46% MFU at 32k)
+    mlp_chunk: int = 16384
 
     @property
     def num_groups(self) -> int:

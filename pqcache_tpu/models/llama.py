@@ -120,7 +120,7 @@ def mlp(lp: dict, x: jax.Array, chunk: int = 16384) -> jax.Array:
         g = jax.nn.silu(xc @ lp["gate"])
         return (g * (xc @ lp["up"])) @ lp["down"]
 
-    if T <= chunk or T % chunk != 0:
+    if chunk <= 0 or T <= chunk or T % chunk != 0:
         return one(x)
     xc = x.reshape(T // chunk, chunk, -1)
     return jax.lax.map(one, xc).reshape(T, -1)
@@ -164,7 +164,7 @@ def _layer_fwd(cfg: ModelConfig, lp: dict, hidden, attn_fn, cos, sin,
         attn_out = jax.lax.psum(attn_out, axis_name)
     hidden = hidden + attn_out
     h_norm2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-    mlp_out = mlp(lp, h_norm2)
+    mlp_out = mlp(lp, h_norm2, chunk=cfg.mlp_chunk)
     if axis_name is not None:
         mlp_out = jax.lax.psum(mlp_out, axis_name)
     hidden = hidden + mlp_out
@@ -251,7 +251,7 @@ def attn_mlp_chunk(cfg: ModelConfig, lp: dict, h_c: jax.Array,
         attn_out = jax.lax.psum(attn_out, axis_name)
     h_c = h_c + attn_out
     h2 = rms_norm(h_c, lp["ln2"], cfg.rms_norm_eps)
-    mlp_out = mlp(lp, h2)
+    mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
     if axis_name is not None:
         mlp_out = jax.lax.psum(mlp_out, axis_name)
     return h_c + mlp_out
@@ -355,7 +355,7 @@ def prefill_capture_kv(cfg: ModelConfig, params: dict, tokens: jax.Array,
             attn_out = jax.lax.psum(attn_out, axis_name)
         hidden = hidden + attn_out
         h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-        mlp_out = mlp(lp, h2)
+        mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         return hidden + mlp_out, (k, v)
@@ -514,7 +514,7 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
             attn_out = jax.lax.psum(attn_out, axis_name)
         hidden = hidden + attn_out
         h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-        mlp_out = mlp(lp, h2)
+        mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
         if axis_name is not None:
             mlp_out = jax.lax.psum(mlp_out, axis_name)
         if deferred:
