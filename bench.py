@@ -164,6 +164,10 @@ def main():
         state = policy.init_state(jnp.bfloat16)
         tok0, state = prefill(params, state, jnp.asarray(toks_np))
         first = int(tok0)
+        # free the compile-run state BEFORE allocating the timing run's:
+        # at 128k the dense arm's KV state is ~8.6 GB — two copies plus
+        # weights exceed a 16 GB v5e chip (measured RESOURCE_EXHAUSTED)
+        state = None
         state2 = policy.init_state(jnp.bfloat16)
         t0 = time.perf_counter()
         tok0, state = prefill(params, state2, jnp.asarray(toks_np))
