@@ -124,7 +124,8 @@ def run(args) -> list[dict]:
                                 recent_ratio=0.5, sink_size=32),
             runtime=RuntimeConfig(policy=policy, prefill_bucket=1024,
                                   max_new_tokens=args.gen,
-                                  max_seq_len=args.ctx + 2048),
+                                  max_seq_len=args.ctx + 2048,
+                                  prefill_chunk=args.prefill_chunk),
         )
         eng = BatchEngine(cfg, params, batch_size=args.pool,
                           prefill_len=args.ctx, max_new_tokens=args.gen,
@@ -164,6 +165,12 @@ def parse_args(argv=None):
     p.add_argument("--prefix-len", dest="prefix_len", type=int, default=0,
                    help="shared system-prompt prefix length (prefilled "
                         "once, reused by every request; 0 = off)")
+    p.add_argument("--prefill-chunk", dest="prefill_chunk", type=int,
+                   default=8192,
+                   help="admit-prefill activation chunk (0 = unchunked). "
+                        "Admissions run with the pool's batched state "
+                        "resident, so full-length prefill activations are "
+                        "the pool's peak-memory term")
     p.add_argument("--compress", type=float, default=0.2)
     p.add_argument("--select-block", type=int, default=256)
     p.add_argument("--fetch-par", type=int, default=16)

@@ -298,8 +298,15 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
         k, v = kv_full_chunked(cfg, lp, hidden, cos, sin, chunk)
 
         # pass B: per-chunk attention + MLP (static chunk offsets — the
-        # packed flash grid covers exactly each chunk's reachable blocks)
-        outs = []
+        # packed flash grid covers exactly each chunk's reachable blocks).
+        # Each chunk's output overwrites ITS OWN rows in place
+        # (dynamic_update_slice chain XLA can alias): chunk c+1 reads only
+        # rows [c0+chunk, ...) which no earlier update touched, and pass A
+        # already materialized k/v, so the original hidden rows are dead
+        # once their chunk is computed. The previous outs-list +
+        # concatenate held input hidden, nc chunk outputs, AND the concat
+        # result live at once — 3×[P, E] ≈ 3.2 GB of transient at 128k,
+        # the measured RESOURCE_EXHAUSTED in the 128k bench arm.
         for c in range(nc):
             c0 = c * chunk
             h_c = jax.lax.slice(hidden, (c0, 0), (c0 + chunk, E))
@@ -307,11 +314,11 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
             sin_c = jax.lax.slice(sin, (c0, 0), (c0 + chunk, sin.shape[1]))
             k_pref = jax.lax.slice(k, (0, 0, 0), (H_kv, c0 + chunk, D))
             v_pref = jax.lax.slice(v, (0, 0, 0), (H_kv, c0 + chunk, D))
-            outs.append(attn_mlp_chunk(
+            out_c = attn_mlp_chunk(
                 cfg, lp, h_c, cos_c, sin_c, k_pref, v_pref, pad_len, c0,
                 use_pallas=use_pallas, interpret=interpret,
-                axis_name=axis_name))
-        hidden = jnp.concatenate(outs, axis=0)
+                axis_name=axis_name)
+            hidden = jax.lax.dynamic_update_slice(hidden, out_c, (c0, 0))
 
         # pass C: the policy's codebook/state tail on the full K/V
         state = policy.prefill_tail(state, idx, k, v, pad_len, true_len)

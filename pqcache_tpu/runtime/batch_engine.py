@@ -71,10 +71,24 @@ class BatchEngine:
         if self.P_suf <= 0:
             raise ValueError(f"prefix {prefix.n} leaves no suffix room "
                              f"under prefill_len {prefill_len}")
+        # chunked (activation-bounded) admit prefill: admissions run with
+        # the pool's multi-GB batched state RESIDENT, so full-length
+        # prefill activations are the pool's peak-memory term (measured
+        # RESOURCE_EXHAUSTED at pool=8 @ 32k/8L on a 16 GB chip). The
+        # chunk plan may pad the pool prefill length up to a chunk
+        # multiple; budget/state derive from the padded length.
+        from pqcache_tpu.runtime.generate import chunk_plan
+        ch = cfg.runtime.prefill_chunk
+        pf_chunk = 0
+        if prefix is None and ch and self.P > ch:
+            self.P, pf_chunk = chunk_plan(self.P, ch)
         self.max_new = max_new_tokens
         self.dtype = dtype
-        self.budget = compute_budget(cfg.budget, prefill_len, max_new_tokens)
+        self.budget = compute_budget(cfg.budget, self.P, max_new_tokens)
         self.policy = get_policy(cfg, self.budget)
+        if pf_chunk and not hasattr(self.policy, "prefill_tail"):
+            pf_chunk = 0               # policy can't split prefill passes
+        self._pf_chunk = pf_chunk
         if not hasattr(self.policy, "decode_attn_batched"):
             raise ValueError(
                 f"policy {cfg.runtime.policy!r} has no batch-as-heads decode")
@@ -104,9 +118,16 @@ class BatchEngine:
                     return jnp.argmax(logits).astype(jnp.int32), st
                 return logits, st         # first token sampled host-side
         else:
+            pf_chunk = self._pf_chunk
+
             def prefill_fn(params, state, tokens, pad_len, true_len):
-                logits, st = llama.prefill(m, params, self.policy, state,
-                                           tokens, pad_len, true_len)
+                if pf_chunk:
+                    logits, st = llama.prefill_chunked(
+                        m, params, self.policy, state, tokens, pad_len,
+                        true_len, chunk=pf_chunk)
+                else:
+                    logits, st = llama.prefill(m, params, self.policy, state,
+                                               tokens, pad_len, true_len)
                 if self.sampler is None:
                     return jnp.argmax(logits).astype(jnp.int32), st
                 return logits, st         # first token sampled host-side
