@@ -130,6 +130,10 @@ def main():
     # contexts where the dense baseline cannot run (OOM — e.g. 128k on one
     # chip): measure pq alone, report vs_baseline as null
     skip_base = os.environ.get("BENCH_SKIP_BASE", "0") == "1"
+    # BENCH_KV_INT8=1: int8 HBM tail (per-channel scales) — halves the pq
+    # state; the dense baseline stays bf16 (its quality contract)
+    kv_dtype = "int8" if os.environ.get("BENCH_KV_INT8", "0") == "1" else "bf16"
+    from pqcache_tpu.config import CacheConfig
     results = {}
     for policy_name in (("pq_search",) if skip_base
                         else ("pq_search", "original")):
@@ -140,6 +144,8 @@ def main():
                         fetch_pair=fetch_pair),
             budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
                                 sink_size=32),
+            cache=CacheConfig(
+                kv_dtype=kv_dtype if policy_name == "pq_search" else "bf16"),
             runtime=RuntimeConfig(policy=policy_name, prefill_bucket=1024,
                                   max_new_tokens=gen + 2,
                                   max_seq_len=P + 2048,

@@ -170,6 +170,18 @@ class CacheConfig:
     block_size: int = 128             # cache_block_size
     hbm_cache_tokens: int = 4096      # global_cache_size
     cache_topk_blocks: int = 32       # cache_topk
+    # KV-tail storage dtype for the HBM tier ("bf16" | "int8"). int8 halves
+    # the dominant state buffer (the [L, H_kv, N, 2D] tail) with
+    # per-(layer, head, CHANNEL) scales frozen at prefill: the K scale
+    # folds into q before scoring and the V scale folds out of the
+    # attention partials, so the fused block-retrieval kernel reads int8
+    # rows with no per-row scale plumbing. Beyond the reference (fp16
+    # everywhere); enables pool=16 serving at 32k on one 16 GB chip.
+    kv_dtype: str = "bf16"
+
+    def __post_init__(self):
+        if self.kv_dtype not in ("bf16", "int8"):
+            raise ValueError(f"unknown kv_dtype {self.kv_dtype}")
 
 
 @dataclass(frozen=True)

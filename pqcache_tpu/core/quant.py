@@ -1,0 +1,72 @@
+"""Per-channel int8 quantization for the HBM KV tail.
+
+The KV tail ([L, H_kv, N, 2D] — runtime/state.py) is the dominant state
+buffer; int8 halves it, which is what lets a 16 GB v5e chip hold a
+16-slot 32k serving pool. The scheme is chosen so the DECODE hot path
+needs no per-row scale arithmetic at all:
+
+  * scales are per (layer, head, CHANNEL) — k_scale/v_scale [L, H_kv, 1, D]
+    f32 — computed once from the prefill keys/values (absmax/127 over the
+    valid tokens) and FROZEN; generated tokens quantize with the same
+    scales and clip (per-channel magnitudes are stable across positions,
+    and RoPE'd K channels are bounded by the max norm of their rotation
+    pair).
+  * K dequant folds into the QUERY: q·(s_k ⊙ K_int8) = (q ⊙ s_k)·K_int8,
+    so the fused block-retrieval kernel (ops/block_attn_pallas.py) reads
+    int8 rows and converts — zero scale plumbing in the kernel.
+  * V dequant folds out of the ATTENTION PARTIALS: the online-softmax
+    accumulator is linear in V, so acc ⊙ s_v after the kernel (and after
+    any XLA segment partial) is exact.
+
+Per-channel K scaling is also the quality-right choice: K outliers
+concentrate in channels (KIVI, arXiv 2402.02750), which per-token scales
+cannot absorb. The reference keeps fp16 KV everywhere and pays PCIe for
+it (cache_manager.py:89-100); int8 is a TPU-side capability beyond it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def kv_channel_scales(k: jax.Array, v: jax.Array,
+                      valid_len: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-channel absmax/127 scales over the first `valid_len` tokens.
+
+    k, v: [H_kv, T, D] (any float dtype); valid_len: i32 scalar (tokens at
+    index >= valid_len are garbage — rolled padding — and must not poison
+    the absmax). Returns (k_scale, v_scale) each [H_kv, 1, D] f32, floored
+    at a tiny epsilon so all-zero channels stay finite.
+    """
+    T = k.shape[1]
+    valid = (jnp.arange(T, dtype=jnp.int32) < valid_len)[None, :, None]
+    amax = lambda x: jnp.max(
+        jnp.where(valid, jnp.abs(x.astype(jnp.float32)), 0.0),
+        axis=1, keepdims=True)
+    eps = jnp.float32(1e-8)
+    return (jnp.maximum(amax(k) / 127.0, eps),
+            jnp.maximum(amax(v) / 127.0, eps))
+
+
+def quantize_kv(k: jax.Array, v: jax.Array, k_scale: jax.Array,
+                v_scale: jax.Array) -> jax.Array:
+    """Quantize K/V rows into one interleaved int8 row buffer.
+
+    k, v: [..., T, D]; scales broadcastable [..., 1, D] f32.
+    Returns [..., T, 2D] int8 (K in [:D], V in [D:] — the tail layout)."""
+    q = lambda x, s: jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return jnp.concatenate([q(k, k_scale), q(v, v_scale)], axis=-1)
+
+
+def dequant_kv(kv: jax.Array, k_scale: jax.Array, v_scale: jax.Array,
+               dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
+    """Split + dequantize interleaved int8 rows.
+
+    kv: [..., T, 2D] int8; scales broadcastable against [..., T, D].
+    Returns (k, v) in `dtype`."""
+    D = kv.shape[-1] // 2
+    k = kv[..., :D].astype(jnp.float32) * k_scale
+    v = kv[..., D:].astype(jnp.float32) * v_scale
+    return k.astype(dtype), v.astype(dtype)

@@ -88,6 +88,7 @@ def make_engine_config(args, model_cfg: ModelConfig) -> EngineConfig:
             block_size=g("cache_block_size", 128),
             hbm_cache_tokens=g("global_cache_size", 4096),
             cache_topk_blocks=g("cache_topk", 32),
+            kv_dtype=g("kv_dtype", "bf16"),
         ),
         runtime=RuntimeConfig(
             policy=args.compressor,
@@ -309,6 +310,11 @@ def parse_args(argv=None):
     pp.add_argument("--top-k", dest="top_k", type=int, default=0)
     pp.add_argument("--top-p", dest="top_p", type=float, default=1.0)
     pp.add_argument("--sample-seed", dest="sample_seed", type=int, default=0)
+    pp.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
+                    choices=["bf16", "int8"],
+                    help="HBM KV-tail storage dtype; int8 halves the "
+                         "dominant state buffer (per-channel scales, "
+                         "core/quant.py)")
     pp.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked (activation-bounded) prefill slab in "
                          "tokens (HBM and offload tiers); 0 = full-length")

@@ -115,11 +115,15 @@ def run(args) -> list[dict]:
         prefix = Engine(cap_cfg, params).prefill_prefix(pre_ids)
         prompts = [p[: args.ctx - args.prefix_len] for p in prompts]
     for policy in args.policies:
+        from pqcache_tpu.config import CacheConfig
         cfg = EngineConfig(
             model=model,
             pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
                         select_block=args.select_block,
                         fetch_par=args.fetch_par),
+            cache=CacheConfig(
+                kv_dtype=(args.kv_dtype if policy == "pq_search"
+                          else "bf16")),
             budget=BudgetConfig(compress_ratio=args.compress,
                                 recent_ratio=0.5, sink_size=32),
             runtime=RuntimeConfig(policy=policy, prefill_bucket=1024,
@@ -170,8 +174,15 @@ def parse_args(argv=None):
                    help="admit-prefill activation chunk (0 = unchunked). "
                         "Admissions run with the pool's batched state "
                         "resident, so full-length prefill activations are "
-                        "the pool's peak-memory term")
+                        "the pool's peak-memory term. IGNORED when "
+                        "--prefix-len is set: prefix-cached admissions "
+                        "already prefill only the (short) suffix slab")
     p.add_argument("--compress", type=float, default=0.2)
+    p.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
+                   choices=["bf16", "int8"],
+                   help="pq_search HBM-tail dtype; int8 halves the pool "
+                        "state (pool=8 @ 32k/8L no longer OOMs; pool=16 "
+                        "fits one 16 GB chip)")
     p.add_argument("--select-block", type=int, default=256)
     p.add_argument("--fetch-par", type=int, default=16)
     p.add_argument("--policies", nargs="*",

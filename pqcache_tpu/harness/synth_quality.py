@@ -128,10 +128,12 @@ def train(cfg: ModelConfig, n: int, steps: int, batch: int = 32,
 
 def evaluate(cfg: ModelConfig, params: dict, policies, n: int,
              eval_n: int = 32, gen: int = 24, k_prefix: int = 4,
-             seed: int = 123, compress_ratio: float = 0.2, **pq_kw):
+             seed: int = 123, compress_ratio: float = 0.2,
+             kv_dtype: str = "bf16", **pq_kw):
     """Per-policy mean per-token copy accuracy through the inference
     Engine: prompt [x1..xn x1..xk], free-run `gen` tokens, compare to
     x_{k+1}..x_{k+gen}."""
+    from pqcache_tpu.config import CacheConfig
     from pqcache_tpu.runtime.generate import Engine
     rng = np.random.default_rng(seed)
     toks = gen_copy(rng, n, eval_n)
@@ -146,6 +148,8 @@ def evaluate(cfg: ModelConfig, params: dict, policies, n: int,
                         approx_topk=False, **pq_kw),
             budget=BudgetConfig(compress_ratio=compress_ratio,
                                 recent_ratio=0.5, sink_size=4),
+            cache=CacheConfig(
+                kv_dtype=kv_dtype if name == "pq_search" else "bf16"),
             runtime=RuntimeConfig(policy=name, prefill_bucket=T,
                                   max_new_tokens=gen + 2,
                                   max_seq_len=2 * (T + gen),
@@ -178,6 +182,9 @@ def main(argv=None):
                          "(reference protocol: test_nah.py depth grid)")
     ap.add_argument("--policies", nargs="*",
                     default=["original", "pq_search", "h2o", "no_drop_lb"])
+    ap.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
+                    choices=["bf16", "int8"],
+                    help="pq_search HBM-tail dtype (int8 quality check)")
     args = ap.parse_args(argv)
     cfg = model_config(args.n)
     t0 = time.perf_counter()
@@ -193,7 +200,8 @@ def main(argv=None):
             grid[f"depth_{frac}"] = evaluate(
                 cfg, params, args.policies, args.n, eval_n=args.eval_n,
                 gen=args.gen, k_prefix=k,
-                compress_ratio=args.compress_ratio, metric=args.metric)
+                compress_ratio=args.compress_ratio, metric=args.metric,
+                kv_dtype=args.kv_dtype)
         print(json.dumps({
             "task": f"copy/induction depth grid, half-length {args.n}",
             "budget": f"compress {args.compress_ratio}, recent 0.5, sink 4",
@@ -203,7 +211,7 @@ def main(argv=None):
         return
     acc = evaluate(cfg, params, args.policies, args.n, eval_n=args.eval_n,
                    gen=args.gen, compress_ratio=args.compress_ratio,
-                   metric=args.metric)
+                   metric=args.metric, kv_dtype=args.kv_dtype)
     print(json.dumps({
         "task": f"copy/induction, half-length {args.n} (prompt "
                 f"{args.n+4} tokens), free-run {args.gen} tokens",

@@ -39,7 +39,8 @@ from pqcache_tpu.runtime.state import PQState
 
 
 # 5-D state specs: [L, B, H_kv, ...] → (None, "dp", "tp", ...)
-def batch_state_specs(jhist: bool = False, ring: bool = False) -> PQState:
+def batch_state_specs(jhist: bool = False, ring: bool = False,
+                      int8_scales: bool = False) -> PQState:
     h5 = P(None, "dp", "tp", None, None)
     return PQState(
         k_sink=h5, v_sink=h5, kv_tail=h5, codes=h5,
@@ -47,7 +48,9 @@ def batch_state_specs(jhist: bool = False, ring: bool = False) -> PQState:
         phi=h5, n_cand=P("dp"), pos=P("dp"),
         jhist=h5 if jhist else None,
         ring_kv=h5 if ring else None,
-        ring_r=P() if ring else None)
+        ring_r=P() if ring else None,
+        k_scale=h5 if int8_scales else None,
+        v_scale=h5 if int8_scales else None)
 
 
 BATCH_STATE_SPECS = batch_state_specs()
@@ -97,7 +100,8 @@ class BatchTPEngine:
         local_m = self.cfg_local.model
         policy = self.policy
         sspec = batch_state_specs(jhist=policy.use_jhist,
-                                  ring=bool(policy.ring_k))
+                                  ring=bool(policy.ring_k),
+                                  int8_scales=policy.kv_int8)
 
         def prefill_wave(p, bstate, tokens, pad, tlen, lslot, admit):
             """One dp wave: each dp group prefills ITS prompt (tokens local
@@ -138,7 +142,11 @@ class BatchTPEngine:
                     pos=b_in.pos.at[lslot].set(st.pos),
                     jhist=(ins(b_in.jhist, st.jhist)
                            if policy.use_jhist else None),
-                    ring_kv=b_in.ring_kv, ring_r=b_in.ring_r)
+                    ring_kv=b_in.ring_kv, ring_r=b_in.ring_r,
+                    k_scale=(ins(b_in.k_scale, st.k_scale)
+                             if policy.kv_int8 else None),
+                    v_scale=(ins(b_in.v_scale, st.v_scale)
+                             if policy.kv_int8 else None))
 
             new = jax.lax.cond(admit[0] > 0, do_insert, lambda b: b, bstate)
             return first[None], new

@@ -194,7 +194,8 @@ class DistributedBatchTPEngine(BatchTPEngine):
             return super().init_state(B)
         from pqcache_tpu.parallel.batch_tp import batch_state_specs
         specs = batch_state_specs(jhist=self.policy.use_jhist,
-                                  ring=bool(self.policy.ring_k))
+                                  ring=bool(self.policy.ring_k),
+                                  int8_scales=self.policy.kv_int8)
         shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(self.mesh, s), specs)
         shapes = jax.eval_shape(lambda: BatchTPEngine.init_state(self, B))

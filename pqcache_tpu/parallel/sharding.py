@@ -62,10 +62,11 @@ def _prepend(spec: P, axis: Optional[str]) -> P:
 
 
 def pq_state_specs(batch_axis: Optional[str] = None,
-                   jhist: bool = False) -> Any:
+                   jhist: bool = False, int8_scales: bool = False) -> Any:
     """PartitionSpecs for PQState (kv-head dim sharded over tp). Pass
     jhist=True when the policy's joint-histogram scorer is active (the
-    state then carries the extra [L, H_kv, C², NB] buffer)."""
+    state then carries the extra [L, H_kv, C², NB] buffer); int8_scales=True
+    when cache.kv_dtype="int8" (per-channel scale leaves ride the head dim)."""
     from pqcache_tpu.runtime.state import PQState
     h4 = _prepend(P(None, "tp", None, None), batch_axis)
     return PQState(
@@ -75,6 +76,8 @@ def pq_state_specs(batch_axis: Optional[str] = None,
         n_cand=_prepend(P(), batch_axis),
         pos=_prepend(P(), batch_axis),
         jhist=h4 if jhist else None,
+        k_scale=h4 if int8_scales else None,
+        v_scale=h4 if int8_scales else None,
     )
 
 

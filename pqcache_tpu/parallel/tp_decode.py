@@ -99,7 +99,8 @@ class TPEngine:
             return llama.decode_loop(local_m, p, policy, s, tok, pos, n,
                                      axis_name="tp")
 
-        sspec = pq_state_specs(jhist=policy.use_jhist)
+        sspec = pq_state_specs(jhist=policy.use_jhist,
+                               int8_scales=policy.kv_int8)
         self._prefill = jax.jit(shard_map(
             prefill_body, mesh=mesh,
             in_specs=(PARAM_SPECS, sspec, P(), P(), P()),

@@ -75,14 +75,23 @@ def register_policy(name: str):
     return deco
 
 
-def get_policy(cfg: EngineConfig, budget: Budget) -> AttentionPolicy:
+def _ensure_registered():
     import pqcache_tpu.policies.original  # noqa: F401
     import pqcache_tpu.policies.pq_search  # noqa: F401
     import pqcache_tpu.policies.h2o  # noqa: F401
     import pqcache_tpu.policies.infllm  # noqa: F401
     import pqcache_tpu.policies.no_drop_lb  # noqa: F401
     import pqcache_tpu.policies.sparq  # noqa: F401
-    name = cfg.runtime.policy
+
+
+def policy_class(name: str) -> Any:
+    """Registry lookup without constructing (capability checks — e.g.
+    `hasattr(cls, "prefill_tail")` — before the budget exists)."""
+    _ensure_registered()
     if name not in _REGISTRY:
         raise KeyError(f"unknown policy {name!r}; have {sorted(_REGISTRY)}")
-    return _REGISTRY[name](cfg, budget)
+    return _REGISTRY[name]
+
+
+def get_policy(cfg: EngineConfig, budget: Budget) -> AttentionPolicy:
+    return policy_class(cfg.runtime.policy)(cfg, budget)

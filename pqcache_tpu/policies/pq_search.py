@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from pqcache_tpu.config import EngineConfig
-from pqcache_tpu.core import pq
+from pqcache_tpu.core import pq, quant
 from pqcache_tpu.core.budget import Budget
 from pqcache_tpu.ops.attention_xla import (
     decode_window_attention, decode_window_attention_segments,
@@ -79,6 +79,10 @@ class PQSearchPolicy:
                 f"2*select_block dividing the 256-aligned tail "
                 f"(got select_block={self.select_block})")
         self.fetch_pair = cfg.pq.fetch_pair
+        # int8 KV tail (cache.kv_dtype="int8", core/quant.py): per-channel
+        # scales frozen at prefill; K scale folds into q, V scale folds out
+        # of the attention partials — the fused kernel reads int8 directly.
+        self.kv_int8 = cfg.cache.kv_dtype == "int8"
         self.check_recall = cfg.pq.check_recall
         # GQA=False: per-q-head top-k (no group reduction). The reference
         # parses the flag but raises "wo GQA not supported currently"
@@ -134,6 +138,48 @@ class PQSearchPolicy:
         return (x.reshape(H_kv, T, self.S, self.d_sub)
                 .transpose(0, 2, 1, 3)
                 .reshape(H_kv * self.S, T, self.d_sub))
+
+    # -- int8 tail helpers (no-ops for bf16 tails) --------------------------
+
+    def _split_rows(self, kv_rows, state, idx):
+        """Split (+ dequantize) tail rows [..., T, 2D] → (k, v).
+        Scales broadcast per (folded) kv head, so callers must keep the
+        head axis leading ([H_kv(·B), T, 2D])."""
+        if not self.kv_int8:
+            return kv_rows[..., :self.D], kv_rows[..., self.D:]
+        return quant.dequant_kv(kv_rows, state.k_scale[idx],
+                                state.v_scale[idx])
+
+    def _tail_kv(self, k, v, state, idx=None):
+        """Interleave (+ quantize) K/V rows into tail storage. k, v
+        [..., T, D] with the same leading axes as the scales ([H_kv(·B)]
+        for per-layer idx, [L, H_kv(·B)] stacked when idx is None)."""
+        if not self.kv_int8:
+            return jnp.concatenate([k, v], axis=-1).astype(
+                state.kv_tail.dtype)
+        ks = state.k_scale if idx is None else state.k_scale[idx]
+        vs = state.v_scale if idx is None else state.v_scale[idx]
+        return quant.quantize_kv(k, v, ks, vs)
+
+    def _q_for_tail(self, q_flat, state, idx):
+        """Fold the per-channel K scale into q for int8 scoring over tail
+        rows: q·(s⊙K_int8) = (q⊙s)·K_int8. q_flat [H(·B), D] → [·, 1, D]
+        f32 when int8 (exact product before the kernel's f32 dot), else
+        [·, 1, D] unchanged dtype."""
+        Hq = q_flat.shape[0]
+        if not self.kv_int8:
+            return q_flat.reshape(Hq, 1, self.D)
+        nh = state.k_scale.shape[1]          # H_kv or B·H_kv (folded)
+        qs = (q_flat.astype(jnp.float32).reshape(nh, Hq // nh, self.D)
+              * state.k_scale[idx])
+        return qs.reshape(Hq, 1, self.D)
+
+    def _deq_partials(self, m_p, l_p, acc_p, state, idx):
+        """Fold the per-channel V scale out of fused-kernel partials:
+        acc is linear in V, so acc ⊙ s_v is the exact dequant."""
+        if self.kv_int8:
+            acc_p = acc_p * state.v_scale[idx]
+        return m_p, l_p, acc_p
 
     # -- prefill ----------------------------------------------------------
 
@@ -200,11 +246,16 @@ class PQSearchPolicy:
         codes_src = res.codes.reshape(
             self.H_kv, self.S, P - b.sink).astype(state.codes.dtype)
 
-        dt = state.kv_tail.dtype
+        dt = state.k_sink.dtype
         up = lambda buf, val: jax.lax.dynamic_update_slice(
             buf, val[None], (idx,) + (0,) * val.ndim)
-        kv_src = jnp.concatenate(
-            [k_tail_src, v_tail_src], axis=-1).astype(dt)
+        if self.kv_int8:
+            ks, vs = quant.kv_channel_scales(k_tail_src, v_tail_src,
+                                             n_valid_tail)
+            kv_src = quant.quantize_kv(k_tail_src, v_tail_src, ks, vs)
+        else:
+            kv_src = jnp.concatenate(
+                [k_tail_src, v_tail_src], axis=-1).astype(dt)
         n_cand0 = jnp.maximum(n_valid_tail - b.local, 0)
         new = state.replace(
             k_sink=up(state.k_sink, k_sink.astype(dt)),
@@ -215,6 +266,9 @@ class PQSearchPolicy:
             phi=up(state.phi, phi),
             n_cand=n_cand0,
             pos=true_len.astype(jnp.int32))
+        if self.kv_int8:
+            new = new.replace(k_scale=up(state.k_scale, ks),
+                              v_scale=up(state.v_scale, vs))
         if self.use_jhist:
             N_tail = state.codes.shape[-1]
             codes_full = jnp.pad(
@@ -296,15 +350,13 @@ class PQSearchPolicy:
 
             # write the new token into the tail BEFORE attention so the
             # whole [local|new] span is one contiguous region
-            dt = state.kv_tail.dtype
-            kv_new = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
+            kv_new = self._tail_kv(k_new, v_new, state, idx)
             kv_tail = jax.lax.dynamic_update_slice(
                 state.kv_tail, kv_new[None], (idx, 0, slot, 0))
-            tail = kv_tail[idx]
-            k_win = jnp.concatenate(
-                [k_sink, tail[..., :self.D]], axis=1)
-            v_win = jnp.concatenate(
-                [v_sink, tail[..., self.D:]], axis=1)
+            k_tail_full, v_tail_full = self._split_rows(kv_tail[idx],
+                                                        state, idx)
+            k_win = jnp.concatenate([k_sink, k_tail_full], axis=1)
+            v_win = jnp.concatenate([v_sink, v_tail_full], axis=1)
             win_mask = jnp.concatenate(
                 [jnp.ones((self.H_kv, b.sink), bool), tail_mask], axis=1)
             out = decode_window_attention(q, k_win, v_win, win_mask)
@@ -347,13 +399,15 @@ class PQSearchPolicy:
                 from pqcache_tpu.ops.block_attn_pallas import (
                     block_topk_attention)
                 m_p, l_p, acc_p = block_topk_attention(
-                    q, state.kv_tail, idx, blk_idx, n_cand, block=bs,
+                    self._q_for_tail(q.reshape(H, self.D), state, idx),
+                    state.kv_tail, idx, blk_idx, n_cand, block=bs,
                     n_par=self.cfg.pq.fetch_par, pair=self.fetch_pair,
                     interpret=self.interpret)
                 return self._finish_decode(
                     state, idx, q, k_new, v_new, n_cand, centroids,
                     k_sink, v_sink, None, None, None,
-                    partials=[(m_p, l_p, acc_p)])
+                    partials=[self._deq_partials(m_p, l_p, acc_p,
+                                                 state, idx)])
             # expand blocks to row indices and gather rows DIRECTLY from the
             # carried tail — reshaping the scan-carried buffer before a
             # traced-layer index forced XLA to materialize a copy of the
@@ -393,13 +447,13 @@ class PQSearchPolicy:
                 # CHECK_RECALL=1 mode, pq_search.py:324-328): exact top-k
                 # over the candidate keys vs the PQ selection, printed per
                 # layer-step. Debug only — reads the full tail.
-                k_cand = state.kv_tail[idx][..., :self.D]
+                k_cand, _ = self._split_rows(state.kv_tail[idx], state, idx)
                 exact_idx = pq.exact_topk(
                     q.reshape(-1, self.D), k_cand, n_cand, b.topk,
                     group=self.group)
                 rec = pq.topk_recall(topk_idx, exact_idx, group=self.group)
                 jax.debug.print("pq recall layer={i}: {r:.3f}", i=idx, r=rec)
-        k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
+        k_top, v_top = self._split_rows(kv_top, state, idx)
         return self._finish_decode(state, idx, q, k_new, v_new, n_cand,
                                    centroids, k_sink, v_sink, k_top, v_top,
                                    topk_idx)
@@ -415,9 +469,9 @@ class PQSearchPolicy:
         kv_local = jax.lax.dynamic_slice(
             state.kv_tail, (idx, 0, n_cand, 0),
             (1, self.H_kv, b.local, 2 * self.D))[0]
-        k_local, v_local = kv_local[..., :self.D], kv_local[..., self.D:]
+        k_local, v_local = self._split_rows(kv_local, state, idx)
 
-        dt = state.kv_tail.dtype
+        dt = k_sink.dtype
         # segmented online-softmax merge: no window concatenation
         # (concat copied the whole [sink|local|topk|new] window per layer)
         segs = [(k_sink, v_sink, None), (k_local, v_local, None)]
@@ -440,7 +494,7 @@ class PQSearchPolicy:
         new_codes = pq.pq_encode(x_new, cent_flat).reshape(
             self.H_kv, self.S, 1).astype(state.codes.dtype)
 
-        kv_new = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
+        kv_new = self._tail_kv(k_new, v_new, state, idx)
         new = state.replace(
             kv_tail=jax.lax.dynamic_update_slice(
                 state.kv_tail, kv_new[None], (idx, 0, slot, 0)),
@@ -458,7 +512,6 @@ class PQSearchPolicy:
         b = self.budget
         slot = shared["n_cand"] + b.local
         L, H_kv, D = k_new.shape
-        dt = state.kv_tail.dtype
         xg = self._to_groups(k_new.reshape(L * H_kv, 1, D))
         if self.metric == "ip":
             xg = pq.ip2l2_lift_with_phi(
@@ -466,7 +519,7 @@ class PQSearchPolicy:
         cent = state.centroids.reshape(L * H_kv * self.S, self.C, -1)
         codes = pq.pq_encode(xg, cent).reshape(
             L, H_kv, self.S, 1).astype(state.codes.dtype)
-        kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)[:, :, None]
+        kv = self._tail_kv(k_new[:, :, None], v_new[:, :, None], state)
         new = state.replace(
             kv_tail=jax.lax.dynamic_update_slice(
                 state.kv_tail, kv, (0, 0, slot, 0)),
@@ -500,16 +553,20 @@ class PQSearchPolicy:
         topk_idx = jnp.sort(topk_idx, axis=-1)
         kv_head = jnp.arange(H, dtype=jnp.int32) // self.group
         kv_top = state.kv_tail[idx, kv_head[:, None], topk_idx]  # [H,k,2D]
-        k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
+        rep = lambda x: jnp.repeat(x, self.group, axis=0)  # [H_kv,..]→[H,..]
+        if self.kv_int8:
+            k_top, v_top = quant.dequant_kv(
+                kv_top, rep(state.k_scale[idx]), rep(state.v_scale[idx]))
+        else:
+            k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
 
         kv_local = jax.lax.dynamic_slice(
             state.kv_tail, (idx, 0, n_cand, 0),
             (1, self.H_kv, b.local, 2 * self.D))[0]
-        rep = lambda x: jnp.repeat(x, self.group, axis=0)  # [H_kv,..]→[H,..]
-        k_local = rep(kv_local[..., :self.D])
-        v_local = rep(kv_local[..., self.D:])
+        k_loc, v_loc = self._split_rows(kv_local, state, idx)
+        k_local, v_local = rep(k_loc), rep(v_loc)
 
-        dt = state.kv_tail.dtype
+        dt = k_sink.dtype
         out = decode_window_attention_segments(q, [
             (rep(k_sink), rep(v_sink), None),
             (k_local, v_local, None),
@@ -524,7 +581,7 @@ class PQSearchPolicy:
         cent_flat = centroids.reshape(self.H_kv * self.S, self.C, -1)
         new_codes = pq.pq_encode(x_new, cent_flat).reshape(
             self.H_kv, self.S, 1).astype(state.codes.dtype)
-        kv_new = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
+        kv_new = self._tail_kv(k_new, v_new, state, idx)
         new = state.replace(
             kv_tail=jax.lax.dynamic_update_slice(
                 state.kv_tail, kv_new[None], (idx, 0, slot, 0)),
@@ -587,7 +644,11 @@ class PQSearchPolicy:
             n_cand=bstate.n_cand.at[slot].set(state.n_cand),
             pos=bstate.pos.at[slot].set(state.pos),
             jhist=(up1(bstate.jhist, state.jhist, H_kv)
-                   if self.use_jhist else None))
+                   if self.use_jhist else None),
+            k_scale=(up1(bstate.k_scale, state.k_scale, H_kv)
+                     if self.kv_int8 else None),
+            v_scale=(up1(bstate.v_scale, state.v_scale, H_kv)
+                     if self.kv_int8 else None))
 
     def decode_attn_batched(self, state: PQState, idx, q, k_new, v_new,
                             shared):
@@ -655,11 +716,11 @@ class PQSearchPolicy:
                 from pqcache_tpu.ops.block_attn_pallas import (
                     block_topk_attention)
                 m_p, l_p, acc_p = block_topk_attention(
-                    qf.reshape(B * H, 1, self.D), state.kv_tail, idx,
+                    self._q_for_tail(qf, state, idx), state.kv_tail, idx,
                     blk_idx, n_cand_h, block=bs,
                     n_par=self.cfg.pq.fetch_par, pair=self.fetch_pair,
                     interpret=self.interpret)
-                partials = [(m_p, l_p, acc_p)]
+                partials = [self._deq_partials(m_p, l_p, acc_p, state, idx)]
             else:
                 topk_idx = (blk_idx[:, :, None] * bs
                             + jnp.arange(bs, dtype=jnp.int32)[None, None, :]
@@ -695,9 +756,14 @@ class PQSearchPolicy:
                 state.kv_tail,
                 (idx, b_i * self.H_kv, shared["n_cand"][b_i], 0),
                 (1, self.H_kv, b.local, 2 * self.D))[0]
+            if self.kv_int8:
+                hsl = slice(b_i * self.H_kv, (b_i + 1) * self.H_kv)
+                kl, vl = quant.dequant_kv(kvl, state.k_scale[idx, hsl],
+                                          state.v_scale[idx, hsl])
+            else:
+                kl, vl = kvl[..., :self.D], kvl[..., self.D:]
             lp.append(segment_partial(
-                qg[b_i * self.H_kv:(b_i + 1) * self.H_kv],
-                kvl[..., :self.D], kvl[..., self.D:], lmask))
+                qg[b_i * self.H_kv:(b_i + 1) * self.H_kv], kl, vl, lmask))
         partials = partials + [tuple(
             jnp.concatenate([p[i] for p in lp], axis=0) for i in range(3))]
         segs = [(k_sink, v_sink, None)]
@@ -709,10 +775,10 @@ class PQSearchPolicy:
             segs.append((rkv[..., :self.D], rkv[..., self.D:], rmask))
         if topk_idx is not None:
             kv_rows = state.kv_tail[idx, heads[:, None], topk_idx]
-            segs.append((kv_rows[..., :self.D], kv_rows[..., self.D:],
-                         topk_idx < n_cand_h[:, None]))
+            k_rows, v_rows = self._split_rows(kv_rows, state, idx)
+            segs.append((k_rows, v_rows, topk_idx < n_cand_h[:, None]))
 
-        dt = state.kv_tail.dtype
+        dt = k_sink.dtype
         k_new_f = k_new.reshape(BH_kv, 1, self.D).astype(dt)
         v_new_f = v_new.reshape(BH_kv, 1, self.D).astype(dt)
         out = decode_window_attention_segments(
@@ -735,7 +801,7 @@ class PQSearchPolicy:
 
         # per-slot appends as B unrolled dynamic updates (contiguous,
         # layout-neutral — see the local-window comment above)
-        kv_new = jnp.concatenate([k_new_f, v_new_f], axis=-1)[:, 0]
+        kv_new = self._tail_kv(k_new_f, v_new_f, state, idx)[:, 0]
         kv_tail, codes_up = state.kv_tail, state.codes
         Hk = self.H_kv
         for b_i in range(B):
@@ -791,9 +857,11 @@ class PQSearchPolicy:
         b = self.budget
         L, BH_kv, D = k_new.shape
         B = BH_kv // self.H_kv
-        dt = state.kv_tail.dtype
-        kv = jnp.concatenate([k_new, v_new], axis=-1).astype(dt)
         if self.ring_k and state.ring_kv is not None:
+            # the ring stays bf16 (recent tokens full-precision); the chunk
+            # flush quantizes into the int8 tail
+            kv = jnp.concatenate(
+                [k_new, v_new], axis=-1).astype(state.ring_kv.dtype)
             new = state.replace(
                 ring_kv=jax.lax.dynamic_update_slice(
                     state.ring_kv, kv[:, :, None, :],
@@ -803,6 +871,8 @@ class PQSearchPolicy:
                 new = new.replace(
                     jhist=self._jhist_join_batched(state, shared, B))
             return new
+        kv = self._tail_kv(k_new[:, :, None], v_new[:, :, None], state)[
+            :, :, 0]
 
         # non-ring fallback (non-deferred configs): B unrolled chain
         xg = self._to_groups(k_new.reshape(L * BH_kv, 1, D))
@@ -850,11 +920,13 @@ class PQSearchPolicy:
         cent = state.centroids.reshape(L * BH_kv * self.S, self.C, -1)
         codes = pq.pq_encode(xg, cent).reshape(
             L, BH_kv, self.S, K).astype(state.codes.dtype)
+        ring_src = (self._tail_kv(keys, state.ring_kv[..., self.D:], state)
+                    if self.kv_int8 else state.ring_kv)
         kv_tail, codes_up = state.kv_tail, state.codes
         for b_i in range(B):
             p_b = state.n_cand[b_i] + b.local - state.ring_r
             kv_tail = jax.lax.dynamic_update_slice(
-                kv_tail, state.ring_kv[:, b_i * Hk:(b_i + 1) * Hk],
+                kv_tail, ring_src[:, b_i * Hk:(b_i + 1) * Hk],
                 (0, b_i * Hk, p_b, 0))
             codes_up = jax.lax.dynamic_update_slice(
                 codes_up, codes[:, b_i * Hk:(b_i + 1) * Hk],

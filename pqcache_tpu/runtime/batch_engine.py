@@ -77,17 +77,34 @@ class BatchEngine:
         # RESOURCE_EXHAUSTED at pool=8 @ 32k/8L on a 16 GB chip). The
         # chunk plan may pad the pool prefill length up to a chunk
         # multiple; budget/state derive from the padded length.
+        from pqcache_tpu.policies.base import policy_class
         from pqcache_tpu.runtime.generate import chunk_plan
         ch = cfg.runtime.prefill_chunk
         pf_chunk = 0
         if prefix is None and ch and self.P > ch:
-            self.P, pf_chunk = chunk_plan(self.P, ch)
+            if not hasattr(policy_class(cfg.runtime.policy), "prefill_tail"):
+                # the policy can't split prefill passes; full-length
+                # prefill reintroduces the activation transient the flag
+                # exists to bound — surface it instead of silently padding
+                import warnings
+                warnings.warn(
+                    f"policy {cfg.runtime.policy!r} has no prefill_tail; "
+                    f"admissions run UNCHUNKED full-length prefill")
+            else:
+                # mirror Engine.generate: treat max_seq_len as a hard
+                # reservation cap — retry with the finer quantum, and fall
+                # back to unchunked at the original P if still over
+                P_c, pf_chunk = chunk_plan(self.P, ch)
+                if P_c > cfg.runtime.max_seq_len:
+                    P_c, pf_chunk = chunk_plan(self.P, ch, quantum=256)
+                if P_c > cfg.runtime.max_seq_len:
+                    pf_chunk = 0
+                else:
+                    self.P = P_c
         self.max_new = max_new_tokens
         self.dtype = dtype
         self.budget = compute_budget(cfg.budget, self.P, max_new_tokens)
         self.policy = get_policy(cfg, self.budget)
-        if pf_chunk and not hasattr(self.policy, "prefill_tail"):
-            pf_chunk = 0               # policy can't split prefill passes
         self._pf_chunk = pf_chunk
         if not hasattr(self.policy, "decode_attn_batched"):
             raise ValueError(

@@ -67,6 +67,10 @@ class OffloadEngine:
 
     def __init__(self, cfg: EngineConfig, params: dict, dtype=jnp.bfloat16):
         assert cfg.runtime.policy == "pq_search"
+        if cfg.cache.kv_dtype != "bf16":
+            # the host tier keeps its own bf16 store + HBM block cache;
+            # int8 applies to the HBM-resident tail (Engine/BatchEngine)
+            raise ValueError("OffloadEngine supports kv_dtype='bf16' only")
         self.cfg = cfg
         self.params = params
         self.dtype = dtype

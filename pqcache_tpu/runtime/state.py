@@ -73,6 +73,10 @@ class PQState:
     # measured). The ring flushes into the tail in bulk once per chunk
     # (policies/pq_search.py flush_ring_batched).
     ring_r: Optional[jax.Array] = None   # i32 scalar: filled ring columns
+    # int8 tail (cache.kv_dtype="int8"): per-(layer, head, channel)
+    # dequant scales, frozen at prefill (core/quant.py). None for bf16.
+    k_scale: Optional[jax.Array] = None  # [L, H_kv(·B), 1, D] f32
+    v_scale: Optional[jax.Array] = None  # [L, H_kv(·B), 1, D] f32
 
 
 @struct.dataclass
@@ -111,11 +115,13 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
     N_tail = budget.n_tail_max + tail_pad
     Hf = max(batch, 1) * H_kv
     cshape = (batch,) if batch else ()
+    kv_int8 = cfg.cache.kv_dtype == "int8"
     z = lambda *s: jnp.zeros(s, dtype)
     return PQState(
         k_sink=z(L, Hf, budget.sink, D),
         v_sink=z(L, Hf, budget.sink, D),
-        kv_tail=z(L, Hf, N_tail, 2 * D),
+        kv_tail=jnp.zeros((L, Hf, N_tail, 2 * D),
+                          jnp.int8 if kv_int8 else dtype),
         codes=jnp.zeros((L, Hf, S, N_tail), jnp.uint8),
         centroids=jnp.zeros((L, Hf, S, C, d_lift), jnp.float32),
         phi=jnp.zeros((L, Hf * S, 1, 1), jnp.float32),
@@ -126,6 +132,8 @@ def make_pq_state(cfg: EngineConfig, budget: Budget, dtype=jnp.bfloat16,
         ring_kv=(jnp.zeros((L, Hf, ring_k, 2 * D), dtype)
                  if ring_k else None),
         ring_r=jnp.zeros((), jnp.int32) if ring_k else None,
+        k_scale=jnp.ones((L, Hf, 1, D), jnp.float32) if kv_int8 else None,
+        v_scale=jnp.ones((L, Hf, 1, D), jnp.float32) if kv_int8 else None,
     )
 
 

@@ -118,6 +118,42 @@ def test_serving_timing_and_arrivals(setup):
     assert "tbt_p50_ms" in m
 
 
+def test_batch_chunked_admit_matches_unchunked(setup):
+    """Chunked admission prefill (prefill_chunk set, non-chunk-multiple
+    prefill_len → chunk_plan pads the pool P) produces the same tokens as
+    the unchunked engine, and respects the max_seq_len reservation cap."""
+    import dataclasses
+    ecfg, params = setup
+    rng = np.random.default_rng(11)
+    P = 200                                 # not a multiple of the chunk
+    ids = rng.integers(0, ecfg.model.vocab_size, size=P).astype(np.int32)
+
+    ecfg_c = dataclasses.replace(
+        ecfg, runtime=dataclasses.replace(ecfg.runtime, prefill_chunk=64))
+    be_c = BatchEngine(ecfg_c, params, batch_size=2, prefill_len=P,
+                       max_new_tokens=6, dtype=jnp.float32)
+    assert be_c._pf_chunk > 0 and be_c.P % be_c._pf_chunk == 0
+    assert be_c.P <= ecfg.runtime.max_seq_len
+    out = be_c.run([(0, ids)], chunk=3)[0]
+
+    # reference: UNCHUNKED engine at the SAME padded pool length (the
+    # chunk plan pads P, which changes the budget — parity is defined at
+    # equal P; prompts left-pad identically in both engines)
+    be_ref = BatchEngine(ecfg, params, batch_size=2, prefill_len=be_c.P,
+                         max_new_tokens=6, dtype=jnp.float32)
+    ref = be_ref.run([(0, ids)], chunk=3)[0]
+    assert out == ref, (out, ref)
+
+    # cap: a chunk plan that cannot fit under max_seq_len falls back to
+    # unchunked at the original P instead of padding past the reservation
+    ecfg_tight = dataclasses.replace(
+        ecfg, runtime=dataclasses.replace(ecfg.runtime, prefill_chunk=64,
+                                          max_seq_len=P + 16))
+    be_t = BatchEngine(ecfg_tight, params, batch_size=1, prefill_len=P,
+                       max_new_tokens=6, dtype=jnp.float32)
+    assert be_t._pf_chunk == 0 and be_t.P == P
+
+
 def test_batch_original_policy_matches_single(setup):
     import dataclasses
     ecfg, params = setup
