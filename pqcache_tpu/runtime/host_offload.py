@@ -99,6 +99,21 @@ def _split_blocks(kv: jax.Array, n: int, bs: int):
                  for i in range(n))
 
 
+@functools.partial(jax.jit, static_argnames=("n", "bs", "dtype"))
+def _split_blocks_kv(k: jax.Array, v: jax.Array, off: jax.Array,
+                     *, n: int, bs: int, dtype):
+    """k/v [H_kv, P, D] rows [off, off + n·bs) → n interleaved leaves
+    [H_kv, bs, 2D]. The K‖V interleave happens at CHUNK granularity here
+    (a ~n·bs-row transient) instead of materializing the full-length
+    interleaved tail on device before offload — at 256k that full-length
+    copy was the ~1 GiB that pushed prefill past a 16 GB chip."""
+    ks = jax.lax.dynamic_slice_in_dim(k, off, n * bs, axis=1)
+    vs = jax.lax.dynamic_slice_in_dim(v, off, n * bs, axis=1)
+    kv = jnp.concatenate([ks, vs], axis=-1).astype(dtype)
+    return tuple(jax.lax.dynamic_slice_in_dim(kv, i * bs, bs, axis=1)
+                 for i in range(n))
+
+
 def assemble_blocks(cache: jax.Array, staged: jax.Array, slots: jax.Array,
                     miss_pos: jax.Array) -> jax.Array:
     """ON-DEVICE block assembly (jit-traceable): hits gathered from the
@@ -164,20 +179,25 @@ class HostKVStore:
 
     # -- writes -----------------------------------------------------------
 
-    def offload_layer_device(self, layer: int, kv: jax.Array,
-                             n_tokens: int) -> None:
-        """Bulk offload of a layer's prefill KV from a DEVICE array
-        (cache_manager.py:205-210): complete blocks become pinned leaves
-        (one batched transfer per chunk of 64), the remainder seeds the
-        device tail. kv [H_kv, T, 2D] with the first n_tokens rows valid."""
+    def offload_layer_device(self, layer: int, k: jax.Array, v: jax.Array,
+                             n_tokens: int, off: int = 0) -> None:
+        """Bulk offload of a layer's prefill KV from DEVICE arrays
+        (cache_manager.py:205-210): complete blocks become pinned
+        interleaved leaves (one batched transfer per chunk of 64), the
+        remainder seeds the device tail. k/v [H_kv, P, D]; rows
+        [off, off + n_tokens) are the valid candidate rows (off =
+        pad + sink for a left-padded prompt — the pre-off rows are pad and
+        sink, the post rows garbage). Interleaving happens per chunk so
+        no full-length [H_kv, T, 2D] copy is ever materialized."""
         bs = self.block
         n_full = n_tokens // bs
         start = self.valid[layer] // bs
+        off = jnp.asarray(off, jnp.int32)
         CH = 64  # blocks per split program / batched device_put
         for ci, c0 in enumerate(range(0, n_full, CH)):
             n = min(CH, n_full - c0)
-            sub = jax.lax.dynamic_slice_in_dim(kv, c0 * bs, n * bs, axis=1)
-            leaves = _split_blocks(sub, n=n, bs=bs)
+            leaves = _split_blocks_kv(k, v, off + c0 * bs, n=n, bs=bs,
+                                      dtype=self.dtype)
             hosted = (jax.device_put(list(leaves), self._s_host)
                       if self._s_host is not None else list(leaves))
             for i, leaf in enumerate(hosted):
@@ -192,24 +212,23 @@ class HostKVStore:
         self.valid[layer] = (start + n_full) * bs
         rem = n_tokens - n_full * bs
         if rem:
-            part = jax.lax.dynamic_slice_in_dim(kv, n_full * bs, rem, axis=1)
+            (part,) = _split_blocks_kv(k, v, off + n_full * bs, n=1, bs=rem,
+                                       dtype=self.dtype)
             self.tail[layer] = jax.lax.dynamic_update_slice_in_dim(
-                self.tail[layer] * 0, part.astype(self.dtype), 0, axis=1)
+                self.tail[layer] * 0, part, 0, axis=1)
             self.tail_fill[layer] = rem
 
     def offload_layer(self, layer: int, k: np.ndarray, v: np.ndarray,
                       start: int = 0) -> None:
         """NumPy convenience wrapper (tests / non-device producers)."""
         assert start == self.valid[layer] + self.tail_fill[layer] or start == 0
-        kv = jnp.asarray(
-            np.concatenate([np.asarray(k, np.float32),
-                            np.asarray(v, np.float32)], axis=-1),
-            self.dtype)
+        kj = jnp.asarray(np.asarray(k, np.float32), self.dtype)
+        vj = jnp.asarray(np.asarray(v, np.float32), self.dtype)
         if start == 0:
             self.valid[layer] = 0
             self.tail_fill[layer] = 0
             self.kv_blocks[layer].clear()
-        self.offload_layer_device(layer, kv, kv.shape[1])
+        self.offload_layer_device(layer, kj, vj, kj.shape[1])
 
     def _flush_tail(self, layer: int) -> None:
         b = self.valid[layer] // self.block

@@ -122,9 +122,10 @@ class OffloadEngine:
         """Shared prefill tail (traced): roll out the left pad, split
         sink / local ring / candidate tail, train the layer's PQ codebooks,
         write the layer state. k/v [H_kv, P, D] raw (pad rows at the
-        front). Returns (state, kv_tail) with kv_tail the interleaved K‖V
-        candidate rows — a DEVICE array the store moves straight to pinned
-        host (no tunnel/numpy round trip)."""
+        front). Returns the state only — the host store offloads the
+        candidate rows straight from k/v (offload_layer_device slices at
+        pad+sink per chunk; materializing a full-length interleaved copy
+        here was the ~1 GiB that OOMed 256k prefill)."""
         cfg = self.cfg.model
         b = self.budget
         P = k.shape[1]
@@ -177,9 +178,7 @@ class OffloadEngine:
             J = pq.build_joint_hist(codes_full, n_cand0,
                                     n_centroids=self.C, block=self.bs)
             state = state.replace(jhist=up(state.jhist, J))
-        kv_tail = jnp.concatenate(
-            [k_tail, v_tail], axis=-1).astype(self.dtype)
-        return state, kv_tail
+        return state
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill_layer(self, layers, state, idx, hidden, cos, sin, pad_len,
@@ -194,14 +193,13 @@ class OffloadEngine:
         q, k, v = llama._qkv(cfg, lp, h_norm, cos, sin)
         out, _ = dense_prefill_attention(q, k, v, pad_len)
 
-        state, kv_tail = self._tail_update(state, idx, k, v, pad_len,
-                                           true_len)
+        state = self._tail_update(state, idx, k, v, pad_len, true_len)
 
         attn = out.transpose(1, 0, 2).reshape(P, -1)
         hidden = hidden + attn @ lp["wo"]
         h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
         hidden = hidden + llama.mlp(lp, h2)
-        return hidden, state, kv_tail
+        return hidden, state, k, v
 
     # -- chunked (activation-bounded) prefill -------------------------------
     #
@@ -251,7 +249,8 @@ class OffloadEngine:
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def _prefill_tail_chunked(self, state, idx, k_full, v_full, pad_len,
                               true_len):
-        """Pass C: the shared codebook/state tail on the full-length K/V."""
+        """Pass C: the shared codebook/state tail on the full-length K/V.
+        Returns state only; the caller offloads straight from k/v."""
         return self._tail_update(state, idx, k_full, v_full, pad_len,
                                  true_len)
 
@@ -480,14 +479,16 @@ class OffloadEngine:
                     hidden = self._prefill_attn_chunk(
                         layers, li, c * ch, hidden, k_full, v_full,
                         cos, sin, pad_j, ch)
-                state, kv_tail = self._prefill_tail_chunked(
+                state = self._prefill_tail_chunked(
                     state, li, k_full, v_full, pad_j, tl_j)
-                del k_full, v_full
             else:
-                hidden, state, kv_tail = self._prefill_layer(
+                hidden, state, k_full, v_full = self._prefill_layer(
                     layers, state, li, hidden, cos, sin, pad_j, tl_j)
-            store.offload_layer_device(l, kv_tail, stored)
-            del kv_tail
+            # candidate rows are k/v[:, pad+sink : pad+sink+stored] — the
+            # store interleaves K‖V per 64-block chunk (no full-length copy)
+            store.offload_layer_device(l, k_full, v_full, stored,
+                                       off=pad + b.sink)
+            del k_full, v_full
             # bound in-flight prefill work to ~1 layer (compute AND the
             # pinned-host leaf transfers): without these barriers the
             # async dispatch allocates every layer's [H_kv, P, 2D] tail
