@@ -426,6 +426,7 @@ class OffloadEngine:
         m = cfg.model
         # per-step wall decomposition: host = classify/stage/admit python
         # work; wait = blocking on device results (includes tunnel latency)
+        self.store = None            # the LAST generation's HostKVStore
         self.timings = {"host_s": 0.0, "wait_s": 0.0, "decode_s": 0.0,
                         "steps": 0}
         ids = np.asarray(prompt_ids, np.int32)
@@ -451,6 +452,11 @@ class OffloadEngine:
         pad = P - true_len
         self.budget = self._budget(P, max_new_tokens)
         b = self.budget
+        # release the PREVIOUS generation's store before allocating this
+        # one: two stores' pinned leaves (~17 GiB each at 256k) plus two
+        # HBM block caches cannot coexist — the compile-run + measured-run
+        # pattern OOMed at 256k with the old store still referenced
+        self.store = None
         state = self._init_state(b)
         store = HostKVStore(
             m.num_layers, m.num_kv_heads, b.n_tail_max, m.head_dim,
