@@ -114,8 +114,8 @@ def run(args) -> list[dict]:
                                   max_seq_len=args.ctx + 2048))
         prefix = Engine(cap_cfg, params).prefill_prefix(pre_ids)
         prompts = [p[: args.ctx - args.prefix_len] for p in prompts]
+    from pqcache_tpu.config import CacheConfig
     for policy in args.policies:
-        from pqcache_tpu.config import CacheConfig
         cfg = EngineConfig(
             model=model,
             pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,

@@ -88,8 +88,12 @@ class BatchTPEngine:
         # (a silent full-length fallback would reintroduce the activation
         # OOM the feature exists to prevent); callers pad prompts to self.P
         if cfg.runtime.prefill_chunk and prefill_len > cfg.runtime.prefill_chunk:
-            from pqcache_tpu.runtime.generate import chunk_plan
-            prefill_len, _ = chunk_plan(prefill_len, cfg.runtime.prefill_chunk)
+            from pqcache_tpu.runtime.generate import chunk_plan_capped
+            # max_seq_len is a hard reservation cap here too (chunk_plan
+            # alone silently padded the pool past it — review finding)
+            prefill_len, _ = chunk_plan_capped(
+                prefill_len, cfg.runtime.prefill_chunk,
+                cfg.runtime.max_seq_len)
         self.P = prefill_len
         self.max_new = max_new_tokens
         self.dtype = dtype
@@ -110,10 +114,14 @@ class BatchTPEngine:
             to admit participate in the collective prefill but leave their
             state untouched; lax.cond keeps the no-admit branch copy-free)."""
             single = policy.init_state(dtype)
-            from pqcache_tpu.runtime.generate import chunk_plan
+            from pqcache_tpu.runtime.generate import chunk_plan_capped
             ch = cfg.runtime.prefill_chunk
-            ch_eff = chunk_plan(prefill_len, ch)[1] if ch else 0
-            if ch and prefill_len > ch:
+            # recompute __init__'s capped plan (idempotent on its output);
+            # ch_eff == 0 means the cap forced the unchunked fallback
+            ch_eff = (chunk_plan_capped(prefill_len, ch,
+                                        cfg.runtime.max_seq_len)[1]
+                      if ch and prefill_len > ch else 0)
+            if ch_eff:
                 # __init__ chunk-planned self.P, so the plan always divides
                 assert prefill_len % ch_eff == 0, (prefill_len, ch_eff)
                 logits, st = llama.prefill_chunked(

@@ -144,11 +144,14 @@ class PQSearchPolicy:
     def _split_rows(self, kv_rows, state, idx):
         """Split (+ dequantize) tail rows [..., T, 2D] → (k, v).
         Scales broadcast per (folded) kv head, so callers must keep the
-        head axis leading ([H_kv(·B), T, 2D])."""
+        head axis leading ([H_kv(·B), T, 2D]). Dequant lands in the
+        ENGINE dtype (k_sink's) — an f32 engine must not round tail rows
+        through bf16 on top of the int8 step."""
         if not self.kv_int8:
             return kv_rows[..., :self.D], kv_rows[..., self.D:]
         return quant.dequant_kv(kv_rows, state.k_scale[idx],
-                                state.v_scale[idx])
+                                state.v_scale[idx],
+                                dtype=state.k_sink.dtype)
 
     def _tail_kv(self, k, v, state, idx=None):
         """Interleave (+ quantize) K/V rows into tail storage. k, v
@@ -355,6 +358,16 @@ class PQSearchPolicy:
                 state.kv_tail, kv_new[None], (idx, 0, slot, 0))
             k_tail_full, v_tail_full = self._split_rows(kv_tail[idx],
                                                         state, idx)
+            if self.kv_int8:
+                # attend the new token RAW (storage is quantized, but this
+                # step's attention must not round its own k/v — parity
+                # with the _finish_decode path's raw new-token segment)
+                k_tail_full = jax.lax.dynamic_update_slice(
+                    k_tail_full, k_new.astype(k_tail_full.dtype),
+                    (0, slot, 0))
+                v_tail_full = jax.lax.dynamic_update_slice(
+                    v_tail_full, v_new.astype(v_tail_full.dtype),
+                    (0, slot, 0))
             k_win = jnp.concatenate([k_sink, k_tail_full], axis=1)
             v_win = jnp.concatenate([v_sink, v_tail_full], axis=1)
             win_mask = jnp.concatenate(
@@ -556,7 +569,8 @@ class PQSearchPolicy:
         rep = lambda x: jnp.repeat(x, self.group, axis=0)  # [H_kv,..]→[H,..]
         if self.kv_int8:
             k_top, v_top = quant.dequant_kv(
-                kv_top, rep(state.k_scale[idx]), rep(state.v_scale[idx]))
+                kv_top, rep(state.k_scale[idx]), rep(state.v_scale[idx]),
+                dtype=state.k_sink.dtype)
         else:
             k_top, v_top = kv_top[..., :self.D], kv_top[..., self.D:]
 
@@ -759,7 +773,8 @@ class PQSearchPolicy:
             if self.kv_int8:
                 hsl = slice(b_i * self.H_kv, (b_i + 1) * self.H_kv)
                 kl, vl = quant.dequant_kv(kvl, state.k_scale[idx, hsl],
-                                          state.v_scale[idx, hsl])
+                                          state.v_scale[idx, hsl],
+                                          dtype=state.k_sink.dtype)
             else:
                 kl, vl = kvl[..., :self.D], kvl[..., self.D:]
             lp.append(segment_partial(

@@ -78,29 +78,25 @@ class BatchEngine:
         # chunk plan may pad the pool prefill length up to a chunk
         # multiple; budget/state derive from the padded length.
         from pqcache_tpu.policies.base import policy_class
-        from pqcache_tpu.runtime.generate import chunk_plan
+        from pqcache_tpu.runtime.generate import chunk_plan_capped
         ch = cfg.runtime.prefill_chunk
         pf_chunk = 0
         if prefix is None and ch and self.P > ch:
             if not hasattr(policy_class(cfg.runtime.policy), "prefill_tail"):
                 # the policy can't split prefill passes; full-length
                 # prefill reintroduces the activation transient the flag
-                # exists to bound — surface it instead of silently padding
+                # exists to bound — surface it instead of silently padding.
+                # (Both current batched policies have prefill_tail, so this
+                # guards future policies; unbatched ones raise below.)
                 import warnings
                 warnings.warn(
                     f"policy {cfg.runtime.policy!r} has no prefill_tail; "
                     f"admissions run UNCHUNKED full-length prefill")
             else:
-                # mirror Engine.generate: treat max_seq_len as a hard
-                # reservation cap — retry with the finer quantum, and fall
-                # back to unchunked at the original P if still over
-                P_c, pf_chunk = chunk_plan(self.P, ch)
-                if P_c > cfg.runtime.max_seq_len:
-                    P_c, pf_chunk = chunk_plan(self.P, ch, quantum=256)
-                if P_c > cfg.runtime.max_seq_len:
-                    pf_chunk = 0
-                else:
-                    self.P = P_c
+                # max_seq_len is a hard reservation cap (same invariant as
+                # Engine.generate / OffloadEngine / BatchTPEngine)
+                self.P, pf_chunk = chunk_plan_capped(
+                    self.P, ch, cfg.runtime.max_seq_len)
         self.max_new = max_new_tokens
         self.dtype = dtype
         self.budget = compute_budget(cfg.budget, self.P, max_new_tokens)

@@ -45,6 +45,20 @@ def chunk_plan(P: int, ch: int, quantum: int = 1024) -> tuple[int, int]:
     return n * chunk, chunk
 
 
+def chunk_plan_capped(P: int, ch: int, cap: int) -> tuple[int, int]:
+    """chunk_plan under a hard reservation cap (max_seq_len): retry with
+    the finer 256 quantum if the default plan pads past `cap`, and fall
+    back to UNCHUNKED at the original P (chunk 0) if still over. One
+    helper so every engine applies the same invariant (the dp×tp engine
+    had drifted and silently padded past the cap)."""
+    P_c, ch_c = chunk_plan(P, ch)
+    if P_c > cap:
+        P_c, ch_c = chunk_plan(P, ch, quantum=256)
+    if P_c > cap:
+        return P, 0
+    return P_c, ch_c
+
+
 @dataclass
 class GenerateResult:
     tokens: list            # generated token ids (ints)
@@ -304,14 +318,9 @@ class Engine:
         ch = cfg.runtime.prefill_chunk
         if ch and P > ch:
             # max_seq_len is a hard reservation cap: never let chunk
-            # padding expand past it. Try finer alignment before giving up
-            # on chunking (no aligned plan under the cap → unchunked
-            # prefill at P; _fns recomputes the same decision).
-            P_c, _ = chunk_plan(P, ch)
-            if P_c > cfg.runtime.max_seq_len:
-                P_c, _ = chunk_plan(P, ch, quantum=256)
-            if P_c <= cfg.runtime.max_seq_len:
-                P = P_c
+            # padding expand past it (no aligned plan under the cap →
+            # unchunked prefill at P; _fns recomputes the same decision)
+            P, _ = chunk_plan_capped(P, ch, cfg.runtime.max_seq_len)
 
         policy_name = self.pick_policy(true_len, P)
         if self._off_engine is not None and policy_name == "pq_search":

@@ -90,15 +90,6 @@ def _scatter_admit(cache: jax.Array, staged: jax.Array, slots: jax.Array,
     return cache.at[slots].set(staged[pos].astype(cache.dtype), mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("n", "bs"))
-def _split_blocks(kv: jax.Array, n: int, bs: int):
-    """kv [H_kv, T, 2D] → tuple of n block arrays [H_kv, bs, 2D] (ONE
-    compiled program regardless of n — per-block jnp slicing would compile
-    n distinct trivial programs through the remote-compile tunnel)."""
-    return tuple(jax.lax.dynamic_slice_in_dim(kv, i * bs, bs, axis=1)
-                 for i in range(n))
-
-
 @functools.partial(jax.jit, static_argnames=("n", "bs", "dtype"))
 def _split_blocks_kv(k: jax.Array, v: jax.Array, off: jax.Array,
                      *, n: int, bs: int, dtype):

@@ -431,7 +431,8 @@ class OffloadEngine:
                         "steps": 0}
         ids = np.asarray(prompt_ids, np.int32)
         true_len = int(ids.shape[0])
-        from pqcache_tpu.runtime.generate import bucket_length, chunk_plan
+        from pqcache_tpu.runtime.generate import (bucket_length,
+                                                  chunk_plan_capped)
         P = bucket_length(true_len, cfg.runtime.prefill_bucket)
         P = min(P, cfg.runtime.max_seq_len)
         if true_len > P:
@@ -442,13 +443,8 @@ class OffloadEngine:
         if chunked:
             # same cap discipline as Engine.generate: chunk padding must
             # not expand the reservation past max_seq_len
-            P_c, ch_c = chunk_plan(P, ch)
-            if P_c > cfg.runtime.max_seq_len:
-                P_c, ch_c = chunk_plan(P, ch, quantum=256)
-            if P_c <= cfg.runtime.max_seq_len:
-                P, ch = P_c, ch_c
-            else:
-                chunked = False
+            P, ch = chunk_plan_capped(P, ch, cfg.runtime.max_seq_len)
+            chunked = ch > 0
         pad = P - true_len
         self.budget = self._budget(P, max_new_tokens)
         b = self.budget

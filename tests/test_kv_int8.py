@@ -174,6 +174,59 @@ def test_int8_teacher_forced_agreement(setup, select_block):
     assert agree >= (n + 1) - 2, (ref, got)
 
 
+def test_int8_masked_fetch_agrees(setup):
+    """fetch_mode='masked' with int8: the full-tail dequant path (and the
+    raw-new-token overwrite) tracks the f32-tail masked path."""
+    from pqcache_tpu.core.budget import compute_budget
+    from pqcache_tpu.policies.base import get_policy
+    cfg, params, ids = setup
+    P, n = 256, 8
+    ids = np.asarray(ids[:P], np.int32)
+    b = compute_budget(BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                                    sink_size=4), P, 16)
+    import dataclasses
+    e_f = dataclasses.replace(
+        _ecfg(cfg, "bf16", select_block=1),
+        pq=dataclasses.replace(_ecfg(cfg, "bf16", select_block=1).pq,
+                               fetch_mode="masked"))
+    e_q = dataclasses.replace(
+        _ecfg(cfg, "int8", select_block=1),
+        pq=dataclasses.replace(_ecfg(cfg, "int8", select_block=1).pq,
+                               fetch_mode="masked"))
+    pf_, pq_ = get_policy(e_f, b), get_policy(e_q, b)
+
+    def run(pol, force=None):
+        st = pol.init_state(jnp.float32)
+        prefill = jax.jit(lambda par, s, t, pol=pol: llama.prefill(
+            cfg, par, pol, s, t, jnp.asarray(0), jnp.asarray(P)))
+        logits, st = prefill(params, st, jnp.asarray(ids))
+        preds = [int(jnp.argmax(logits))]
+        step = jax.jit(lambda par, s, t, pos, pol=pol: llama.decode_step(
+            cfg, par, pol, s, t, pos))
+        for i in range(n):
+            tok = preds[-1] if force is None else force[i]
+            logits, st = step(params, st, jnp.asarray(tok, jnp.int32),
+                              jnp.asarray(P + i, jnp.int32))
+            preds.append(int(jnp.argmax(logits)))
+        return preds
+
+    ref = run(pf_)
+    got = run(pq_, force=ref)
+    agree = sum(a == b_ for a, b_ in zip(ref, got))
+    assert agree >= (n + 1) - 2, (ref, got)
+
+
+def test_chunk_plan_capped_invariants():
+    from pqcache_tpu.runtime.generate import chunk_plan, chunk_plan_capped
+    # under the cap: identical to chunk_plan
+    assert chunk_plan_capped(200, 64, 10_000) == chunk_plan(200, 64)
+    # finer quantum rescues a plan the default quantum pads past the cap
+    P, ch = chunk_plan_capped(33792, 32768, 35000)
+    assert P <= 35000 and ch > 0 and P % ch == 0
+    # no plan fits: unchunked fallback at the original P
+    assert chunk_plan_capped(200, 64, 201) == (200, 0)
+
+
 def test_int8_batched_matches_single(setup):
     """batch-as-heads int8 decode == single-sequence int8 decode, token for
     token (both quantize identically, so equality is exact)."""
