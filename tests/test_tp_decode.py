@@ -49,6 +49,38 @@ def test_tp2_matches_single_device():
     assert agree >= 6, (ref.tokens, out)
 
 
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs >= 2 devices")
+def test_tp2_int8_tail_matches_single_device():
+    """Sharded int8: per-channel scale leaves ride the tp head shard; the
+    TP engine's tokens track the single-device int8 engine."""
+    from pqcache_tpu.config import CacheConfig
+    cfg_m = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        cache=CacheConfig(kv_dtype="int8"),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla"),
+    )
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, cfg_m.vocab_size, size=250).astype(np.int32)
+    ref = Engine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=8)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2,), ("tp",))
+    eng = TPEngine(ecfg, params, mesh, prefill_len=256, max_new_tokens=8,
+                   dtype=jnp.float32)
+    out = eng.generate(ids, max_new_tokens=8)
+    agree = sum(a == b for a, b in zip(ref.tokens, out))
+    assert out[:5] == ref.tokens[:5], (ref.tokens, out)
+    assert agree >= 6, (ref.tokens, out)
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
 def test_batch_tp_engine_dp2_tp4():
     # dp×tp batched serving: 4 slots over a (dp=2, tp=4) mesh, batch-as-
