@@ -130,9 +130,12 @@ def main():
     # contexts where the dense baseline cannot run (OOM — e.g. 128k on one
     # chip): measure pq alone, report vs_baseline as null
     skip_base = os.environ.get("BENCH_SKIP_BASE", "0") == "1"
-    # BENCH_KV_INT8=1: int8 HBM tail (per-channel scales) — halves the pq
-    # state; the dense baseline stays bf16 (its quality contract)
-    kv_dtype = "int8" if os.environ.get("BENCH_KV_INT8", "0") == "1" else "bf16"
+    # int8 HBM tail (per-channel scales, core/quant.py) is the DEFAULT pq
+    # arm: measured 653 vs 627 tok/s at B=8/32k over bf16 with the
+    # trained-copy depth grid holding the full-attention ceiling
+    # (PARITY.md round-3 table). BENCH_KV_INT8=0 reverts to bf16. The
+    # dense baseline always stays bf16 (its quality contract).
+    kv_dtype = "int8" if os.environ.get("BENCH_KV_INT8", "1") == "1" else "bf16"
     from pqcache_tpu.config import CacheConfig
     results = {}
     for policy_name in (("pq_search",) if skip_base
@@ -269,7 +272,7 @@ def main():
             "base_prefill_s": (round(base["prefill_s"], 3) if base
                                else None),
             "ctx": ctx, "layers": layers, "batch": B,
-            "select_block": sel_block,
+            "select_block": sel_block, "pq_kv_dtype": kv_dtype,
         },
     }))
 
