@@ -257,7 +257,8 @@ def main():
     label = ("decode tok/s" if B == 1 else f"aggregate decode tok/s, B={B}")
     print(json.dumps({
         "metric": (f"pq_search {label} @ {ctx} ctx "
-                   f"({layers}L llama31-width, bf16, single v5e chip)"),
+                   f"({layers}L llama31-width, bf16 model, {kv_dtype} pq "
+                   f"tail, single v5e chip)"),
         "value": round(pq_tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": (round(pq_tok_s / base["tok_s"], 3) if base
