@@ -412,10 +412,10 @@ def adc_gather_scores(lut: jax.Array, codes: jax.Array) -> jax.Array:
 def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
                      n_centroids: int, block: int) -> jax.Array:
     """codes [H_kv, 2, T] int (T % block == 0); tokens at index >= n_valid
-    are excluded. Returns J [H_kv, T//block, C²] bf16 — exact counts
-    (block ≤ 256 keeps every count bf16-representable). C² is the MINOR
-    dim: it is 128-lane-aligned for C ≥ 12 (no tile padding — NB-minor
-    padded 258 → 384, 1.5× the memory) and it is the contraction dim of
+    are excluded. Returns J [H_kv, T//block, C²] uint8 — counts exact
+    below 255, saturated at 255 (see jhist_dtype). C² is the MINOR dim:
+    it is 128-lane-aligned for C ≥ 12 (no tile padding — NB-minor padded
+    258 → 384, 1.5× the memory) and it is the contraction dim of
     joint_block_mass's matmul."""
     H_kv, S, T = codes.shape
     assert S == 2, "joint histogram requires exactly 2 subvectors"
@@ -430,13 +430,20 @@ def build_joint_hist(codes: jax.Array, n_valid: jax.Array, *,
                      1.0, 0.0).astype(jnp.float32)
     J = jax.vmap(lambda s: jax.ops.segment_sum(
         ones, s, num_segments=NB * C * C))(seg)
-    return J.reshape(H_kv, NB, C * C).astype(jhist_dtype(block))
+    dt = jhist_dtype(block)
+    if jnp.issubdtype(dt, jnp.integer):
+        J = jnp.minimum(J, jnp.iinfo(dt).max)   # saturate (block == 256)
+    return J.reshape(H_kv, NB, C * C).astype(dt)
 
 
 def jhist_dtype(block: int):
-    """uint8 counts when a block can never reach 256 (halves the scorer's
-    HBM reads vs bf16); bf16 keeps 256-block counts exact."""
-    return jnp.uint8 if block < 256 else jnp.bfloat16
+    """uint8 counts (half the scorer's HBM reads vs bf16). A count can
+    only reach 256 when ALL `block` tokens of a 256-block share one code
+    pair; counts SATURATE at 255, losing ≤1/256 (0.4%) of such a block's
+    mass — ranking-irrelevant (the exp LUT factor dominates), and the
+    memory halving is what fits a 16-slot 32k pool's scorer on chip."""
+    assert block <= 256
+    return jnp.uint8
 
 
 @jax.named_scope("pq_append")
@@ -447,14 +454,22 @@ def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
 
     J [..., H_kv, NB, C²]; codes_tok [..., H_kv, 2] int — the joining
     token's codes per (leading dims, kv head); pos i32 scalar — its tail
-    position (same for every leading dim). Returns J + 1 at
-    ([...], h, pos // block, pair)."""
+    position (same for every leading dim). Returns J + 1 (saturating at
+    the dtype max for integer J — a wrap at 255+1 would zero the block's
+    dominant pair) at ([...], h, pos // block, pair)."""
     C = n_centroids
     pair = (codes_tok[..., 0].astype(jnp.int32)
             * C + codes_tok[..., 1].astype(jnp.int32))       # [..., H_kv]
     blk = jnp.asarray(pos, jnp.int32) // block
     lead = tuple(jnp.ix_(*[jnp.arange(n) for n in pair.shape]))
-    return J.at[lead + (blk, pair)].add(jnp.asarray(1.0, J.dtype))
+    idx = lead + (blk, pair)
+    if jnp.issubdtype(J.dtype, jnp.integer):
+        # saturating increment as gather → min → scatter-SET (one cell per
+        # (lead, head) row; rows never collide, so set is race-free)
+        cap = jnp.iinfo(J.dtype).max
+        cur = J[idx].astype(jnp.int32)
+        return J.at[idx].set(jnp.minimum(cur + 1, cap).astype(J.dtype))
+    return J.at[idx].add(jnp.asarray(1.0, J.dtype))
 
 
 @jax.named_scope("pq_score")

@@ -848,11 +848,16 @@ class PQSearchPolicy:
             for b_i in range(B)], axis=1).astype(jnp.int32)   # [L, B·Hk, S]
         pair = joins[..., 0] * self.C + joins[..., 1]         # [L, B·Hk]
         blk = jnp.repeat(shared["n_cand"] // self.select_block, Hk)
-        return state.jhist.at[
-            jnp.arange(L)[:, None],
-            jnp.arange(B * Hk)[None, :],
-            blk[None, :],
-            pair].add(jnp.asarray(1.0, state.jhist.dtype))
+        idx = (jnp.arange(L)[:, None], jnp.arange(B * Hk)[None, :],
+               blk[None, :], pair)
+        J = state.jhist
+        if jnp.issubdtype(J.dtype, jnp.integer):
+            # saturating +1 (core/pq.py jhist_add_tokens): cells are
+            # distinct per (layer, head) row, so gather→min→set is safe
+            cap = jnp.iinfo(J.dtype).max
+            return J.at[idx].set(jnp.minimum(
+                J[idx].astype(jnp.int32) + 1, cap).astype(J.dtype))
+        return J.at[idx].add(jnp.asarray(1.0, J.dtype))
 
     def commit_appends_batched(self, state: PQState, payloads,
                                shared) -> PQState:

@@ -116,3 +116,33 @@ def test_engine_generates_with_block_scorer():
         assert len(r.tokens) == 8
         toks[scorer] = r.tokens
     assert toks["auto"] == toks["kernel"]
+
+
+def test_jhist_uint8_saturates_at_255():
+    """block=256 histograms store uint8 with SATURATING counts: a fully
+    uniform block pins at 255 (≤0.4% mass loss) instead of wrapping to 0,
+    both at build time and through the incremental +1."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pqcache_tpu.core import pq
+
+    C, block, T = 4, 256, 512
+    # head 0: block 0 entirely code pair (1, 2); block 1 mixed
+    codes = np.zeros((1, 2, T), np.int32)
+    codes[0, 0, :256] = 1
+    codes[0, 1, :256] = 2
+    codes[0, 0, 256:] = np.arange(256) % C
+    J = pq.build_joint_hist(jnp.asarray(codes), jnp.asarray(T),
+                            n_centroids=C, block=block)
+    assert J.dtype == jnp.uint8
+    assert int(J[0, 0, 1 * C + 2]) == 255          # saturated, not 0
+    assert int(np.asarray(J[0, 1]).sum()) == 256   # exact below the cap
+
+    # incremental add on a saturated cell stays pinned
+    J2 = pq.jhist_add_tokens(J, jnp.asarray([[1, 2]], jnp.int32),
+                             jnp.asarray(10), n_centroids=C, block=block)
+    assert int(J2[0, 0, 1 * C + 2]) == 255
+    # and a normal cell increments exactly
+    J3 = pq.jhist_add_tokens(J, jnp.asarray([[0, 0]], jnp.int32),
+                             jnp.asarray(300), n_centroids=C, block=block)
+    assert int(J3[0, 1, 0]) == int(J[0, 1, 0]) + 1
