@@ -441,9 +441,30 @@ def jhist_dtype(block: int):
     only reach 256 when ALL `block` tokens of a 256-block share one code
     pair; counts SATURATE at 255, losing ≤1/256 (0.4%) of such a block's
     mass — ranking-irrelevant (the exp LUT factor dominates), and the
-    memory halving is what fits a 16-slot 32k pool's scorer on chip."""
-    assert block <= 256
+    memory halving is what fits a 16-slot 32k pool's scorer on chip.
+
+    Only meaningful for jhist-scorer configs (block ≤ 256); callers must
+    gate on use_jhist before asking for a dtype."""
+    if block > 256:
+        raise ValueError(
+            f"joint-histogram scorer requires select_block <= 256 "
+            f"(uint8 counts saturate); got block={block}. Configs with "
+            f"larger blocks must not use the jhist scorer.")
     return jnp.uint8
+
+
+def jhist_increment(J: jax.Array, idx) -> jax.Array:
+    """+1 at `idx` (an advanced-index tuple addressing one cell per
+    (leading, head) row). Integer histograms increment SATURATING at the
+    dtype max — a wrap at 255+1 would zero the block's dominant pair —
+    via gather → min → scatter-SET (rows never collide, so set is
+    race-free). The one shared implementation for every join site
+    (jhist_add_tokens, the batched join, the offload tier)."""
+    if jnp.issubdtype(J.dtype, jnp.integer):
+        cap = jnp.iinfo(J.dtype).max
+        cur = J[idx].astype(jnp.int32)
+        return J.at[idx].set(jnp.minimum(cur + 1, cap).astype(J.dtype))
+    return J.at[idx].add(jnp.asarray(1.0, J.dtype))
 
 
 @jax.named_scope("pq_append")
@@ -454,22 +475,14 @@ def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
 
     J [..., H_kv, NB, C²]; codes_tok [..., H_kv, 2] int — the joining
     token's codes per (leading dims, kv head); pos i32 scalar — its tail
-    position (same for every leading dim). Returns J + 1 (saturating at
-    the dtype max for integer J — a wrap at 255+1 would zero the block's
-    dominant pair) at ([...], h, pos // block, pair)."""
+    position (same for every leading dim). Returns J + 1 (saturating,
+    jhist_increment) at ([...], h, pos // block, pair)."""
     C = n_centroids
     pair = (codes_tok[..., 0].astype(jnp.int32)
             * C + codes_tok[..., 1].astype(jnp.int32))       # [..., H_kv]
     blk = jnp.asarray(pos, jnp.int32) // block
     lead = tuple(jnp.ix_(*[jnp.arange(n) for n in pair.shape]))
-    idx = lead + (blk, pair)
-    if jnp.issubdtype(J.dtype, jnp.integer):
-        # saturating increment as gather → min → scatter-SET (one cell per
-        # (lead, head) row; rows never collide, so set is race-free)
-        cap = jnp.iinfo(J.dtype).max
-        cur = J[idx].astype(jnp.int32)
-        return J.at[idx].set(jnp.minimum(cur + 1, cap).astype(J.dtype))
-    return J.at[idx].add(jnp.asarray(1.0, J.dtype))
+    return jhist_increment(J, lead + (blk, pair))
 
 
 @jax.named_scope("pq_score")

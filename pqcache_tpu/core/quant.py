@@ -60,6 +60,18 @@ def quantize_kv(k: jax.Array, v: jax.Array, k_scale: jax.Array,
     return jnp.concatenate([q(k, k_scale), q(v, v_scale)], axis=-1)
 
 
+def clip_fraction(k: jax.Array, v: jax.Array, k_scale: jax.Array,
+                  v_scale: jax.Array) -> jax.Array:
+    """Fraction of elements that SATURATE when quantized with (frozen)
+    scales — the drift observable for generated tokens: prefill-frozen
+    scales clip silently when later K/V magnitudes exceed the prefill
+    absmax. Cheap enough for harness-side spot checks; not wired into
+    the decode hot path. Returns a f32 scalar in [0, 1]."""
+    f = lambda x, s: jnp.mean(
+        (jnp.abs(x.astype(jnp.float32) / s) > 127.0).astype(jnp.float32))
+    return (f(k, k_scale) + f(v, v_scale)) / 2.0
+
+
 def dequant_kv(kv: jax.Array, k_scale: jax.Array, v_scale: jax.Array,
                dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
     """Split + dequantize interleaved int8 rows.

@@ -16,10 +16,19 @@ axis_name=...): per-iteration cluster sums/counts psum over the sequence
 axis, so every shard holds identical replicated centroids while PQ codes
 stay sequence-sharded next to their KV rows.
 
-After a ring prefill the natural serving handoff is one all-to-all that
-resharding the KV/code slices from sequence-major to head-major for the
-decode engines (tp_decode.py / batch_tp.py); `gather_state` materializes
-the full tail on every shard for validation at test scale.
+After a ring prefill the serving handoff is ONE all-to-all that reshards
+the KV slices from sequence-major to head-major (`gather_state_tp`): each
+device sends its token slice of kv-head block j to device j and receives
+the full sequence for its own head block. The decode-side PQ state is then
+built per shard by the standard `prefill_tail` (policies/pq_search.py) —
+the same code path the TP engines prefill through, so decode tokens after
+a ring prefill match the chunked-prefill engine EXACTLY (kmeans re-runs
+head-locally at <1% of prefill FLOPs; the distributed-Lloyd codes remain
+the output for standalone sp_prefill consumers, where no shard ever holds
+a full tail). TPEngine.generate_ring drives the whole pipeline. This
+retires the reference's single-device long-prompt workaround
+(mistral_patch.py:246-279) end to end: prefill beyond one chip's HBM, then
+decode from the resharded state.
 """
 
 from __future__ import annotations

@@ -187,9 +187,13 @@ class PQSearchPolicy:
     # -- prefill ----------------------------------------------------------
 
     def init_state(self, dtype=jnp.bfloat16) -> PQState:
+        # jhist_dtype only exists for jhist-legal blocks (<= 256); a
+        # select_block=512 kernel-scorer config must not crash here
         return make_pq_state(self.cfg, self.budget, dtype=dtype,
                              jhist_blocks=self._jhist_blocks(),
-                             jhist_dtype=pq.jhist_dtype(self.select_block))
+                             jhist_dtype=(pq.jhist_dtype(self.select_block)
+                                          if self.use_jhist
+                                          else jnp.bfloat16))
 
     def _jhist_blocks(self) -> int:
         return (self.budget.n_tail_max // self.select_block
@@ -352,7 +356,13 @@ class PQSearchPolicy:
                 (cand_pos >= n_cand) & (cand_pos <= slot))
 
             # write the new token into the tail BEFORE attention so the
-            # whole [local|new] span is one contiguous region
+            # whole [local|new] span is one contiguous region.
+            # int8 COST NOTE: this mode attends the FULL tail, so
+            # _split_rows below dequantizes every [H_kv, N_tail, 2D] row
+            # into a bf16/f32 copy each layer-step — int8 halves storage
+            # but not this mode's bandwidth (the gather/fused modes read
+            # only the selected rows). Acceptable for the non-default
+            # masked mode; don't use it at scale with int8.
             kv_new = self._tail_kv(k_new, v_new, state, idx)
             kv_tail = jax.lax.dynamic_update_slice(
                 state.kv_tail, kv_new[None], (idx, 0, slot, 0))
@@ -632,7 +642,8 @@ class PQSearchPolicy:
             jhist_blocks=((self.budget.n_tail_max + pad) // self.select_block
                           if self.use_jhist else 0),
             ring_k=self.ring_k, tail_pad=pad,
-            jhist_dtype=pq.jhist_dtype(self.select_block))
+            jhist_dtype=(pq.jhist_dtype(self.select_block)
+                         if self.use_jhist else jnp.bfloat16))
 
     def init_batched_state(self, B: int, dtype=jnp.bfloat16) -> PQState:
         return make_pq_state(self.cfg, self.budget, dtype=dtype, batch=B,
@@ -850,14 +861,7 @@ class PQSearchPolicy:
         blk = jnp.repeat(shared["n_cand"] // self.select_block, Hk)
         idx = (jnp.arange(L)[:, None], jnp.arange(B * Hk)[None, :],
                blk[None, :], pair)
-        J = state.jhist
-        if jnp.issubdtype(J.dtype, jnp.integer):
-            # saturating +1 (core/pq.py jhist_add_tokens): cells are
-            # distinct per (layer, head) row, so gather→min→set is safe
-            cap = jnp.iinfo(J.dtype).max
-            return J.at[idx].set(jnp.minimum(
-                J[idx].astype(jnp.int32) + 1, cap).astype(J.dtype))
-        return J.at[idx].add(jnp.asarray(1.0, J.dtype))
+        return pq.jhist_increment(state.jhist, idx)
 
     def commit_appends_batched(self, state: PQState, payloads,
                                shared) -> PQState:

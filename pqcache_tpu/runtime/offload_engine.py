@@ -359,15 +359,9 @@ class OffloadEngine:
             # the scorer's tok < n_cand mask)
             ev = ev_codes[:, :, 0].astype(jnp.int32)          # [H_kv, S]
             pair = ev[:, 0] * self.C + ev[:, 1]               # [H_kv]
-            J = state.jhist
             jix = (idx, jnp.arange(H_kv), n_cand // self.bs, pair)
-            if jnp.issubdtype(J.dtype, jnp.integer):
-                cap = jnp.iinfo(J.dtype).max   # saturating +1 (core/pq.py)
-                J = J.at[jix].set(jnp.minimum(
-                    J[jix].astype(jnp.int32) + 1, cap).astype(J.dtype))
-            else:
-                J = J.at[jix].add(jnp.asarray(1.0, J.dtype))
-            state = state.replace(jhist=J)
+            state = state.replace(
+                jhist=pq.jhist_increment(state.jhist, jix))
         kv_ev = jnp.concatenate([evicted_k[:, 0], evicted_v[:, 0]], axis=-1)
         return hidden, state, kv_ev
 

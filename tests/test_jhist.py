@@ -118,6 +118,35 @@ def test_engine_generates_with_block_scorer():
     assert toks["auto"] == toks["kernel"]
 
 
+def test_large_select_block_constructs_without_jhist():
+    """select_block > 256 is jhist-illegal but LEGAL for the kernel/XLA
+    score chain: engine construction must not crash computing a jhist
+    dtype it will never use (regression: ADVICE r3 — a bare assert in
+    jhist_dtype fired from init_state even when use_jhist was False)."""
+    cfg_m = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=4,
+                    approx_topk=False, select_block=512, scorer="kernel"),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=1540, max_seq_len=4096),
+    )
+    from pqcache_tpu.core.budget import compute_budget
+    from pqcache_tpu.policies.base import get_policy
+    b = compute_budget(ecfg.budget, 2048, 1540)
+    assert b.n_tail_max % 512 == 0, b   # keep the config legal
+    pol = get_policy(ecfg, b)
+    assert not pol.use_jhist
+    st = pol.init_state(jnp.float32)          # must not raise
+    assert st.jhist is None
+    bst = pol.init_batched_state(2, jnp.float32)
+    assert bst.jhist is None
+
+
 def test_jhist_uint8_saturates_at_255():
     """block=256 histograms store uint8 with SATURATING counts: a fully
     uniform block pins at 255 (≤0.4% mass loss) instead of wrapping to 0,

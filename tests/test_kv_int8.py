@@ -174,6 +174,60 @@ def test_int8_teacher_forced_agreement(setup, select_block):
     assert agree >= (n + 1) - 2, (ref, got)
 
 
+def test_int8_long_generation_agreement_and_clip(setup):
+    """LONG generations (160 steps ≈ 10× the other parity tests) with
+    prefill-frozen scales: int8 teacher-forced argmax stays in agreement
+    with the bf16-tail engine and generated-token clipping stays rare —
+    the drift mode the short tests cannot see (scales never adapt; K/V
+    magnitudes beyond the prefill absmax saturate silently)."""
+    from pqcache_tpu.core.budget import compute_budget
+    from pqcache_tpu.policies.base import get_policy
+    cfg, params, ids = setup
+    P, n = 256, 160
+    ids = np.asarray(ids[:P], np.int32)
+    b = compute_budget(BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                                    sink_size=4), P, n + 2)
+    e_f = _ecfg(cfg, "bf16", select_block=16)
+    e_q = _ecfg(cfg, "int8", select_block=16)
+    e_f = dataclasses.replace(
+        e_f, runtime=dataclasses.replace(e_f.runtime, max_new_tokens=n + 2))
+    e_q = dataclasses.replace(
+        e_q, runtime=dataclasses.replace(e_q.runtime, max_new_tokens=n + 2))
+    pf_, pq_ = get_policy(e_f, b), get_policy(e_q, b)
+
+    def run(pol, force=None):
+        st = pol.init_state(jnp.float32)
+        prefill = jax.jit(lambda par, s, t, pol=pol: llama.prefill(
+            cfg, par, pol, s, t, jnp.asarray(0), jnp.asarray(P)))
+        logits, st = prefill(params, st, jnp.asarray(ids))
+        preds = [int(jnp.argmax(logits))]
+        step = jax.jit(lambda par, s, t, pos, pol=pol: llama.decode_step(
+            cfg, par, pol, s, t, pos))
+        for i in range(n):
+            tok = preds[-1] if force is None else force[i]
+            logits, st = step(params, st, jnp.asarray(tok, jnp.int32),
+                              jnp.asarray(P + i, jnp.int32))
+            preds.append(int(jnp.argmax(logits)))
+        return preds, st
+
+    ref, _ = run(pf_)
+    got, st_q = run(pq_, force=ref)
+    agree = sum(a == b_ for a, b_ in zip(ref, got)) / (n + 1)
+    assert agree >= 0.9, f"long-gen int8 agreement {agree:.3f}"
+
+    # clip-rate observable: quantizing the GENERATED rows of the bf16 tail
+    # with the frozen scales must rarely saturate (<2%); distribution drift
+    # shows up here long before argmax flips do (the int8 tail itself
+    # cannot measure its own clipping — it is already saturated)
+    from pqcache_tpu.core import quant as q
+    _, st_f = run(pf_, force=ref)
+    lo = int(st_f.n_cand) - n + b.local   # generated rows' tail span
+    kvf = st_f.kv_tail[:, :, max(lo, 0):int(st_f.n_cand) + b.local]
+    kf, vf = kvf[..., :cfg.head_dim], kvf[..., cfg.head_dim:]
+    cf = float(q.clip_fraction(kf, vf, st_q.k_scale, st_q.v_scale))
+    assert cf < 0.02, f"generated-token clip rate {cf:.4f}"
+
+
 def test_int8_masked_fetch_agrees(setup):
     """fetch_mode='masked' with int8: the full-tail dequant path (and the
     raw-new-token overwrite) tracks the f32-tail masked path."""
