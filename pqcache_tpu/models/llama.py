@@ -333,6 +333,81 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
     return logits, new_state
 
 
+def prefill_chunk_step(cfg: ModelConfig, params: dict, kbuf: jax.Array,
+                       vbuf: jax.Array, hidden_c: jax.Array,
+                       pad_len: jax.Array, c0: int, *,
+                       use_pallas=None, interpret: bool = False
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """CHUNK-MAJOR prefill slab: process prompt rows [c0, c0+ch) through
+    ALL layers, appending each layer's rope'd K/V into the admission
+    buffers. The cross-slab dependency is only the per-layer K prefix, so
+    a serving engine can run decode chunks BETWEEN slabs — admission never
+    stalls running streams for more than one slab (the monolithic
+    admission prefill was the measured tbt_p95 = 16× p50 tail,
+    harness/serving.py). Same math as prefill_chunked's pass A+B: each
+    slab costs exactly its causal triangle slab.
+
+    kbuf/vbuf [L, H_kv, P, D] (donate); hidden_c [ch, E] = the slab's
+    embedded tokens; c0 STATIC (the packed flash grid covers exactly the
+    reachable blocks; one compiled program per slab index). Returns
+    (kbuf, vbuf, h_out [ch, E])."""
+    ch, E = hidden_c.shape
+    L = cfg.num_layers
+    H_kv, D = cfg.num_kv_heads, cfg.head_dim
+    positions = jnp.maximum(
+        c0 + jnp.arange(ch, dtype=jnp.int32) - pad_len, 0)
+    cos, sin = rope_cos_sin(cfg, positions)
+
+    def body(carry, xs):
+        hidden, kbuf, vbuf = carry
+        lp, idx = xs
+        h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+        q, k_c, v_c = _qkv(cfg, lp, h_norm, cos, sin)
+        kbuf = jax.lax.dynamic_update_slice(kbuf, k_c[None],
+                                            (idx, 0, c0, 0))
+        vbuf = jax.lax.dynamic_update_slice(vbuf, v_c[None],
+                                            (idx, 0, c0, 0))
+        k_pref = jax.lax.dynamic_slice(
+            kbuf, (idx, 0, 0, 0), (1, H_kv, c0 + ch, D))[0]
+        v_pref = jax.lax.dynamic_slice(
+            vbuf, (idx, 0, 0, 0), (1, H_kv, c0 + ch, D))[0]
+        from pqcache_tpu.ops.dispatch import prefill_chunk_attention
+        att = prefill_chunk_attention(q, k_pref, v_pref, pad_len,
+                                      q_offset=c0, use_pallas=use_pallas,
+                                      interpret=interpret)
+        hidden = hidden + att.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
+        h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
+        hidden = hidden + mlp(lp, h2, chunk=cfg.mlp_chunk)
+        return (hidden, kbuf, vbuf), None
+
+    (hidden, kbuf, vbuf), _ = jax.lax.scan(
+        body, (hidden_c, kbuf, vbuf),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)))
+    return kbuf, vbuf, hidden
+
+
+def prefill_finish_tail(cfg: ModelConfig, params: dict, policy, state: Any,
+                        kbuf: jax.Array, vbuf: jax.Array,
+                        h_last: jax.Array, pad_len: jax.Array,
+                        true_len: jax.Array) -> Tuple[jax.Array, Any]:
+    """Finish a chunk-major prefill: the policy tail (codebooks + state
+    writes) over the assembled per-layer K/V, plus the last-token logits
+    from the final slab's hidden rows (left-padded prompts end at the
+    last row). Together with prefill_chunk_step this computes exactly
+    what prefill_chunked computes, sliced so a scheduler can interleave."""
+    L = cfg.num_layers
+
+    def body(st, xs):
+        k, v, idx = xs
+        return policy.prefill_tail(st, idx, k, v, pad_len, true_len), None
+
+    state, _ = jax.lax.scan(
+        body, state, (kbuf, vbuf, jnp.arange(L, dtype=jnp.int32)))
+    last = rms_norm(h_last[-1:], params["final_norm"], cfg.rms_norm_eps)
+    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    return logits, state
+
+
 def prefill_capture_kv(cfg: ModelConfig, params: dict, tokens: jax.Array,
                        *, use_pallas=None, interpret: bool = False,
                        axis_name=None) -> Tuple[jax.Array, jax.Array]:

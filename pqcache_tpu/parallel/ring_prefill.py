@@ -127,28 +127,19 @@ def ring_attention(q, k, v, qpos, kpos, kvalid, axis_name: str, *,
     return out.reshape(H, Cq, D).astype(q.dtype)
 
 
-def sp_prefill(cfg: EngineConfig, params: dict, tokens_local: jax.Array,
-               pad_len: jax.Array, true_len: jax.Array, axis_name: str,
-               *, inner: int = 512
-               ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Sequence-sharded full-decoder prefill + distributed PQ build.
+def ring_forward(model_cfg, params: dict, tokens_local: jax.Array,
+                 pad_len: jax.Array, true_len: jax.Array, axis_name: str,
+                 *, inner: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Sequence-sharded full-decoder forward (ring attention per layer).
 
     tokens_local [C]: this shard's contiguous slice of the LEFT-padded
     P-token prompt (global slice [r·C, (r+1)·C)). Returns
-      logits   [V]            — last real token's logits, replicated;
-      kv_local [L, H_kv, C, 2D] — this shard's K‖V rows (sequence shard);
-      codes_local [L, H_kv, S, C] — PQ codes aligned with kv_local
-                  (codes for sink/pad rows are garbage; mask by position);
-      centroids [L, H_kv, S, C_cent, d_sub] — replicated codebooks.
+      logits   [V]              — last real token's logits, replicated;
+      kv_local [L, H_kv, C, 2D] — this shard's K‖V rows (sequence shard).
 
-    Budgets/PQ follow cfg.pq; metric "euc" only (ip's phi needs one extra
-    psum-max — not yet wired).
-    """
-    m = cfg.model
-    S = cfg.pq.n_subvec_per_head
-    C_cent = 2 ** cfg.pq.n_subbits
-    d_sub = m.head_dim // S
-    sink = cfg.budget.sink_size
+    Weights are REPLICATED across the axis (context-parallel standard:
+    every shard computes all heads for its token slice)."""
+    m = model_cfg
     L = m.num_layers
     C = tokens_local.shape[0]
     r = jax.lax.axis_index(axis_name)
@@ -159,8 +150,6 @@ def sp_prefill(cfg: EngineConfig, params: dict, tokens_local: jax.Array,
     rpos = jnp.maximum(gpos - pad_len, 0)     # rope positions
     cos, sin = llama.rope_cos_sin(m, rpos)
     valid = (gpos >= pad_len) & (gpos < pad_len + true_len)
-    # retrieval candidates: real tokens after the sink
-    is_tail = valid & (gpos >= pad_len + sink)
 
     def body(carry, lp):
         hidden = carry
@@ -177,21 +166,6 @@ def sp_prefill(cfg: EngineConfig, params: dict, tokens_local: jax.Array,
 
     hidden, kv_layers = jax.lax.scan(body, hidden, params["layers"])
 
-    # distributed codebook training per layer over this shard's tail keys
-    def train(kv):
-        k = kv[..., :m.head_dim]
-        xb = (k.reshape(m.num_kv_heads, C, S, d_sub)
-              .transpose(0, 2, 1, 3)
-              .reshape(m.num_kv_heads * S, C, d_sub))
-        res = pq.kmeans(xb, C_cent, iters=cfg.pq.kmeans_iters,
-                        seed=cfg.pq.kmeans_seed, axis_name=axis_name,
-                        valid_mask=is_tail[None, :])
-        cents = res.centroids.reshape(m.num_kv_heads, S, C_cent, d_sub)
-        codes = res.codes.reshape(m.num_kv_heads, S, C).astype(jnp.uint8)
-        return cents, codes
-
-    centroids, codes = jax.lax.map(train, kv_layers)
-
     # last real token lives at global index pad_len + true_len - 1; the
     # owning shard contributes its logits, psum replicates them
     last_g = pad_len + true_len - 1
@@ -203,4 +177,109 @@ def sp_prefill(cfg: EngineConfig, params: dict, tokens_local: jax.Array,
     h_last = jax.lax.psum(h_last, axis_name)
     last = llama.rms_norm(h_last, params["final_norm"], m.rms_norm_eps)
     logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
-    return logits, kv_layers, codes, centroids
+    return logits, kv_layers
+
+
+def sp_prefill(cfg: EngineConfig, params: dict, tokens_local: jax.Array,
+               pad_len: jax.Array, true_len: jax.Array, axis_name: str,
+               *, inner: int = 512
+               ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array,
+                          jax.Array]:
+    """Sequence-sharded full-decoder prefill + distributed PQ build.
+
+    Returns (logits [V] replicated, kv_local [L, H_kv, C, 2D],
+    codes_local [L, H_kv, S, C] — codes for sink/pad rows are garbage,
+    mask by position —, centroids [L, H_kv, S, C_cent, d_lift] replicated,
+    phi [L, H_kv·S, 1, 1] replicated — the ip2l2 lift constant, zeros for
+    metric "euc"). The ip metric's phi is the GLOBAL per-group max ‖x‖²,
+    one pmax over the sequence axis."""
+    m = cfg.model
+    S = cfg.pq.n_subvec_per_head
+    C_cent = 2 ** cfg.pq.n_subbits
+    d_sub = m.head_dim // S
+    sink = cfg.budget.sink_size
+    C = tokens_local.shape[0]
+    r = jax.lax.axis_index(axis_name)
+    g0 = r * C
+
+    logits, kv_layers = ring_forward(m, params, tokens_local, pad_len,
+                                     true_len, axis_name, inner=inner)
+
+    gpos = g0 + jnp.arange(C, dtype=jnp.int32)
+    valid = (gpos >= pad_len) & (gpos < pad_len + true_len)
+    # retrieval candidates: real tokens after the sink
+    is_tail = valid & (gpos >= pad_len + sink)
+
+    # distributed codebook training per layer over this shard's tail keys
+    def train(kv):
+        k = kv[..., :m.head_dim]
+        xb = (k.reshape(m.num_kv_heads, C, S, d_sub)
+              .transpose(0, 2, 1, 3)
+              .reshape(m.num_kv_heads * S, C, d_sub))
+        G = m.num_kv_heads * S
+        if cfg.pq.metric == "ip":
+            # ip2l2 lift with the GLOBAL phi: per-group max ‖x‖² over all
+            # shards' tail rows (pmax), then the local lift columns
+            norms = jnp.sum(xb.astype(jnp.float32) ** 2, axis=-1,
+                            keepdims=True)                    # [G, C, 1]
+            phi_loc = jnp.max(
+                jnp.where(is_tail[None, :, None], norms, 0.0),
+                axis=-2, keepdims=True)                       # [G, 1, 1]
+            phi = jax.lax.pmax(phi_loc, axis_name)
+            xb = jnp.concatenate(
+                [xb.astype(jnp.float32),
+                 jnp.sqrt(jnp.maximum(phi - norms, 0.0))], axis=-1)
+        else:
+            phi = jnp.zeros((G, 1, 1), jnp.float32)
+        res = pq.kmeans(xb, C_cent, iters=cfg.pq.kmeans_iters,
+                        seed=cfg.pq.kmeans_seed, axis_name=axis_name,
+                        valid_mask=is_tail[None, :])
+        cents = res.centroids.reshape(m.num_kv_heads, S, C_cent,
+                                      xb.shape[-1])
+        codes = res.codes.reshape(m.num_kv_heads, S, C).astype(jnp.uint8)
+        return cents, codes, phi
+
+    centroids, codes, phi = jax.lax.map(train, kv_layers)
+    return logits, kv_layers, codes, centroids, phi
+
+
+def gather_state_tp(policy, kv_layers: jax.Array, pad_len: jax.Array,
+                    true_len: jax.Array, axis_name: str,
+                    dtype=jnp.bfloat16):
+    """Ring-prefill → decode handoff: reshard sequence-major KV slices to
+    head-major and build the decode engines' PQState.
+
+    kv_layers [L, H_kv, C, 2D] — this shard's token slice, ALL kv heads
+    (ring_forward's output). One all_to_all sends token-slice j of head
+    block i to shard i (requires H_kv % sp == 0 — true for the flagship
+    models on an 8-device axis: H_kv = 8), yielding [L, H_kv/sp, P, 2D]:
+    the full sequence for this shard's heads. The PQ state (sink split,
+    tail layout, codebooks, codes, jhist, int8 scales) is then built by
+    the policy's standard `prefill_tail` — the exact code path the TP
+    engines prefill through (policy must carry shard_axis so k-means
+    seeds with GLOBAL group ids), so decode from a ring prefill matches
+    the chunked-prefill engine token for token. Re-running k-means
+    head-locally costs <1% of the ring attention FLOPs; the distributed
+    Lloyd output (sp_prefill) is for consumers that never materialize a
+    full tail on any shard.
+
+    `policy` is the LOCAL policy (head counts divided by the shard count).
+    Returns the local PQState shard (pq_state_specs layout)."""
+    D = policy.D
+    L = kv_layers.shape[0]
+    # seq-major [L, H_kv, C, 2D] → head-major [L, H_kv/sp, sp·C, 2D];
+    # tiled concat along the token axis is in rank order = global order
+    kv_h = jax.lax.all_to_all(kv_layers, axis_name, split_axis=1,
+                              concat_axis=2, tiled=True)
+    state = policy.init_state(dtype)
+
+    def body(carry, xs):
+        st = carry
+        kv, idx = xs
+        st = policy.prefill_tail(st, idx, kv[..., :D], kv[..., D:],
+                                 pad_len, true_len)
+        return st, None
+
+    state, _ = jax.lax.scan(
+        body, state, (kv_h, jnp.arange(L, dtype=jnp.int32)))
+    return state

@@ -115,6 +115,89 @@ class TPEngine:
             in_specs=(PARAM_SPECS, sspec, P(), P()),
             out_specs=(P(), sspec), check_rep=False))
 
+    def _ring_prefill_program(self, inner: int):
+        """Jitted ring-prefill → decode-state handoff over the SAME mesh
+        axis: sequence-sharded ring attention (weights replicated — the
+        context-parallel standard), then gather_state_tp's all_to_all
+        reshard + per-shard prefill_tail. Output state is head-sharded
+        exactly like the TP prefill's, so self._decode consumes it
+        directly. One program; compiled lazily on first generate_ring."""
+        key = ("ring", inner)
+        if not hasattr(self, "_ring_cache"):
+            self._ring_cache = {}
+        if key in self._ring_cache:
+            return self._ring_cache[key]
+        from pqcache_tpu.parallel.ring_prefill import (gather_state_tp,
+                                                       ring_forward)
+        model_g = self.cfg_global.model
+        policy = self.policy
+        dtype = self.dtype
+
+        def body(p, tokens_local, pad, tlen):
+            logits, kv_layers = ring_forward(model_g, p, tokens_local, pad,
+                                             tlen, "tp", inner=inner)
+            state = gather_state_tp(policy, kv_layers, pad, tlen, "tp",
+                                    dtype=dtype)
+            return jnp.argmax(logits).astype(jnp.int32), state
+
+        sspec = pq_state_specs(jhist=policy.use_jhist,
+                               int8_scales=policy.kv_int8)
+        fn = jax.jit(shard_map(
+            body, mesh=self.mesh,
+            # P() as a tree PREFIX replicates the whole params pytree
+            in_specs=(P(), P("tp"), P(), P()),
+            out_specs=(P(), sspec), check_rep=False))
+        self._ring_cache[key] = fn
+        return fn
+
+    def generate_ring(self, prompt_ids, max_new_tokens: int, eos_ids=(),
+                      inner: int = 512):
+        """Generate with SEQUENCE-PARALLEL prefill: the prompt is ring-
+        prefilled across the mesh (per-shard activations/KV ∝ P/sp — the
+        path for prompts beyond one chip's prefill capacity), the state is
+        resharded head-major in the same program, and decode runs the
+        engine's ordinary TP chunks. Tokens match `generate` exactly
+        (gather_state_tp builds the state through prefill_tail)."""
+        import numpy as np
+        if max_new_tokens > self.max_new:
+            raise ValueError(
+                f"max_new_tokens {max_new_tokens} exceeds the engine "
+                f"reservation {self.max_new}")
+        tp = self.mesh.shape["tp"]
+        m = self.cfg_global.model
+        if m.num_kv_heads % tp:
+            raise ValueError(
+                f"ring handoff all_to_all needs tp ({tp}) to divide "
+                f"num_kv_heads ({m.num_kv_heads})")
+        if self.P % tp:
+            raise ValueError(f"prefill_len {self.P} not divisible by "
+                             f"tp {tp}")
+        ids = np.asarray(prompt_ids, np.int32)
+        true_len = int(ids.shape[0])
+        pad = self.P - true_len
+        if pad < 0:
+            raise ValueError(f"prompt {true_len} > prefill_len {self.P}")
+        tokens = np.zeros((self.P,), np.int32)
+        tokens[pad:] = ids
+        prefill = self._ring_prefill_program(inner)
+        first, state = prefill(
+            self.params, jnp.asarray(tokens), jnp.asarray(pad, jnp.int32),
+            jnp.asarray(true_len, jnp.int32))
+        out = [int(first)]
+        pos = true_len
+        stop = out[0] in eos_ids
+        while len(out) < max_new_tokens and not stop:
+            toks, state = self._decode(
+                self.params, state, jnp.asarray(out[-1], jnp.int32),
+                jnp.asarray(pos, jnp.int32))
+            pos += self.chunk
+            for t in np.asarray(toks).tolist():
+                out.append(int(t))
+                if int(t) in eos_ids or len(out) >= max_new_tokens:
+                    stop = True
+                    break
+        return out[:max_new_tokens]
+
     def init_state(self):
         """Global-shape zero state; shard_map slices the head dimension.
         Allocated directly at global shape (no tile-by-tp copies). The
@@ -126,7 +209,8 @@ class TPEngine:
         return make_pq_state(
             self.cfg_global, self.budget, dtype=self.dtype,
             jhist_blocks=self.policy._jhist_blocks(),
-            jhist_dtype=pq.jhist_dtype(self.policy.select_block))
+            jhist_dtype=(pq.jhist_dtype(self.policy.select_block)
+                         if self.policy.use_jhist else jnp.bfloat16))
 
     def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
         import numpy as np

@@ -51,6 +51,22 @@ class _Slot:
     pos: int = 0
 
 
+@dataclasses.dataclass
+class _Admission:
+    """An in-flight INTERLEAVED admission: chunk-major prefill advanced
+    one slab at a time between decode chunks (llama.prefill_chunk_step).
+    Holds the per-layer K/V buffers being assembled and the cursor."""
+    seq_id: int
+    tokens: object          # np [P] left-padded prompt
+    pad: int
+    true_len: int
+    kbuf: object            # [L, H_kv, P, D] device
+    vbuf: object
+    h: object = None        # last slab's hidden rows [ch, E]
+    i: int = 0              # next slab index
+    n_slabs: int = 0
+
+
 class BatchEngine:
     """Fixed-pool continuous batching over B slots (one device)."""
 
@@ -166,8 +182,93 @@ class BatchEngine:
                 bstate, state, slot),
             donate_argnums=(0,))
 
+        # INTERLEAVED admission (default whenever the prefill is chunked
+        # and there is no prefix cache): admissions advance ONE slab
+        # between decode chunks instead of a monolithic prefill call, so
+        # running streams never stall more than one slab (the monolithic
+        # path measured tbt_p95 = 16× p50 under a burst). Token streams
+        # are identical either way (same math, sliced differently).
+        self.interleave = bool(pf_chunk) and prefix is None
+        self._slab_cache: dict = {}
+        if self.interleave:
+            def tail_fn(params, state, kbuf, vbuf, h_last, pad, tlen):
+                logits, st = llama.prefill_finish_tail(
+                    m, params, self.policy, state, kbuf, vbuf, h_last,
+                    pad, tlen)
+                if self.sampler is None:
+                    return jnp.argmax(logits).astype(jnp.int32), st
+                return logits, st
+            self._admit_tail = jax.jit(tail_fn, donate_argnums=(1, 2, 3))
+
         self.bstate = self.policy.init_batched_state(self.B, dtype)
         self.slots: List[_Slot] = [_Slot() for _ in range(self.B)]
+
+    # -- interleaved admission ----------------------------------------------
+
+    def _slab_fn(self, c0: int):
+        """Jitted chunk-major slab program for STATIC offset c0 (one
+        compile per slab index, shared across admissions)."""
+        if c0 in self._slab_cache:
+            return self._slab_cache[c0]
+        m = self.cfg.model
+        ch = self._pf_chunk
+        pol = self.policy
+
+        def f(params, kbuf, vbuf, toks_c, pad):
+            hidden_c = jnp.take(params["embed"], toks_c, axis=0)
+            return llama.prefill_chunk_step(
+                m, params, kbuf, vbuf, hidden_c, pad, c0,
+                use_pallas=getattr(pol, "use_pallas", None),
+                interpret=getattr(pol, "interpret", False))
+
+        fn = jax.jit(f, donate_argnums=(1, 2))
+        self._slab_cache[c0] = fn
+        return fn
+
+    def _admission_start(self, seq_id: int, ids: np.ndarray) -> _Admission:
+        m = self.cfg.model
+        true_len = int(ids.shape[0])
+        pad = self.P - true_len
+        if pad < 0:
+            raise ValueError(
+                f"prompt {true_len} > engine prefill_len {self.P}")
+        tokens = np.zeros((self.P,), np.int32)
+        tokens[pad:] = ids
+        kbuf = jnp.zeros((m.num_layers, m.num_kv_heads, self.P, m.head_dim),
+                         self.dtype)
+        return _Admission(seq_id=seq_id, tokens=tokens, pad=pad,
+                          true_len=true_len, kbuf=kbuf,
+                          vbuf=jnp.zeros_like(kbuf),
+                          n_slabs=self.P // self._pf_chunk)
+
+    def _admission_step(self, adm: _Admission) -> bool:
+        """Advance one slab; True when the prefill slabs are exhausted."""
+        ch = self._pf_chunk
+        c0 = adm.i * ch
+        toks_c = jnp.asarray(adm.tokens[c0:c0 + ch])
+        adm.kbuf, adm.vbuf, adm.h = self._slab_fn(c0)(
+            self.params, adm.kbuf, adm.vbuf, toks_c,
+            jnp.asarray(adm.pad, jnp.int32))
+        adm.i += 1
+        return adm.i >= adm.n_slabs
+
+    def _admission_finish(self, adm: _Admission) -> int:
+        """Policy tail + slot insert; returns the slot index."""
+        slot = next(i for i, s in enumerate(self.slots) if s.done)
+        state = self.policy.init_state(self.dtype)
+        first, state = self._admit_tail(
+            self.params, state, adm.kbuf, adm.vbuf, adm.h,
+            jnp.asarray(adm.pad, jnp.int32),
+            jnp.asarray(adm.true_len, jnp.int32))
+        if self.sampler is not None:
+            self._key, sub = jax.random.split(self._key)
+            first = self.sampler(sub, first)
+        self.bstate = self._insert(self.bstate, state,
+                                   jnp.asarray(slot, jnp.int32))
+        self.slots[slot] = _Slot(seq_id=adm.seq_id, tokens=[int(first)],
+                                 done=False, next_tok=int(first),
+                                 pos=adm.true_len)
+        return slot
 
     def _admit(self, seq_id: int, ids: np.ndarray) -> int:
         slot = next(i for i, s in enumerate(self.slots) if s.done)
@@ -225,6 +326,11 @@ class BatchEngine:
         available; first−arrive = TTFT under load), "done", and
         "token_times" (completion time of the chunk that produced each
         generated token — chunk-granularity decode pacing).
+
+        With `interleave` (the default for chunked non-prefix configs),
+        admissions advance one prefill SLAB per decode chunk instead of
+        running monolithically, bounding every running stream's stall to
+        one slab. Per-sequence token streams are identical either way.
         """
         import time
 
@@ -241,27 +347,7 @@ class BatchEngine:
             if timing is not None:
                 timing.setdefault(sid, {})[key] = val
 
-        def admit_all():
-            while queue and any(s.done for s in self.slots):
-                sid, ids = queue[0]
-                if now() < arrivals.get(sid, 0.0):
-                    break                 # FIFO: wait for the next arrival
-                queue.pop(0)
-                rec(sid, "arrive", arrivals.get(sid, 0.0))
-                rec(sid, "admit", now())
-                self._admit(sid, np.asarray(ids, np.int32))
-                rec(sid, "first", now())   # _admit syncs on the first token
-                if timing is not None:
-                    timing[sid]["token_times"] = [timing[sid]["first"]]
-
-        admit_all()
-        while queue or any(not s.done for s in self.slots):
-            if not any(not s.done for s in self.slots):
-                # pool idle, requests still queued: sleep until the FIFO
-                # head arrives (admission is strictly FIFO)
-                time.sleep(max(0.0, arrivals.get(queue[0][0], 0.0) - now()))
-                admit_all()
-                continue
+        def decode_once():
             toks = jnp.asarray([s.next_tok for s in self.slots], jnp.int32)
             poss = jnp.asarray([s.pos for s in self.slots], jnp.int32)
             if self.sampler is None:
@@ -288,5 +374,57 @@ class BatchEngine:
                         rec(s.seq_id, "done", t_chunk)
                         break
                 s.next_tok = s.tokens[-1]
+
+        if self.interleave:
+            pending: Optional[_Admission] = None
+            while queue or pending is not None or any(
+                    not s.done for s in self.slots):
+                if (pending is None and queue
+                        and any(s.done for s in self.slots)
+                        and now() >= arrivals.get(queue[0][0], 0.0)):
+                    sid, ids = queue.pop(0)
+                    rec(sid, "arrive", arrivals.get(sid, 0.0))
+                    rec(sid, "admit", now())
+                    pending = self._admission_start(
+                        sid, np.asarray(ids, np.int32))
+                active = any(not s.done for s in self.slots)
+                if active:
+                    decode_once()
+                if pending is not None:
+                    if self._admission_step(pending):
+                        self._admission_finish(pending)
+                        rec(pending.seq_id, "first", now())
+                        if timing is not None:
+                            timing[pending.seq_id]["token_times"] = [
+                                timing[pending.seq_id]["first"]]
+                        pending = None
+                elif not active and queue:
+                    # pool idle, FIFO head not arrived yet: sleep to it
+                    time.sleep(max(
+                        0.0, arrivals.get(queue[0][0], 0.0) - now()))
+            return results
+
+        def admit_all():
+            while queue and any(s.done for s in self.slots):
+                sid, ids = queue[0]
+                if now() < arrivals.get(sid, 0.0):
+                    break                 # FIFO: wait for the next arrival
+                queue.pop(0)
+                rec(sid, "arrive", arrivals.get(sid, 0.0))
+                rec(sid, "admit", now())
+                self._admit(sid, np.asarray(ids, np.int32))
+                rec(sid, "first", now())   # _admit syncs on the first token
+                if timing is not None:
+                    timing[sid]["token_times"] = [timing[sid]["first"]]
+
+        admit_all()
+        while queue or any(not s.done for s in self.slots):
+            if not any(not s.done for s in self.slots):
+                # pool idle, requests still queued: sleep until the FIFO
+                # head arrives (admission is strictly FIFO)
+                time.sleep(max(0.0, arrivals.get(queue[0][0], 0.0) - now()))
+                admit_all()
+                continue
+            decode_once()
             admit_all()
         return results

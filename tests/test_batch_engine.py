@@ -201,3 +201,36 @@ def test_batch_pool_shared_prefix(setup):
     with pytest.raises(ValueError, match="suffix capacity"):
         be.run([(9, rng.integers(0, ecfg.model.vocab_size, size=100)
                  .astype(np.int32))], chunk=3)
+
+
+def test_interleaved_admission_matches_monolithic(setup):
+    """INTERLEAVED admission (one prefill slab per decode chunk — the
+    tail-latency fix) produces exactly the monolithic path's tokens, under
+    load: slot 0 decodes while slots fill via slab-wise admissions."""
+    import dataclasses
+    ecfg, params = setup
+    rng = np.random.default_rng(13)
+    P = 256
+    prompts = [rng.integers(0, ecfg.model.vocab_size, size=P - 13 * i)
+               .astype(np.int32) for i in range(4)]
+    ecfg_c = dataclasses.replace(
+        ecfg, runtime=dataclasses.replace(ecfg.runtime, prefill_chunk=64))
+
+    be_i = BatchEngine(ecfg_c, params, batch_size=2, prefill_len=P,
+                       max_new_tokens=8, dtype=jnp.float32)
+    assert be_i.interleave
+    timing = {}
+    out_i = be_i.run([(i, p) for i, p in enumerate(prompts)], chunk=3,
+                     timing=timing)
+
+    be_m = BatchEngine(ecfg_c, params, batch_size=2, prefill_len=P,
+                       max_new_tokens=8, dtype=jnp.float32)
+    be_m.interleave = False            # monolithic chunked prefill
+    out_m = be_m.run([(i, p) for i, p in enumerate(prompts)], chunk=3)
+
+    assert set(out_i) == set(out_m) == {0, 1, 2, 3}
+    for i in range(4):
+        assert out_i[i] == out_m[i], (i, out_i[i], out_m[i])
+    for sid, ev in timing.items():
+        assert ev["arrive"] <= ev["admit"] <= ev["first"] <= ev["done"]
+        assert len(ev["token_times"]) == len(out_i[sid])

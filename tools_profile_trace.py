@@ -19,8 +19,8 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
-from pqcache_tpu.config import (BudgetConfig, EngineConfig, ModelConfig,
-                                PQConfig, RuntimeConfig)
+from pqcache_tpu.config import (BudgetConfig, CacheConfig, EngineConfig,
+                                ModelConfig, PQConfig, RuntimeConfig)
 from pqcache_tpu.core.budget import compute_budget
 from pqcache_tpu.models import llama
 from pqcache_tpu.policies.base import get_policy
@@ -32,6 +32,7 @@ MAXNEW = int(os.environ.get("MAXNEW", "64"))
 BLOCK = int(os.environ.get("BLOCK", "256"))
 POLICY = os.environ.get("POLICY", "pq_search")
 B = int(os.environ.get("BATCH", "1"))
+KV = "int8" if os.environ.get("KV_INT8", "0") == "1" else "bf16"
 OUT = os.environ.get("TRACE_DIR", "/tmp/jaxtrace")
 
 model = ModelConfig(
@@ -44,6 +45,7 @@ cfg = EngineConfig(
     pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
                 select_block=BLOCK),
     budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
+    cache=CacheConfig(kv_dtype=KV),
     runtime=RuntimeConfig(policy=POLICY, prefill_bucket=1024,
                           max_new_tokens=MAXNEW, max_seq_len=CTX * 2))
 budget = compute_budget(cfg.budget, CTX, MAXNEW)

@@ -51,13 +51,13 @@ ring = jax.jit(shard_map(
     mesh=mesh,
     in_specs=(jax.tree_util.tree_map(lambda _: PS(), params), PS("sp")),
     out_specs=(PS(), PS(None, None, "sp", None), PS(None, None, None, "sp"),
-               PS()),
+               PS(), PS()),
     check_rep=False))
 
 rng = np.random.default_rng(0)
 tokens = jnp.asarray(rng.integers(0, 256, size=P), jnp.int32)
 t0 = time.perf_counter()
-logits, kv, codes, cents = ring(params, tokens)
+logits, kv, codes, cents, _phi = ring(params, tokens)
 logits_np = np.asarray(logits)
 dt = time.perf_counter() - t0
 assert np.isfinite(logits_np).all()
