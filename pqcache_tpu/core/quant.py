@@ -49,15 +49,21 @@ def kv_channel_scales(k: jax.Array, v: jax.Array,
             jnp.maximum(amax(v) / 127.0, eps))
 
 
+def quantize_channels(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric per-channel int8 quantization of one tensor.
+    x [..., T, D]; scale broadcastable [..., 1, D] f32 → [..., T, D] int8."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                    -127, 127).astype(jnp.int8)
+
+
 def quantize_kv(k: jax.Array, v: jax.Array, k_scale: jax.Array,
                 v_scale: jax.Array) -> jax.Array:
     """Quantize K/V rows into one interleaved int8 row buffer.
 
     k, v: [..., T, D]; scales broadcastable [..., 1, D] f32.
     Returns [..., T, 2D] int8 (K in [:D], V in [D:] — the tail layout)."""
-    q = lambda x, s: jnp.clip(
-        jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
-    return jnp.concatenate([q(k, k_scale), q(v, v_scale)], axis=-1)
+    return jnp.concatenate([quantize_channels(k, k_scale),
+                            quantize_channels(v, v_scale)], axis=-1)
 
 
 def clip_fraction(k: jax.Array, v: jax.Array, k_scale: jax.Array,

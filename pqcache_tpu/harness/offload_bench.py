@@ -48,6 +48,8 @@ PREFILL_CHUNK = int(os.environ.get("PREFILL_CHUNK", "0"))
 # contexts beyond the HBM tier's fit (the tier's own regime): skip the
 # HBM-resident comparison arm, it would OOM
 SKIP_HBM = os.environ.get("SKIP_HBM", "0") == "1"
+# int8 store: halves host RAM, host<->HBM DMA bytes, and cache HBM
+KV = "int8" if os.environ.get("KV_INT8", "0") == "1" else "bf16"
 
 
 def main():
@@ -63,7 +65,7 @@ def main():
                             sink_size=32),
         cache=CacheConfig(offload=True, block_size=BLOCK,
                           hbm_cache_tokens=CACHE_TOKENS,
-                          cache_topk_blocks=64),
+                          cache_topk_blocks=64, kv_dtype=KV),
         runtime=RuntimeConfig(policy="pq_search", prefill_bucket=1024,
                               max_new_tokens=GEN + 2, max_seq_len=CTX + 2048,
                               prefill_chunk=PREFILL_CHUNK))
@@ -98,7 +100,7 @@ def main():
         "hit_rate": round(off.store.hit_rate, 4),
         "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
         "device_wait_ms_per_step": round(tm["wait_s"] / steps * 1e3, 2),
-        "cache_tokens": CACHE_TOKENS, "block": BLOCK,
+        "cache_tokens": CACHE_TOKENS, "block": BLOCK, "kv_dtype": KV,
         "tokens": len(toks), "total_s": round(dt, 1),
     }))
 

@@ -60,6 +60,15 @@ class OffloadPQState:
     ring_ptr: jax.Array
     pos: jax.Array
     jhist: Optional[jax.Array] = None  # [L, H_kv, NB, C²] (see core/pq.py)
+    # int8 store (cache.kv_dtype="int8"): per-(layer, head, channel) dequant
+    # scales frozen at prefill (core/quant.py). The HOST leaves, the HBM
+    # block cache and the device tail all hold int8 rows — the tier's
+    # marginal cost IS transfer bytes (the reference pays PCIe for fp16
+    # buffers, cache_manager.py:89-100), so int8 halves exactly the costs
+    # that define it: host RAM, host↔HBM DMA, cache footprint. Sink and
+    # local ring stay bf16 (always-attended, full precision).
+    k_scale: Optional[jax.Array] = None  # [L, H_kv, 1, D] f32
+    v_scale: Optional[jax.Array] = None  # [L, H_kv, 1, D] f32
 
 
 class OffloadEngine:
@@ -67,10 +76,13 @@ class OffloadEngine:
 
     def __init__(self, cfg: EngineConfig, params: dict, dtype=jnp.bfloat16):
         assert cfg.runtime.policy == "pq_search"
-        if cfg.cache.kv_dtype != "bf16":
-            # the host tier keeps its own bf16 store + HBM block cache;
-            # int8 applies to the HBM-resident tail (Engine/BatchEngine)
-            raise ValueError("OffloadEngine supports kv_dtype='bf16' only")
+        if cfg.cache.kv_dtype not in ("bf16", "int8"):
+            raise ValueError(f"unsupported kv_dtype {cfg.cache.kv_dtype}")
+        # int8 store: quantization is the ENGINE's job (scales live in the
+        # state; rows are quantized before they reach the store and
+        # dequantized at window assembly) — the HostKVStore just carries
+        # int8 leaves, halving host RAM, DMA bytes, and cache HBM.
+        self.kv_int8 = cfg.cache.kv_dtype == "int8"
         self.cfg = cfg
         self.params = params
         self.dtype = dtype
@@ -114,7 +126,11 @@ class OffloadEngine:
             pos=jnp.zeros((), jnp.int32),
             jhist=(jnp.zeros((L, H_kv, b.n_tail_max // self.bs,
                               self.C * self.C), pq.jhist_dtype(self.bs))
-                   if self.use_jhist else None))
+                   if self.use_jhist else None),
+            k_scale=(jnp.ones((L, H_kv, 1, D), jnp.float32)
+                     if self.kv_int8 else None),
+            v_scale=(jnp.ones((L, H_kv, 1, D), jnp.float32)
+                     if self.kv_int8 else None))
 
     # -- jitted device programs -------------------------------------------
 
@@ -158,6 +174,11 @@ class OffloadEngine:
         up = lambda buf, val: jax.lax.dynamic_update_slice(
             buf, val[None].astype(buf.dtype), (idx,) + (0,) * val.ndim)
         n_cand0 = jnp.maximum(n_valid_tail - b.local, 0)
+        if self.kv_int8:
+            from pqcache_tpu.core import quant
+            ks, vs = quant.kv_channel_scales(k_tail, v_tail, n_valid_tail)
+            state = state.replace(k_scale=up(state.k_scale, ks),
+                                  v_scale=up(state.v_scale, vs))
         state = state.replace(
             k_sink=up(state.k_sink, k_r[:, :b.sink]),
             v_sink=up(state.v_sink, v_r[:, :b.sink]),
@@ -316,13 +337,25 @@ class OffloadEngine:
         row_mask = (tok < n_sel) & jnp.broadcast_to(
             ok_blk, (H_kv, kb, bs)).reshape(H_kv, kb * bs)
 
+        if self.kv_int8:
+            # dequant only the FETCHED rows (+ the always-attended store
+            # tail) — cost ∝ the selected blocks, which is the whole point:
+            # the leaves/cache/DMA carried half the bytes to get here
+            from pqcache_tpu.core import quant
+            k_rows, v_rows = quant.dequant_kv(
+                rows, state.k_scale[idx], state.v_scale[idx], dtype=dt)
+            k_tl, v_tl = quant.dequant_kv(
+                tail, state.k_scale[idx], state.v_scale[idx], dtype=dt)
+        else:
+            k_rows, v_rows = rows[..., :D].astype(dt), rows[..., D:].astype(dt)
+            k_tl, v_tl = tail[..., :D].astype(dt), tail[..., D:].astype(dt)
         tail_mask = (jnp.arange(bs, dtype=jnp.int32)[None, :]
                      < n_tail_att) & jnp.ones((H_kv, 1), bool)
         out = decode_window_attention_segments(q, [
             (state.k_sink[idx], state.v_sink[idx], None),
             (state.k_local[idx], state.v_local[idx], None),
-            (rows[..., :D].astype(dt), rows[..., D:].astype(dt), row_mask),
-            (tail[..., :D].astype(dt), tail[..., D:].astype(dt), tail_mask),
+            (k_rows, v_rows, row_mask),
+            (k_tl, v_tl, tail_mask),
             (k_new.astype(dt), v_new.astype(dt), None),
         ])
 
@@ -362,7 +395,17 @@ class OffloadEngine:
             jix = (idx, jnp.arange(H_kv), n_cand // self.bs, pair)
             state = state.replace(
                 jhist=pq.jhist_increment(state.jhist, jix))
-        kv_ev = jnp.concatenate([evicted_k[:, 0], evicted_v[:, 0]], axis=-1)
+        if self.kv_int8:
+            # the evicted row enters the (int8) store: quantize with the
+            # frozen scales inside the traced program — the appended leaf
+            # carries half the bytes end to end
+            from pqcache_tpu.core import quant
+            kv_ev = quant.quantize_kv(evicted_k, evicted_v,
+                                      state.k_scale[idx],
+                                      state.v_scale[idx])[:, 0]
+        else:
+            kv_ev = jnp.concatenate([evicted_k[:, 0], evicted_v[:, 0]],
+                                    axis=-1)
         return hidden, state, kv_ev
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
@@ -405,6 +448,14 @@ class OffloadEngine:
         return state, kv_ev, nxt
 
     # -- helpers ----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _quant_layer_kv(self, k, v, ks, vs):
+        """Quantize one layer's full-length K/V for the int8 store (the
+        host leaves carry half the bytes; dequant happens at fetch)."""
+        from pqcache_tpu.core import quant
+        return (quant.quantize_channels(k, ks),
+                quant.quantize_channels(v, vs))
 
     def _to_groups(self, x):
         H_kv, T, _ = x.shape
@@ -459,7 +510,7 @@ class OffloadEngine:
             block_size=self.bs,
             hbm_cache_tokens=cfg.cache.hbm_cache_tokens,
             cache_topk_blocks=cfg.cache.cache_topk_blocks,
-            dtype=self.dtype)
+            dtype=jnp.int8 if self.kv_int8 else self.dtype)
 
         tokens = np.zeros((P,), np.int32)
         tokens[pad:] = ids
@@ -488,6 +539,11 @@ class OffloadEngine:
                     layers, state, li, hidden, cos, sin, pad_j, tl_j)
             # candidate rows are k/v[:, pad+sink : pad+sink+stored] — the
             # store interleaves K‖V per 64-block chunk (no full-length copy)
+            if self.kv_int8:
+                # quantize with this layer's fresh scales (written by the
+                # tail update above); the store's astype(int8) is a no-op
+                k_full, v_full = self._quant_layer_kv(
+                    k_full, v_full, state.k_scale[l], state.v_scale[l])
             store.offload_layer_device(l, k_full, v_full, stored,
                                        off=pad + b.sink)
             del k_full, v_full

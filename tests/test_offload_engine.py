@@ -137,3 +137,55 @@ def test_offload_respects_max_seq_len(setup):
     with pytest.raises(ValueError, match="max_seq_len"):
         OffloadEngine(cfg, params, dtype=jnp.float32).generate(
             ids, max_new_tokens=4)   # 260-token prompt > 128 cap
+
+
+def test_offload_int8_store_matches_bf16_tier(setup):
+    """int8 offload tier (VERDICT r4 item 4): host leaves / HBM cache /
+    device tail all carry int8 rows; teacher-forced decode agrees with the
+    bf16 tier and the store's buffers actually hold int8."""
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    bs = 32
+    base = dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=bs),
+        cache=CacheConfig(block_size=bs, hbm_cache_tokens=128,
+                          cache_topk_blocks=4))
+    e8 = dataclasses.replace(
+        base, cache=dataclasses.replace(base.cache, kv_dtype="int8"))
+
+    ref = OffloadEngine(base, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=12)
+    eng8 = OffloadEngine(e8, params, dtype=jnp.float32)
+    got = eng8.generate(ids, max_new_tokens=12)
+    agree = sum(a == b for a, b in zip(ref, got))
+    assert agree >= 10, (ref, got)
+
+    st = eng8.store
+    assert st.dtype == jnp.int8
+    leaf = next(iter(st.kv_blocks[0].values()))
+    assert leaf.dtype == jnp.int8
+    assert st.cache_kv[0].dtype == jnp.int8
+    assert st.tail[0].dtype == jnp.int8
+    # halved bytes per leaf vs the bf16 tier's
+    assert leaf.nbytes == leaf.size
+
+
+def test_offload_int8_jhist_and_long_run(setup):
+    """int8 + jhist scorer through enough decode steps to cross a block
+    boundary (tail flush → pinned int8 leaf → re-fetch)."""
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    bs = 16
+    e8 = dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=bs),
+        cache=CacheConfig(block_size=bs, hbm_cache_tokens=64,
+                          cache_topk_blocks=4, kv_dtype="int8"),
+        runtime=dataclasses.replace(ecfg.runtime, max_new_tokens=40))
+    eng = OffloadEngine(e8, params, dtype=jnp.float32)
+    assert eng.use_jhist
+    out = eng.generate(ids, max_new_tokens=36)
+    assert len(out) == 36
+    # generated tokens crossed at least one block boundary into the store
+    assert eng.store.valid[0] > 0
