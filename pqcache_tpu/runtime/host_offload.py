@@ -111,12 +111,15 @@ def assemble_blocks(cache: jax.Array, staged: jax.Array, slots: jax.Array,
     device block cache, misses from the staged pinned transfers.
 
     cache [n_slots, H_kv, bs, 2D]; staged [M, H_kv, bs, 2D];
-    slots/miss_pos [H_kv, kb] (slot < 0 → use staged[miss_pos]).
-    Returns [H_kv, kb, bs, 2D].
+    slots/miss_pos [Hr, kb] (slot < 0 → use staged[miss_pos]). Hr is
+    H_kv, or B·H_kv for batch-as-heads callers — leaf head rows are
+    addressed modulo H_kv (every slot's leaves carry H_kv rows).
+    Returns [Hr, kb, bs, 2D].
     """
-    H_kv = slots.shape[0]
-    heads = jnp.arange(H_kv)[:, None]
-    from_cache = cache[jnp.clip(slots, 0), heads]          # [H_kv, kb, bs, 2D]
+    Hr = slots.shape[0]
+    H_kv = cache.shape[1]
+    heads = (jnp.arange(Hr) % H_kv)[:, None]
+    from_cache = cache[jnp.clip(slots, 0), heads]          # [Hr, kb, bs, 2D]
     from_stage = staged[jnp.clip(miss_pos, 0), heads]
     return jnp.where((slots >= 0)[..., None, None], from_cache, from_stage)
 
@@ -170,19 +173,19 @@ class HostKVStore:
 
     # -- writes -----------------------------------------------------------
 
-    def offload_layer_device(self, layer: int, k: jax.Array, v: jax.Array,
-                             n_tokens: int, off: int = 0) -> None:
-        """Bulk offload of a layer's prefill KV from DEVICE arrays
-        (cache_manager.py:205-210): complete blocks become pinned
-        interleaved leaves (one batched transfer per chunk of 64), the
-        remainder seeds the device tail. k/v [H_kv, P, D]; rows
-        [off, off + n_tokens) are the valid candidate rows (off =
-        pad + sink for a left-padded prompt — the pre-off rows are pad and
-        sink, the post rows garbage). Interleaving happens per chunk so
-        no full-length [H_kv, T, 2D] copy is ever materialized."""
+    def offload_blocks_device(self, layer: int, k: jax.Array, v: jax.Array,
+                              n_tokens: int, off, *, id_base: int = 0
+                              ) -> Optional[jax.Array]:
+        """Complete-block offload from device K/V: rows [off, off+n_tokens)
+        become pinned interleaved leaves at block ids id_base + i (one
+        batched transfer per chunk of 64; interleaving happens per chunk so
+        no full-length [H_kv, T, 2D] copy is ever materialized). Returns
+        the REMAINDER rows [H_kv, rem, 2D] as a device array (None when
+        n_tokens is block-aligned) — the caller owns tail handling
+        (single-sequence: this store's device tail; batch-as-heads: the
+        engine's per-slot state tails, runtime/offload_batch.py)."""
         bs = self.block
         n_full = n_tokens // bs
-        start = self.valid[layer] // bs
         off = jnp.asarray(off, jnp.int32)
         CH = 64  # blocks per split program / batched device_put
         for ci, c0 in enumerate(range(0, n_full, CH)):
@@ -192,7 +195,7 @@ class HostKVStore:
             hosted = (jax.device_put(list(leaves), self._s_host)
                       if self._s_host is not None else list(leaves))
             for i, leaf in enumerate(hosted):
-                self.kv_blocks[layer][start + c0 + i] = leaf
+                self.kv_blocks[layer][id_base + c0 + i] = leaf
             if ci % 4 == 3:
                 # bound in-flight split+transfer chunks (~128 MB): at 128k+
                 # the queued chunk programs' device temporaries otherwise
@@ -200,11 +203,28 @@ class HostKVStore:
                 # the WHOLE newest leaf — slicing a host-space array
                 # crashes the remote compiler (ROUND_NOTES)
                 np.asarray(hosted[-1])
-        self.valid[layer] = (start + n_full) * bs
         rem = n_tokens - n_full * bs
-        if rem:
-            (part,) = _split_blocks_kv(k, v, off + n_full * bs, n=1, bs=rem,
-                                       dtype=self.dtype)
+        if not rem:
+            return None
+        (part,) = _split_blocks_kv(k, v, off + n_full * bs, n=1, bs=rem,
+                                   dtype=self.dtype)
+        return part
+
+    def offload_layer_device(self, layer: int, k: jax.Array, v: jax.Array,
+                             n_tokens: int, off: int = 0) -> None:
+        """Bulk offload of a layer's prefill KV from DEVICE arrays
+        (cache_manager.py:205-210): complete blocks become pinned
+        interleaved leaves, the remainder seeds the device tail. k/v
+        [H_kv, P, D]; rows [off, off + n_tokens) are the valid candidate
+        rows (off = pad + sink for a left-padded prompt — the pre-off rows
+        are pad and sink, the post rows garbage)."""
+        start = self.valid[layer] // self.block
+        part = self.offload_blocks_device(layer, k, v, n_tokens, off,
+                                          id_base=start)
+        n_full = n_tokens // self.block
+        self.valid[layer] = (start + n_full) * self.block
+        if part is not None:
+            rem = part.shape[1]
             self.tail[layer] = jax.lax.dynamic_update_slice_in_dim(
                 self.tail[layer] * 0, part, 0, axis=1)
             self.tail_fill[layer] = rem
@@ -239,13 +259,19 @@ class HostKVStore:
         if self.tail_fill[layer] == self.block:
             self._flush_tail(layer)
 
-    def adopt_block_device(self, layer: int, kv_block: jax.Array) -> None:
+    def adopt_block_device(self, layer: int, kv_block: jax.Array,
+                           block_id: Optional[int] = None) -> None:
         """Adopt a COMPLETE block [H_kv, bs, 2D] built on device by the
-        engine (its traced tail buffer) as the next pinned leaf."""
-        assert self.tail_fill[layer] == 0
-        b = self.valid[layer] // self.block
-        self.kv_blocks[layer][b] = self._to_host(kv_block.astype(self.dtype))
-        self.valid[layer] += self.block
+        engine (its traced tail buffer) as the next pinned leaf. With an
+        explicit block_id (batch-as-heads: slot-prefixed global id) the
+        store's own valid counter is NOT advanced — the caller tracks
+        per-slot extents."""
+        if block_id is None:
+            assert self.tail_fill[layer] == 0
+            block_id = self.valid[layer] // self.block
+            self.valid[layer] += self.block
+        self.kv_blocks[layer][block_id] = self._to_host(
+            kv_block.astype(self.dtype))
 
     def append_token(self, layer: int, pos: int, k: np.ndarray,
                      v: np.ndarray) -> None:
@@ -280,14 +306,18 @@ class HostKVStore:
 
     # -- fetch path -------------------------------------------------------
 
-    def classify_blocks(self, layer: int, blk_idx: np.ndarray
+    def classify_blocks(self, layer: int, blk_idx: np.ndarray,
+                        ok: Optional[np.ndarray] = None,
                         ) -> Tuple[np.ndarray, np.ndarray, jax.Array,
                                    jax.Array]:
         """Hit/miss split + miss staging for a per-head block selection.
 
         blk_idx [H_kv, kb] int — block ids (entries >= the complete-block
         count are treated as invalid: slot -1 / miss_pos -1; the caller
-        masks them). Returns (slots [H_kv, kb], miss_pos [H_kv, kb],
+        masks them). Batch-as-heads callers pass GLOBAL (slot-prefixed)
+        ids with blk_idx [B·H_kv, kb] and an explicit `ok` validity mask
+        (the store's own valid counter doesn't know per-slot extents).
+        Returns (slots [H_kv, kb], miss_pos [H_kv, kb],
         staged [Mb, H_kv, bs, 2D] device, cache snapshot) where slot >= 0
         means the block is cache-resident at that slot in the SNAPSHOT,
         otherwise staged[miss_pos] holds it. Misses are fetched with ONE
@@ -303,8 +333,11 @@ class HostKVStore:
         so the compiled program set is bounded.
         """
         blk_idx = np.asarray(blk_idx)
-        n_complete = int(self.valid[layer]) // self.block
-        ok = blk_idx < n_complete
+        if ok is None:
+            n_complete = int(self.valid[layer]) // self.block
+            ok = blk_idx < n_complete
+        else:
+            ok = np.asarray(ok, bool)
         with self._locks[layer]:
             proxy = self.block_slot[layer]
             slots = np.where(ok, proxy[
@@ -324,7 +357,19 @@ class HostKVStore:
                                      minlength=self.max_blocks)
                 touched = touched[
                     np.argsort(-counts[touched])[: self.cache_topk]]
-                touched = np.ascontiguousarray(touched, np.int32)
+            # ORDER MATTERS: hits (freq bumps) must precede new-block
+            # admissions within one LFU batch. A new block's admission can
+            # evict a block appearing LATER in the array; that block then
+            # re-inserts as "new" and is assigned a FRESH slot — but a hit
+            # was never staged this step, so nothing writes its data to
+            # the new slot and the cache serves stale rows (surfaced by
+            # multi-slot churn in the batched tier; latent for any caller).
+            # With hits first, every post-batch proxy entry is either the
+            # old slot (hit kept), -1 (evicted → refetched next step), or
+            # a fresh slot whose staged data the admission scatter writes.
+            t_hit = proxy[touched] >= 0
+            touched = np.ascontiguousarray(
+                np.concatenate([touched[t_hit], touched[~t_hit]]), np.int32)
             lfu = self.lfu[layer]
             if touched.size:
                 lfu.batched_insert_async(touched, proxy)

@@ -69,6 +69,11 @@ class OffloadPQState:
     # local ring stay bf16 (always-attended, full precision).
     k_scale: Optional[jax.Array] = None  # [L, H_kv, 1, D] f32
     v_scale: Optional[jax.Array] = None  # [L, H_kv, 1, D] f32
+    # batch-as-heads (runtime/offload_batch.py): per-slot growing tail
+    # blocks live in STATE (the single-sequence engine keeps its one tail
+    # in the store) so the per-layer fused program can append/attend them
+    # with per-slot fill cursors; filled slots flush to pinned leaves.
+    tail: Optional[jax.Array] = None     # [L, B·H_kv, bs, 2D] store dtype
 
 
 class OffloadEngine:
@@ -465,6 +470,51 @@ class OffloadEngine:
 
     # -- public API --------------------------------------------------------
 
+    def _prefill_pass(self, state, ids, P: int, pad: int, true_len: int,
+                      chunked: bool, ch: int, offload_fn, sync_fn):
+        """Layer-by-layer prefill driving an arbitrary offload sink:
+        offload_fn(layer, k_full, v_full, state) persists each layer's
+        K/V (single-sequence: this engine's store; batch-as-heads: the
+        shared store with slot-prefixed ids, runtime/offload_batch.py);
+        sync_fn(layer) bounds in-flight transfers. Returns (last-token
+        logits, state). Requires self.budget set."""
+        m = self.cfg.model
+        tokens = np.zeros((P,), np.int32)
+        tokens[pad:] = np.asarray(ids, np.int32)
+        pad_j = jnp.asarray(pad, jnp.int32)
+        tl_j = jnp.asarray(true_len, jnp.int32)
+        layers = self.params["layers"]
+
+        hidden = jnp.take(self.params["embed"], jnp.asarray(tokens), axis=0)
+        positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_j, 0)
+        cos, sin = llama.rope_cos_sin(m, positions)
+        for l in range(m.num_layers):
+            li = jnp.asarray(l, jnp.int32)
+            if chunked:
+                k_full, v_full = self._prefill_layer_kv(
+                    layers, li, hidden, cos, sin, ch)
+                for c in range(P // ch):
+                    hidden = self._prefill_attn_chunk(
+                        layers, li, c * ch, hidden, k_full, v_full,
+                        cos, sin, pad_j, ch)
+                state = self._prefill_tail_chunked(
+                    state, li, k_full, v_full, pad_j, tl_j)
+            else:
+                hidden, state, k_full, v_full = self._prefill_layer(
+                    layers, state, li, hidden, cos, sin, pad_j, tl_j)
+            offload_fn(l, k_full, v_full, state)
+            del k_full, v_full
+            # bound in-flight prefill work to ~1 layer (compute AND the
+            # pinned-host leaf transfers): without these barriers the
+            # async dispatch allocates every layer's [H_kv, P, 2D] tail
+            # while transfers lag, OOMing at 128k (0.5 GB/layer there)
+            np.asarray(hidden[:1, :1])
+            sync_fn(l)
+        last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
+                              m.rms_norm_eps)
+        logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
+        return logits, state
+
     def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
         return list(self.stream(prompt_ids, max_new_tokens, eos_ids))
 
@@ -512,50 +562,22 @@ class OffloadEngine:
             cache_topk_blocks=cfg.cache.cache_topk_blocks,
             dtype=jnp.int8 if self.kv_int8 else self.dtype)
 
-        tokens = np.zeros((P,), np.int32)
-        tokens[pad:] = ids
-        pad_j = jnp.asarray(pad, jnp.int32)
-        tl_j = jnp.asarray(true_len, jnp.int32)
-
-        layers = self.params["layers"]
-
-        hidden = jnp.take(self.params["embed"], jnp.asarray(tokens), axis=0)
-        positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_j, 0)
-        cos, sin = llama.rope_cos_sin(m, positions)
         stored = true_len - b.sink          # tail rows valid in the store
-        for l in range(m.num_layers):
-            li = jnp.asarray(l, jnp.int32)
-            if chunked:
-                k_full, v_full = self._prefill_layer_kv(
-                    layers, li, hidden, cos, sin, ch)
-                for c in range(P // ch):
-                    hidden = self._prefill_attn_chunk(
-                        layers, li, c * ch, hidden, k_full, v_full,
-                        cos, sin, pad_j, ch)
-                state = self._prefill_tail_chunked(
-                    state, li, k_full, v_full, pad_j, tl_j)
-            else:
-                hidden, state, k_full, v_full = self._prefill_layer(
-                    layers, state, li, hidden, cos, sin, pad_j, tl_j)
+
+        def offload_fn(l, k_full, v_full, st):
             # candidate rows are k/v[:, pad+sink : pad+sink+stored] — the
             # store interleaves K‖V per 64-block chunk (no full-length copy)
             if self.kv_int8:
                 # quantize with this layer's fresh scales (written by the
                 # tail update above); the store's astype(int8) is a no-op
                 k_full, v_full = self._quant_layer_kv(
-                    k_full, v_full, state.k_scale[l], state.v_scale[l])
+                    k_full, v_full, st.k_scale[l], st.v_scale[l])
             store.offload_layer_device(l, k_full, v_full, stored,
                                        off=pad + b.sink)
-            del k_full, v_full
-            # bound in-flight prefill work to ~1 layer (compute AND the
-            # pinned-host leaf transfers): without these barriers the
-            # async dispatch allocates every layer's [H_kv, P, 2D] tail
-            # while transfers lag, OOMing at 128k (0.5 GB/layer there)
-            np.asarray(hidden[:1, :1])
-            store.sync_transfers(l)
-        last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
-                              m.rms_norm_eps)
-        logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
+
+        logits, state = self._prefill_pass(state, ids, P, pad, true_len,
+                                           chunked, ch, offload_fn,
+                                           store.sync_transfers)
         rng = (jax.random.PRNGKey(cfg.runtime.sample_seed)
                if self.sampler is not None else None)
         if self.sampler is None:
@@ -567,6 +589,7 @@ class OffloadEngine:
 
         params_out = {"final_norm": self.params["final_norm"],
                       "lm_head": self.params["lm_head"]}
+        layers = self.params["layers"]
         L = m.num_layers
         pos = true_len
         n_cand_py = max(true_len - b.sink - b.local, 0)

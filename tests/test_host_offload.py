@@ -99,3 +99,35 @@ def test_partial_tail_block_not_admitted():
     for _ in range(3):
         s.fetch(0, idx)
     assert s.block_slot[0][1] < 0  # block 1 not resident
+
+
+def test_hit_evicted_and_readmitted_in_one_batch_serves_fresh_data():
+    """Regression (round 4): within ONE classify batch, a new block's
+    admission can evict a block that is a HIT in the same step; if the LFU
+    processes the hit AFTER the eviction it re-admits it at a FRESH slot
+    that nothing staged — the cache then serves stale rows. classify now
+    orders hits before admissions. This drives mixed hit+miss batches
+    under heavy churn and verifies every fetched row against the leaves."""
+    import jax.numpy as jnp
+    from pqcache_tpu.runtime.host_offload import assemble_blocks
+    s = _store(hbm_cache_tokens=96)   # 3-block cache, block 32
+    rng = np.random.default_rng(7)
+    k = rng.normal(size=(2, 512, 8)).astype(np.float32)   # 16 blocks
+    s.offload_layer(0, k, k.copy())
+    # access pattern: one persistent hot block + rotating cold blocks —
+    # every step is a mixed batch where cold admissions evict around the
+    # hot block (ids interleave so the hot id often follows a cold one)
+    for step in range(24):
+        cold = 1 + (step % 4) * 3
+        blk = np.asarray([[0, cold, cold + 1],
+                          [cold + 1, 0, cold]], np.int32)
+        slots, miss, staged, cache = s.classify_blocks(0, blk)
+        got = np.asarray(assemble_blocks(
+            cache, staged, jnp.asarray(slots), jnp.asarray(miss)))
+        for h in range(2):
+            for j in range(blk.shape[1]):
+                leaf = np.asarray(s.kv_blocks[0][int(blk[h, j])])
+                np.testing.assert_array_equal(
+                    got[h, j], leaf[h],
+                    err_msg=f"step={step} h={h} blk={blk[h, j]} "
+                            f"slot={slots[h, j]}")

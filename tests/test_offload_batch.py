@@ -1,0 +1,90 @@
+"""Batched offload serving (runtime/offload_batch.py): B slots sharing one
+pinned-host store + HBM block cache must reproduce B independent
+single-sequence OffloadEngine runs token for token (same math, folded
+heads, slot-prefixed block ids)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pqcache_tpu.config import (BudgetConfig, CacheConfig, EngineConfig,
+                                PQConfig, RuntimeConfig, tiny_model_config)
+from pqcache_tpu.models import llama
+from pqcache_tpu.runtime.offload_batch import BatchOffloadEngine
+from pqcache_tpu.runtime.offload_engine import OffloadEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg_m = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg_m.vocab_size, size=n).astype(np.int32)
+               for n in (260, 230)]
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False, select_block=16),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        cache=CacheConfig(offload=True, block_size=16, hbm_cache_tokens=96,
+                          cache_topk_blocks=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=40, max_seq_len=1024),
+    )
+    return ecfg, params, prompts
+
+
+@pytest.mark.parametrize("kv_dtype", ["bf16", "int8"])
+def test_batched_offload_matches_single_runs(setup, kv_dtype):
+    ecfg, params, prompts = setup
+    ecfg = dataclasses.replace(
+        ecfg, cache=dataclasses.replace(ecfg.cache, kv_dtype=kv_dtype))
+    n = 10
+    # single-sequence references — each prompt padded to the POOL bucket
+    # (the batched engine buckets on the longest prompt)
+    P = 320  # bucket_length(260, 64)
+    refs = []
+    for ids in prompts:
+        se = OffloadEngine(ecfg, params, dtype=jnp.float32)
+        # force the same pool P: left-pad is internal, bucket by length —
+        # pad the prompt ourselves to P-true via the engine's own bucket
+        refs.append(se.generate(ids, max_new_tokens=n))
+
+    be = BatchOffloadEngine(ecfg, params, batch_size=2, dtype=jnp.float32)
+    out = be.generate_batch(prompts, max_new_tokens=n)
+    # slot 0's prompt (len 260) buckets identically (320) in both engines;
+    # slot 1 (len 230) buckets to 256 single vs 320 pooled → budgets
+    # differ, so only slot 0 is an exact-parity check
+    assert out[0] == refs[0], (out[0], refs[0])
+    assert len(out[1]) == n
+    # the shared cache served both slots
+    assert be.store.hits > 0
+
+
+def test_batched_offload_same_prompt_slots_agree(setup):
+    ecfg, params, prompts = setup
+    be = BatchOffloadEngine(ecfg, params, batch_size=2, dtype=jnp.float32)
+    out = be.generate_batch([prompts[0], prompts[0]], max_new_tokens=8)
+    assert out[0] == out[1], out
+
+
+def test_batched_offload_parity_at_equal_bucket(setup):
+    """Both slots at the pool bucket length → BOTH must match their
+    single runs exactly (block flush + shared-cache path crossed: gen 24
+    exceeds a 16-token block)."""
+    ecfg, params, _ = setup
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, ecfg.model.vocab_size, size=320).astype(np.int32)
+    b = rng.integers(0, ecfg.model.vocab_size, size=320).astype(np.int32)
+    n = 24
+    refs = [OffloadEngine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=n) for ids in (a, b)]
+    be = BatchOffloadEngine(ecfg, params, batch_size=2, dtype=jnp.float32)
+    out = be.generate_batch([a, b], max_new_tokens=n)
+    assert out[0] == refs[0], (out[0], refs[0])
+    assert out[1] == refs[1], (out[1], refs[1])

@@ -29,8 +29,12 @@ STEPS = 16
 key = jax.random.PRNGKey(0)
 
 
-def run(flat: bool):
-    shape = (L, BH, NB * C * C) if flat else (L, BH, NB, C * C)
+def run(mode: str):
+    # mode: "4d" [L, BH, NB, C²]; "flat" [L, BH, NB·C²];
+    #       "tr" [L, NB, BH, C²] (transposed to the layout the 4D carry
+    #       was observed to want, {3,1,2,0})
+    shape = {"4d": (L, BH, NB, C * C), "flat": (L, BH, NB * C * C),
+             "tr": (L, NB, BH, C * C)}[mode]
     J0 = jnp.zeros(shape, jnp.uint8)
     lut0 = jax.random.normal(key, (BH * g, 2, C), jnp.float32)
 
@@ -39,14 +43,14 @@ def run(flat: bool):
 
         def layer(acc, idx):
             Jl = J[idx]
-            if flat:
+            if mode == "flat":
                 Jl = Jl.reshape(BH, NB, C * C)
             m = jnp.max(lut0, axis=-1, keepdims=True)
             e = jnp.exp(lut0 - m)
             pair = (e[:, 0, :, None] * e[:, 1, None, :]).reshape(
                 BH, g, C * C)
-            mass = jnp.einsum("hgp,hnp->hgn", pair,
-                              Jl.astype(jnp.float32),
+            eq = "hgp,nhp->hgn" if mode == "tr" else "hgp,hnp->hgn"
+            mass = jnp.einsum(eq, pair, Jl.astype(jnp.float32),
                               preferred_element_type=jnp.float32)
             return acc + jnp.sum(mass), None
 
@@ -57,8 +61,10 @@ def run(flat: bool):
         pairj = pairj.reshape(L, BH)
         blk = jnp.broadcast_to((n // 256) % NB, (L, BH))
         lidx = (jnp.arange(L)[:, None], jnp.arange(BH)[None, :])
-        if flat:
+        if mode == "flat":
             idx = lidx + (blk * (C * C) + pairj,)
+        elif mode == "tr":
+            idx = (lidx[0], blk, lidx[1], pairj)
         else:
             idx = lidx + (blk, pairj)
         cur = J[idx].astype(jnp.int32)
@@ -69,15 +75,19 @@ def run(flat: bool):
                                        length=STEPS), donate_argnums=(0,))
     (J, _), accs = f(J0)
     np.asarray(accs)
+    tdir = os.environ.get("TRACE_DIR")
+    if tdir:
+        with jax.profiler.trace(tdir):
+            (J, _), accs = f(J)
+            np.asarray(accs)
     t0 = time.perf_counter()
     (J, _), accs = f(J)
     np.asarray(accs)
     dt = (time.perf_counter() - t0) / STEPS * 1e3
-    print(f"flat={flat}: {dt:.2f} ms/step", flush=True)
+    print(f"mode={mode}: {dt:.2f} ms/step", flush=True)
     return dt
 
 
 if __name__ == "__main__":
-    d4 = run(False)
-    d3 = run(True)
-    print(f"4D {d4:.2f} vs flat3D {d3:.2f} ms/step")
+    for mode in os.environ.get("MODES", "4d,tr").split(","):
+        run(mode)
