@@ -50,6 +50,9 @@ PREFILL_CHUNK = int(os.environ.get("PREFILL_CHUNK", "0"))
 SKIP_HBM = os.environ.get("SKIP_HBM", "0") == "1"
 # int8 store: halves host RAM, host<->HBM DMA bytes, and cache HBM
 KV = "int8" if os.environ.get("KV_INT8", "0") == "1" else "bf16"
+# BATCH > 1: batched offload serving (runtime/offload_batch.py) — B slots
+# share the host store; per-layer host round trips amortize over slots
+BATCH = int(os.environ.get("BATCH", "1"))
 
 
 def main():
@@ -85,6 +88,31 @@ def main():
         hbm_ms = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1e3
         del hbm, r
 
+    if BATCH > 1:
+        from pqcache_tpu.runtime.offload_batch import BatchOffloadEngine
+        be = BatchOffloadEngine(cfg, params, batch_size=BATCH)
+        prompts = [ids] * BATCH
+        be.generate_batch(prompts, max_new_tokens=4)   # compile
+        t0 = time.perf_counter()
+        outs = be.generate_batch(prompts, max_new_tokens=GEN)
+        dt = time.perf_counter() - t0
+        tm = be.timings
+        steps = max(tm["steps"], 1)
+        n_tok = sum(len(o) for o in outs)
+        print(json.dumps({
+            "metric": (f"batched offload-tier decode @ {CTX} ctx "
+                       f"({LAYERS}L, B={BATCH})"),
+            "per_step_ms": round(tm["decode_s"] / steps * 1e3, 2),
+            "agg_tok_s": round(n_tok / dt, 2),
+            "hbm_tier_per_step_ms": (round(hbm_ms, 2) if hbm_ms is not None
+                                     else None),
+            "hit_rate": round(be.store.hit_rate, 4),
+            "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
+            "device_wait_ms_per_step": round(tm["wait_s"] / steps * 1e3, 2),
+            "cache_tokens": CACHE_TOKENS, "block": BLOCK, "kv_dtype": KV,
+            "batch": BATCH, "tokens": n_tok, "total_s": round(dt, 1),
+        }))
+        return
     off = OffloadEngine(cfg, params)
     off.generate(ids, max_new_tokens=4)                # compile
     t0 = time.perf_counter()

@@ -61,6 +61,72 @@ def _warm(st, shape=()):
     return st.replace(length=f(CTX), start=f(0), pos=f(CTX))
 
 
+# --- jhist-join experiment variants (B=16 layout-churn hunt) -------------
+# JOIN_VARIANT=flat3: scatter on a reshaped [L·BH, NB, C²] view
+# JOIN_VARIANT=flat2: scatter on [L·BH, NB·C²]
+# JOIN_VARIANT=batched: lax.scatter with operand_batching_dims (l, bh)
+_JV = os.environ.get("JOIN_VARIANT", "")
+if _JV:
+    from pqcache_tpu.policies.pq_search import PQSearchPolicy
+    from pqcache_tpu.core import pq as _pq
+
+    def _join_variant(self, state, shared, B):
+        L = state.codes.shape[0]
+        Hk = self.H_kv
+        BH = B * Hk
+        joins = jnp.concatenate([
+            jax.lax.dynamic_slice(
+                state.codes, (0, b_i * Hk, 0, shared["n_cand"][b_i]),
+                (L, Hk, self.S, 1))[..., 0]
+            for b_i in range(B)], axis=1).astype(jnp.int32)
+        pair = joins[..., 0] * self.C + joins[..., 1]         # [L, BH]
+        blk = jnp.repeat(shared["n_cand"] // self.select_block, Hk)
+        J = state.jhist
+        Ldim, BHdim, NB, CC = J.shape
+        cap = jnp.iinfo(J.dtype).max
+        if _JV == "flat3":
+            J3 = J.reshape(Ldim * BHdim, NB, CC)
+            row = (jnp.arange(L)[:, None] * BHdim
+                   + jnp.arange(BH)[None, :])
+            idx = (row, jnp.broadcast_to(blk[None], (L, BH)), pair)
+            cur = J3[idx].astype(jnp.int32)
+            J3 = J3.at[idx].set(jnp.minimum(cur + 1, cap).astype(J.dtype))
+            return J3.reshape(Ldim, BHdim, NB, CC)
+        if _JV == "flat2":
+            J2 = J.reshape(Ldim * BHdim, NB * CC)
+            row = (jnp.arange(L)[:, None] * BHdim
+                   + jnp.arange(BH)[None, :])
+            col = blk[None, :] * CC + pair
+            idx = (row, col)
+            cur = J2[idx].astype(jnp.int32)
+            J2 = J2.at[idx].set(jnp.minimum(cur + 1, cap).astype(J.dtype))
+            return J2.reshape(Ldim, BHdim, NB, CC)
+        if _JV == "batched":
+            # one-cell-per-(l, bh) scatter with explicit batching dims
+            from jax import lax
+            idx2 = jnp.stack([
+                jnp.broadcast_to(blk[None], (L, BH)), pair],
+                axis=-1).astype(jnp.int32)              # [L, BH, 2]
+            cur = jnp.take_along_axis(
+                jnp.take_along_axis(
+                    J, idx2[..., 0:1][..., None], axis=2)[..., 0, :],
+                idx2[..., 1:2], axis=-1)                # [L, BH, 1]
+            upd = jnp.minimum(cur.astype(jnp.int32) + 1,
+                              cap).astype(J.dtype)[..., 0]
+            dn = lax.ScatterDimensionNumbers(
+                update_window_dims=(),
+                inserted_window_dims=(2, 3),
+                scatter_dims_to_operand_dims=(2, 3),
+                operand_batching_dims=(0, 1),
+                scatter_indices_batching_dims=(0, 1))
+            return lax.scatter(J, idx2, upd, dn,
+                               indices_are_sorted=True,
+                               unique_indices=True)
+        raise ValueError(_JV)
+
+    PQSearchPolicy._jhist_join_batched = _join_variant
+    print(f"jhist join variant: {_JV}", flush=True)
+
 if os.environ.get("TRACE_PREFILL", "0") == "1":
     # profile the PREFILL program instead of decode
     rngx = np.random.default_rng(0)
