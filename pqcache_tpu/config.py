@@ -124,10 +124,22 @@ class PQConfig:
     # ranking) whenever it applies (S=2, euc, select_block in (1, 256],
     # gqa); "kernel" forces the fused Pallas sweep.
     scorer: str = "auto"
+    # Batched jhist JOIN deferral: "auto" defers the per-step histogram
+    # join to the chunk flush whenever the histogram is large enough that
+    # XLA's per-step join scatter triggers whole-buffer layout copies
+    # (measured at B·H_kv = 128 / 545 MB: 3 copies = 5.3 ms/step; absent
+    # at 403 MB). While deferred, the scorer adds an EXACT per-step
+    # correction for the ≤ ring_k pending tokens (same exp-LUT terms the
+    # histogram would contribute; fp summation order differs from the
+    # eager matmul, which can flip exact-tie block rankings only).
+    # "on"/"off" force it (tests pin the correction math with "on").
+    jhist_defer: str = "auto"
 
     def __post_init__(self):
         if self.scorer not in ("auto", "kernel"):
             raise ValueError(f"unknown scorer {self.scorer}")
+        if self.jhist_defer not in ("auto", "on", "off"):
+            raise ValueError(f"unknown jhist_defer {self.jhist_defer}")
         if self.n_subvec_per_head not in (1, 2, 4, 8, 16):
             # pq_search.py:104-105
             raise ValueError("PQ subvec must be in {1,2,4,8,16}")

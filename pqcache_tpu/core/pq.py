@@ -485,27 +485,38 @@ def jhist_add_tokens(J: jax.Array, codes_tok: jax.Array,
     return jhist_increment(J, lead + (blk, pair))
 
 
+def jhist_exp_lut(lut: jax.Array, head_dim: int) -> jax.Array:
+    """The scorer's exponentiated LUT factors: e[h, s, c] =
+    exp((lut − max_c lut)·scale). Shared by joint_block_mass and the
+    deferred-join correction so both add EXACTLY the same terms."""
+    scale = 1.0 / (head_dim ** 0.5)
+    m = jnp.max(lut, axis=-1, keepdims=True)                 # [H, 2, 1]
+    return jnp.exp((lut.astype(jnp.float32) - m) * scale)    # [H, 2, C]
+
+
 @jax.named_scope("pq_score")
 def joint_block_mass(lut: jax.Array, J: jax.Array, *,
-                     head_dim: int) -> jax.Array:
+                     head_dim: int, normalize: bool = True) -> jax.Array:
     """Per-q-head normalized block attention mass from the joint histogram.
 
     lut [H, 2, C] f32 (H may be a folded B·H); J [H_kv, NB, C²] with
     H_kv | H. Returns [H, NB] f32, rows summing to 1 over non-empty
     blocks — the same quantity adc_block_scores_pallas emits, computed as
     one batched matmul. The per-subvec max subtraction is a per-q-head
-    constant shift, so the normalized mass is exactly the softmax mass."""
+    constant shift, so the normalized mass is exactly the softmax mass.
+    normalize=False returns the raw mass (deferred-join callers add the
+    pending-token correction first, then normalize)."""
     H, S, C = lut.shape
     H_kv = J.shape[0]
     g = H // H_kv
-    scale = 1.0 / (head_dim ** 0.5)
-    m = jnp.max(lut, axis=-1, keepdims=True)                 # [H, 2, 1]
-    e = jnp.exp((lut.astype(jnp.float32) - m) * scale)       # [H, 2, C]
+    e = jhist_exp_lut(lut, head_dim)                         # [H, 2, C]
     pair = (e[:, 0, :, None] * e[:, 1, None, :]).reshape(H, C * C)
     mass = jnp.einsum(
         "hgp,hnp->hgn", pair.reshape(H_kv, g, C * C),
         J.astype(jnp.float32),
         preferred_element_type=jnp.float32).reshape(H, -1)
+    if not normalize:
+        return mass
     z = jnp.sum(mass, axis=-1, keepdims=True)
     return mass / jnp.maximum(z, 1e-30)
 

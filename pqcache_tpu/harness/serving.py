@@ -148,6 +148,7 @@ def run(args) -> list[dict]:
                "requests": args.requests, "gen": args.gen,
                "chunk": args.chunk, "stagger_s": args.stagger,
                "prefix_len": args.prefix_len,
+               "interleave": eng.interleave,
                "wall_s": round(wall, 3), **summarize(timing, wall)}
         rows.append(row)
         print(json.dumps(row), flush=True)

@@ -698,8 +698,19 @@ class PQSearchPolicy:
             self.use_pallas and self.adc_mode != "xla" and not self.use_jhist
             and self.select_block > 1 and self.metric == "euc")
         if self.use_jhist:
-            blk_mass = pq.joint_block_mass(lut, state.jhist[idx],
-                                           head_dim=self.D)   # [B·H, NB]
+            if self._jhist_defer(state):
+                # histogram lags by the chunk's joins; add the pending
+                # tokens' exp-LUT terms EXACTLY, then normalize (the
+                # per-step join scatter on a ≥0.5 GB histogram cost 3
+                # whole-buffer layout copies ≈ 5.3 ms/step at B·H_kv=128)
+                raw = pq.joint_block_mass(lut, state.jhist[idx],
+                                          head_dim=self.D, normalize=False)
+                raw = raw + self._pending_mass(state, idx, lut, shared, B)
+                z = jnp.sum(raw, axis=-1, keepdims=True)
+                blk_mass = raw / jnp.maximum(z, 1e-30)        # [B·H, NB]
+            else:
+                blk_mass = pq.joint_block_mass(
+                    lut, state.jhist[idx], head_dim=self.D)   # [B·H, NB]
             scores = None
         elif fused_blockscore:
             from pqcache_tpu.ops.adc_pallas import (
@@ -842,6 +853,101 @@ class PQSearchPolicy:
         new = state.replace(kv_tail=kv_tail, codes=codes_up)
         return out.reshape(B, H, self.D), new
 
+    def _jhist_defer(self, state: PQState) -> bool:
+        """Defer the per-step histogram join to the chunk flush? Static at
+        trace time (shapes). Requires the ring (the pending set is exactly
+        the chunk's ring_r joins); 'auto' defers once the histogram is big
+        enough that XLA's per-step join scatter reconciles layouts with
+        whole-buffer copies (trace-measured flip between 403 MB (B=12,
+        clean) and 545 MB (B=16, 3 copies = 5.3 ms/step))."""
+        if not (self.use_jhist and self.ring_k
+                and state.ring_kv is not None and state.jhist is not None):
+            return False
+        mode = self.cfg.pq.jhist_defer
+        if mode != "auto":
+            return mode == "on"
+        return state.jhist.nbytes >= 480_000_000
+
+    def _pending_mass(self, state: PQState, idx, lut, shared, B: int):
+        """EXACT deferred-join scorer correction: the r = ring_r tokens at
+        positions [n_cand − r, n_cand) per slot are candidates whose
+        counts the lagging histogram misses; add their exp-LUT pair terms
+        (the very terms the histogram matmul would have contributed —
+        only f32 summation order differs) into the raw block mass.
+        Returns [B·H, NB] f32."""
+        K = self.ring_k
+        Hk = self.H_kv
+        g = self.group
+        H = lut.shape[0]
+        r = state.ring_r
+        starts = shared["n_cand"] - r                      # [B]
+        codes_l = state.codes[idx]                         # [BH, S, N]
+        # pending spans as ONE tiny gather ([BH, S, K] cells) — a
+        # B-unrolled dynamic-slice chain here cost ~2 ms/step at B=16
+        t = jnp.arange(K, dtype=jnp.int32)
+        pos = jnp.repeat(starts, Hk)[:, None] + t[None, :]     # [BH, K]
+        cp = jnp.take_along_axis(
+            codes_l, pos[:, None, :], axis=2).astype(jnp.int32)  # [BH,S,K]
+        e = pq.jhist_exp_lut(lut, self.D)                  # [B·H, 2, C]
+        c0 = jnp.repeat(cp[:, 0], g, axis=0)               # [B·H, K]
+        c1 = jnp.repeat(cp[:, 1], g, axis=0)
+        val = (jnp.take_along_axis(e[:, 0], c0, axis=-1)
+               * jnp.take_along_axis(e[:, 1], c1, axis=-1))
+        val = jnp.where((t < r)[None, :], val, 0.0)
+        starts_q = jnp.repeat(starts, Hk * g)              # [B·H]
+        cols = (starts_q[:, None] + t[None, :]) // self.select_block
+        NB = state.jhist.shape[2]
+        rows = jnp.broadcast_to(jnp.arange(H)[:, None], (H, K))
+        return jnp.zeros((H, NB), jnp.float32).at[
+            rows, jnp.clip(cols, 0, NB - 1)].add(val)
+
+    def _jhist_flush_join(self, state: PQState) -> jax.Array:
+        """Commit the chunk's deferred joins in ONE amortized update: a
+        tiny per-(layer, head) local histogram of the pending pairs over
+        the ≤W touched block columns, saturating-added into the big
+        buffer via per-slot dynamic slices (once per chunk — the layout
+        churn the per-step scatter paid now costs 1/ring_k as much)."""
+        L, BH, NB, CC = state.jhist.shape
+        Hk = self.H_kv
+        B = BH // Hk
+        K = self.ring_k
+        bs = self.select_block
+        W = (K - 1) // bs + 2     # max block columns a K-token span touches
+        r = state.ring_r
+        starts = state.n_cand - r                          # [B]
+        t = jnp.arange(K, dtype=jnp.int32)
+        starts_h = jnp.repeat(starts, Hk)                  # [BH]
+        pos = starts_h[:, None] + t[None, :]               # [BH, K]
+        cp = jnp.take_along_axis(
+            state.codes, pos[None, :, None, :], axis=3).astype(jnp.int32)
+        pair = cp[:, :, 0] * self.C + cp[:, :, 1]          # [L, BH, K]
+        col0 = starts_h // bs
+        rel = (starts_h[:, None] + t[None, :]) // bs - col0[:, None]
+        cell = rel[None] * CC + pair                       # [L, BH, K]
+        ones = jnp.broadcast_to(
+            jnp.where(t < r, 1.0, 0.0)[None, None, :], cell.shape)
+        hist = jax.vmap(lambda c, o: jax.ops.segment_sum(
+            o, c, num_segments=W * CC))(
+            cell.reshape(L * BH, K), ones.reshape(L * BH, K))
+        hist = hist.reshape(L, BH, W, CC)
+        J = state.jhist
+        sat = jnp.issubdtype(J.dtype, jnp.integer)
+        cap = jnp.iinfo(J.dtype).max if sat else None
+        for b_i in range(B):
+            c0b = (state.n_cand[b_i] - r) // bs
+            region = jax.lax.dynamic_slice(
+                J, (0, b_i * Hk, c0b, 0), (L, Hk, W, CC))
+            add = hist[:, b_i * Hk:(b_i + 1) * Hk]
+            if sat:
+                region = jnp.minimum(
+                    region.astype(jnp.int32) + add.astype(jnp.int32),
+                    cap).astype(J.dtype)
+            else:
+                region = region + add.astype(J.dtype)
+            J = jax.lax.dynamic_update_slice(J, region, (0, b_i * Hk,
+                                                         c0b, 0))
+        return J
+
     def _jhist_join_batched(self, state: PQState, shared, B: int):
         """Count each slot's joining token (position n_cand[b]) into its
         block's histogram — the incremental form of the tok < n_cand mask
@@ -891,7 +997,7 @@ class PQSearchPolicy:
                     state.ring_kv, kv[:, :, None, :],
                     (0, 0, state.ring_r, 0)),
                 ring_r=state.ring_r + 1)
-            if self.use_jhist:
+            if self.use_jhist and not self._jhist_defer(state):
                 new = new.replace(
                     jhist=self._jhist_join_batched(state, shared, B))
             return new
@@ -932,6 +1038,9 @@ class PQSearchPolicy:
         for the final chunk's overhang)."""
         if not self.ring_k or state.ring_kv is None:
             return state
+        if self._jhist_defer(state):
+            # commit the chunk's deferred joins BEFORE ring_r resets
+            state = state.replace(jhist=self._jhist_flush_join(state))
         b = self.budget
         L, BH_kv, K, D2 = state.ring_kv.shape
         B = BH_kv // self.H_kv

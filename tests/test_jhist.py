@@ -175,3 +175,99 @@ def test_jhist_uint8_saturates_at_255():
     J3 = pq.jhist_add_tokens(J, jnp.asarray([[0, 0]], jnp.int32),
                              jnp.asarray(300), n_centroids=C, block=block)
     assert int(J3[0, 1, 0]) == int(J[0, 1, 0]) + 1
+
+
+def _defer_cfg(cfg_m, mode):
+    import dataclasses
+    return EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False, select_block=16, jhist_defer=mode),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=24, max_seq_len=512))
+
+
+def test_jhist_deferred_join_matches_eager_end_to_end():
+    """jhist_defer='on' (histogram lags the chunk; scorer adds the EXACT
+    pending-token correction) must reproduce the eager per-step-join
+    engine's tokens, across several chunk flushes, and leave a BIT-EXACT
+    histogram after each flush."""
+    from pqcache_tpu.runtime.batch_engine import BatchEngine
+    cfg_m = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(7),
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, cfg_m.vocab_size, size=256 - 13 * i)
+               .astype(np.int32) for i in range(3)]
+    outs = {}
+    hists = {}
+    for mode in ("off", "on"):
+        eng = BatchEngine(_defer_cfg(cfg_m, mode), params, batch_size=2,
+                          prefill_len=256, max_new_tokens=20,
+                          dtype=jnp.float32)
+        # chunk 5 → four flushes over 20 tokens
+        outs[mode] = eng.run([(i, p) for i, p in enumerate(prompts)],
+                             chunk=5)
+        hists[mode] = np.asarray(eng.bstate.jhist)
+    assert outs["on"] == outs["off"], (outs["on"], outs["off"])
+    # post-flush histograms identical (integer saturating adds commute
+    # with the eager per-step saturating +1)
+    np.testing.assert_array_equal(hists["on"], hists["off"])
+
+
+def test_jhist_pending_mass_correction_is_exact():
+    """raw_mass(J_lagging) + pending correction == mass(J_full) up to f32
+    summation order (allclose), with IDENTICAL block selection."""
+    from pqcache_tpu.core.budget import compute_budget
+    from pqcache_tpu.policies.base import get_policy
+    cfg_m = tiny_model_config(num_layers=2)
+    ecfg = _defer_cfg(cfg_m, "on")
+    b = compute_budget(ecfg.budget, 256, 24)
+    pol = get_policy(ecfg, b)
+    assert pol.use_jhist and pol.ring_k > 0
+    B = 2
+    st = pol.init_batched_state(B, jnp.float32)
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, pol.C, size=st.codes.shape).astype(np.uint8)
+    st = st.replace(codes=jnp.asarray(codes))
+    n_cand = jnp.asarray([100, 57], jnp.int32)
+    r = 7
+    st = st.replace(n_cand=n_cand, ring_r=jnp.asarray(r, jnp.int32))
+    # lagging histogram: counts over [0, n_cand - r); full: [0, n_cand)
+    from pqcache_tpu.core import pq as pqm
+    NB = st.jhist.shape[2]
+    J_lag, J_full = [], []
+    for b_i in range(B):
+        c = jnp.asarray(codes[0, b_i * pol.H_kv:(b_i + 1) * pol.H_kv]
+                        .astype(np.int32))
+        J_lag.append(pqm.build_joint_hist(
+            c, int(n_cand[b_i]) - r, n_centroids=pol.C,
+            block=pol.select_block))
+        J_full.append(pqm.build_joint_hist(
+            c, int(n_cand[b_i]), n_centroids=pol.C,
+            block=pol.select_block))
+    pad = lambda J: jnp.pad(J, ((0, 0), (0, NB - J.shape[1]), (0, 0)))
+    J_lag = jnp.concatenate([pad(j) for j in J_lag], axis=0)[None]
+    J_full = jnp.concatenate([pad(j) for j in J_full], axis=0)[None]
+
+    H = B * cfg_m.num_heads
+    lut = jnp.asarray(rng.normal(size=(H, 2, pol.C)), jnp.float32)
+    eager = pqm.joint_block_mass(lut, J_full[0], head_dim=pol.D)
+    st_lag = st.replace(jhist=J_lag)
+    raw = pqm.joint_block_mass(lut, J_lag[0], head_dim=pol.D,
+                               normalize=False)
+    raw = raw + pol._pending_mass(st_lag, jnp.asarray(0, jnp.int32), lut,
+                                  {"n_cand": n_cand}, B)
+    deferred = raw / jnp.maximum(jnp.sum(raw, -1, keepdims=True), 1e-30)
+    np.testing.assert_allclose(np.asarray(deferred), np.asarray(eager),
+                               rtol=2e-5, atol=2e-7)
+    sel_e = pqm.topk_from_block_mass(eager, jnp.repeat(n_cand, pol.H_kv),
+                                     b.topk, group=pol.group,
+                                     block=pol.select_block, approx=False)
+    sel_d = pqm.topk_from_block_mass(deferred,
+                                     jnp.repeat(n_cand, pol.H_kv),
+                                     b.topk, group=pol.group,
+                                     block=pol.select_block, approx=False)
+    np.testing.assert_array_equal(np.asarray(sel_e), np.asarray(sel_d))

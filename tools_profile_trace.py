@@ -101,6 +101,10 @@ if _JV:
             cur = J2[idx].astype(jnp.int32)
             J2 = J2.at[idx].set(jnp.minimum(cur + 1, cap).astype(J.dtype))
             return J2.reshape(Ldim, BHdim, NB, CC)
+        if _JV == "nojoin":
+            # perf CEILING probe: skip the join entirely (WRONG semantics —
+            # boundary-block mass lags; never ship)
+            return J
         if _JV == "batched":
             # one-cell-per-(l, bh) scatter with explicit batching dims
             from jax import lax
