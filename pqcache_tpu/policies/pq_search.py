@@ -891,15 +891,22 @@ class PQSearchPolicy:
         e = pq.jhist_exp_lut(lut, self.D)                  # [B·H, 2, C]
         c0 = jnp.repeat(cp[:, 0], g, axis=0)               # [B·H, K]
         c1 = jnp.repeat(cp[:, 1], g, axis=0)
-        val = (jnp.take_along_axis(e[:, 0], c0, axis=-1)
-               * jnp.take_along_axis(e[:, 1], c1, axis=-1))
+        # gathers/scatter as ONE-HOT matmuls: the row-gather (e at codes)
+        # and the per-column scatter-add each cost ~135 µs/layer-step on
+        # the scalar core (16k elements); as einsums they are trivial
+        # VPU/MXU contractions over tiny one-hots (same values, summation
+        # order differs only within the correction's own fp freedom)
+        oh0 = jax.nn.one_hot(c0, self.C, dtype=jnp.float32)   # [B·H, K, C]
+        oh1 = jax.nn.one_hot(c1, self.C, dtype=jnp.float32)
+        val = (jnp.einsum("hc,hkc->hk", e[:, 0], oh0)
+               * jnp.einsum("hc,hkc->hk", e[:, 1], oh1))      # [B·H, K]
         val = jnp.where((t < r)[None, :], val, 0.0)
         starts_q = jnp.repeat(starts, Hk * g)              # [B·H]
         cols = (starts_q[:, None] + t[None, :]) // self.select_block
         NB = state.jhist.shape[2]
-        rows = jnp.broadcast_to(jnp.arange(H)[:, None], (H, K))
-        return jnp.zeros((H, NB), jnp.float32).at[
-            rows, jnp.clip(cols, 0, NB - 1)].add(val)
+        ohc = jax.nn.one_hot(jnp.clip(cols, 0, NB - 1), NB,
+                             dtype=jnp.float32)            # [B·H, K, NB]
+        return jnp.einsum("hk,hkn->hn", val, ohc)
 
     def _jhist_flush_join(self, state: PQState) -> jax.Array:
         """Commit the chunk's deferred joins in ONE amortized update: a
