@@ -53,6 +53,10 @@ KV = "int8" if os.environ.get("KV_INT8", "0") == "1" else "bf16"
 # BATCH > 1: batched offload serving (runtime/offload_batch.py) — B slots
 # share the host store; per-layer host round trips amortize over slots
 BATCH = int(os.environ.get("BATCH", "1"))
+# REQUESTS > BATCH (with BATCH > 1): CONTINUOUS serving — requests admit
+# into free slots one prefill unit per decode step, finished slots retire
+# and their block-id range is recycled (BatchOffloadEngine.serve)
+REQUESTS = int(os.environ.get("REQUESTS", "0"))
 
 
 def main():
@@ -88,6 +92,41 @@ def main():
         hbm_ms = r.decode_seconds / max(len(r.tokens) - 1, 1) * 1e3
         del hbm, r
 
+    if BATCH > 1 and REQUESTS > BATCH:
+        # continuous serving: REQUESTS streams through a B-slot pool with
+        # interleaved admission + slot retirement/recycling
+        from pqcache_tpu.runtime.offload_batch import BatchOffloadEngine
+        be = BatchOffloadEngine(cfg, params, batch_size=BATCH)
+        reqs = [(i, ids) for i in range(REQUESTS)]
+        be.serve(reqs[:BATCH], max_new_tokens=4)       # compile
+        timing: dict = {}
+        t0 = time.perf_counter()
+        outs = be.serve(reqs, max_new_tokens=GEN, timing=timing)
+        dt = time.perf_counter() - t0
+        tm = be.timings
+        steps = max(tm["steps"], 1)
+        n_tok = sum(len(o) for o in outs.values())
+        tbt = np.concatenate([np.diff(v["token_times"])
+                              for v in timing.values()
+                              if len(v.get("token_times", [])) > 1])
+        ttft = np.asarray([v["first"] - v["arrive"]
+                           for v in timing.values()])
+        print(json.dumps({
+            "metric": (f"continuous offload serving @ {CTX} ctx "
+                       f"({LAYERS}L, pool={BATCH}, requests={REQUESTS})"),
+            "per_step_ms": round(tm["decode_s"] / steps * 1e3, 2),
+            "agg_tok_s": round(n_tok / dt, 2),
+            "tbt_p50_ms": round(float(np.percentile(tbt, 50)) * 1e3, 2),
+            "tbt_p95_ms": round(float(np.percentile(tbt, 95)) * 1e3, 2),
+            "ttft_p50_s": round(float(np.percentile(ttft, 50)), 2),
+            "ttft_p95_s": round(float(np.percentile(ttft, 95)), 2),
+            "hit_rate": round(be.store.hit_rate, 4),
+            "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
+            "cache_tokens": CACHE_TOKENS, "block": BLOCK, "kv_dtype": KV,
+            "batch": BATCH, "requests": REQUESTS, "tokens": n_tok,
+            "total_s": round(dt, 1),
+        }))
+        return
     if BATCH > 1:
         from pqcache_tpu.runtime.offload_batch import BatchOffloadEngine
         be = BatchOffloadEngine(cfg, params, batch_size=BATCH)

@@ -79,6 +79,9 @@ class Lfu {
                 const int32_t victim = evict();
                 slot = proxy[victim];
                 proxy[victim] = -1;
+            } else if (!free_slots_.empty()) {
+                slot = free_slots_.back();
+                free_slots_.pop_back();
             } else {
                 slot = next_slot_++;
             }
@@ -89,6 +92,33 @@ class Lfu {
             if (min_freq_ == 0 || min_freq_ > 1) min_freq_ = 1;
             proxy[key] = slot;
         }
+    }
+
+    // Drop block ids from the policy (residency invalidation — the
+    // batched offload tier retires a serving slot and reuses its block-id
+    // range for the next admitted sequence). Freed cache slots are
+    // recycled by later insertions before any eviction happens.
+    void batched_erase(const int32_t* keys, int64_t n, int32_t* proxy,
+                       int64_t proxy_len) {
+        for (int64_t i = 0; i < n; ++i) {
+            const int32_t key = keys[i];
+            if (key < 0 || key >= proxy_len) continue;
+            auto it = nodes_.find(key);
+            if (it == nodes_.end()) continue;
+            Node* node = &it->second;
+            const int64_t freq = node->freq;
+            Bucket& b = buckets_.at(freq);
+            Bucket::unlink(node);
+            if (b.empty()) buckets_.erase(freq);
+            nodes_.erase(it);
+            if (proxy[key] >= 0) free_slots_.push_back(proxy[key]);
+            proxy[key] = -1;
+        }
+        // recompute the running minimum (erase may have emptied its bucket)
+        min_freq_ = 0;
+        for (const auto& kv : buckets_)
+            if (min_freq_ == 0 || kv.first < min_freq_)
+                min_freq_ = kv.first;
     }
 
   private:
@@ -121,6 +151,7 @@ class Lfu {
     }
 
     int64_t capacity_;
+    std::vector<int32_t> free_slots_;
     int32_t next_slot_ = 0;
     int64_t min_freq_ = 0;
     std::unordered_map<int32_t, Node> nodes_;
@@ -157,6 +188,13 @@ int lfu_touch(void* h, int32_t key) {
 void lfu_batched_insert(void* h, const int32_t* keys, int64_t n,
                         int32_t* proxy, int64_t proxy_len) {
     static_cast<Handle*>(h)->lfu.batched_insert(keys, n, proxy, proxy_len);
+}
+
+// Caller must synchronize first (no in-flight async insert): erase runs on
+// the calling thread against the same proxy array.
+void lfu_batched_erase(void* h, const int32_t* keys, int64_t n,
+                       int32_t* proxy, int64_t proxy_len) {
+    static_cast<Handle*>(h)->lfu.batched_erase(keys, n, proxy, proxy_len);
 }
 
 // Async variant: runs on a worker thread; caller must not touch `proxy`

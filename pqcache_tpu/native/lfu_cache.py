@@ -41,7 +41,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.lfu_contains.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.lfu_touch.restype = ctypes.c_int
     lib.lfu_touch.argtypes = [ctypes.c_void_p, ctypes.c_int32]
-    for name in ("lfu_batched_insert", "lfu_batched_insert_async"):
+    for name in ("lfu_batched_insert", "lfu_batched_insert_async",
+                 "lfu_batched_erase"):
         fn = getattr(lib, name)
         fn.argtypes = [ctypes.c_void_p,
                        np.ctypeslib.ndpointer(np.int32, flags="C"),
@@ -59,15 +60,15 @@ class LFUCache:
     def __init__(self, capacity: int):
         self.capacity = capacity
         self._lib = _load()
-        if self._lib is not None:
-            self._h = self._lib.lfu_create(capacity)
-        else:  # pure-Python fallback (tests without g++)
-            self._h = None
-            self._freq: dict[int, int] = {}
-            self._tick: dict[int, int] = {}
-            self._slots: dict[int, int] = {}
-            self._next_slot = 0
-            self._t = 0
+        self._h = (self._lib.lfu_create(capacity)
+                   if self._lib is not None else None)
+        # pure-Python fallback state (no g++, or tests forcing _h = None)
+        self._freq: dict[int, int] = {}
+        self._tick: dict[int, int] = {}
+        self._slots: dict[int, int] = {}
+        self._free_slots: list[int] = []
+        self._next_slot = 0
+        self._t = 0
 
     def __del__(self):
         if getattr(self, "_lib", None) is not None and self._h:
@@ -105,6 +106,8 @@ class LFUCache:
                 slot = proxy[victim]
                 proxy[victim] = -1
                 del self._freq[victim], self._tick[victim], self._slots[victim]
+            elif self._free_slots:
+                slot = self._free_slots.pop()
             else:
                 slot = self._next_slot
                 self._next_slot += 1
@@ -112,6 +115,26 @@ class LFUCache:
             self._tick[key] = self._t
             self._slots[key] = int(slot)
             proxy[key] = slot
+
+    def batched_erase(self, block_ids: np.ndarray, proxy: np.ndarray) -> None:
+        """Drop block ids from the policy (slot-retirement invalidation);
+        their cache slots recycle to later insertions, their proxy entries
+        become -1. Callers must synchronize() first — erase runs on the
+        calling thread against the same proxy array the async worker
+        mutates."""
+        block_ids = np.ascontiguousarray(block_ids, np.int32)
+        assert proxy.dtype == np.int32 and proxy.flags.c_contiguous
+        if self._h is not None:
+            self._lib.lfu_batched_erase(
+                self._h, block_ids, len(block_ids), proxy, len(proxy))
+            return
+        for key in block_ids.tolist():
+            if key < 0 or key >= len(proxy) or key not in self._freq:
+                continue
+            if proxy[key] >= 0:
+                self._free_slots.append(int(proxy[key]))
+            proxy[key] = -1
+            del self._freq[key], self._tick[key], self._slots[key]
 
     def batched_insert_async(self, block_ids: np.ndarray,
                              proxy: np.ndarray) -> None:

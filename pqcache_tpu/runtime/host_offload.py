@@ -304,6 +304,23 @@ class HostKVStore:
                 self.cache_kv[layer] = self.cache_kv[layer].at[
                     slot, :, off].set(row[:, 0])
 
+    def invalidate_blocks(self, block_ids) -> None:
+        """Drop block ids from every layer: pinned leaves are released,
+        LFU entries erased (their cache slots recycle to later
+        admissions), proxy entries reset to -1. Used by the batched
+        offload tier to retire a serving slot before its block-id range
+        is reused by the next admitted sequence — stale cache rows must
+        not classify as hits for the newcomer's ids."""
+        ids = np.ascontiguousarray(np.asarray(block_ids, np.int32).ravel())
+        for layer in range(self.L):
+            with self._locks[layer]:
+                lfu = self.lfu[layer]
+                lfu.synchronize()   # no in-flight async insert on the proxy
+                lfu.batched_erase(ids, self.block_slot[layer])
+                blocks = self.kv_blocks[layer]
+                for b in ids.tolist():
+                    blocks.pop(int(b), None)
+
     # -- fetch path -------------------------------------------------------
 
     def classify_blocks(self, layer: int, blk_idx: np.ndarray,

@@ -29,8 +29,9 @@ beyond-VRAM streams do not exist there at all.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import List, Optional
+from typing import Iterable, List, Optional
 
 import numpy as np
 
@@ -47,8 +48,36 @@ from pqcache_tpu.runtime.host_offload import HostKVStore, assemble_blocks
 from pqcache_tpu.runtime.offload_engine import OffloadEngine, OffloadPQState
 
 
+@dataclasses.dataclass
+class _OSlot:
+    seq_id: Optional[int] = None
+    tokens: Optional[list] = None
+    done: bool = True
+
+
+@dataclasses.dataclass
+class _OAdmission:
+    """An in-flight admission on the offload tier: the single-sequence
+    prefill advanced one bounded device unit at a time
+    (OffloadEngine._prefill_pass_steps) so running streams never stall
+    more than one unit — the interleaved-admission discipline of
+    runtime/batch_engine.py applied to the beyond-HBM tier."""
+    slot: int
+    seq_id: int
+    gen: object                 # the prefill step generator
+    rem_parts: dict             # layer → remainder leaf (or None)
+    n_store: int
+    true_len: int
+
+
 class BatchOffloadEngine:
-    """Fixed-pool batch decode over the shared host store (B slots)."""
+    """Fixed-pool batch decode over the shared host store (B slots).
+
+    `generate_batch` serves a fixed batch (all slots prefilled up front);
+    `serve` is the continuous form: requests admit into free slots one
+    prefill unit per decode step, finished slots RETIRE (their block-id
+    range is invalidated in the shared store/LFU so the next admission
+    can reuse it) and free up for the queue."""
 
     def __init__(self, cfg: EngineConfig, params: dict, *, batch_size: int,
                  dtype=jnp.bfloat16):
@@ -326,179 +355,319 @@ class BatchOffloadEngine:
             pos=state.pos + 1)
         return state, nxt
 
-    # -- public API ----------------------------------------------------------
+    # -- run setup / admission / retirement -----------------------------------
 
-    def generate_batch(self, prompts, max_new_tokens: int,
-                       eos_ids=()) -> List[list]:
-        """Decode B prompts concurrently on the shared offload tier.
-        Returns a list of token lists (one per prompt)."""
-        import time
+    def _setup(self, max_prompt_len: int, max_new_tokens: int) -> None:
+        """Pool-wide run state: one bucketed prefill length P (and thus
+        one budget) shared by every slot, the shared host store sized to
+        B block-id ranges, the batched device state, and the per-slot
+        host counters."""
         cfg = self.cfg
         m = cfg.model
-        B = self.B
-        if len(prompts) != B:
-            raise ValueError(f"need exactly {B} prompts, got {len(prompts)}")
-        prompts = [np.asarray(p, np.int32) for p in prompts]
-        true_lens = [int(p.shape[0]) for p in prompts]
         from pqcache_tpu.runtime.generate import (bucket_length,
                                                   chunk_plan_capped)
-        P = bucket_length(max(true_lens), cfg.runtime.prefill_bucket)
+        P = bucket_length(max_prompt_len, cfg.runtime.prefill_bucket)
         P = min(P, cfg.runtime.max_seq_len)
-        if max(true_lens) > P:
-            raise ValueError(f"prompt {max(true_lens)} exceeds "
+        if max_prompt_len > P:
+            raise ValueError(f"prompt {max_prompt_len} exceeds "
                              f"max_seq_len {P}")
         ch = self._se.prefill_chunk
         chunked = bool(ch) and P > ch
         if chunked:
             P, ch = chunk_plan_capped(P, ch, cfg.runtime.max_seq_len)
             chunked = ch > 0
+        self._P, self._ch, self._chunked = P, ch, chunked
         self.budget = b = compute_budget(cfg.budget, P, max_new_tokens)
         self._se.budget = b
+        self.max_new = max_new_tokens
         if b.n_tail_max % self.bs:
             raise ValueError(f"n_tail_max {b.n_tail_max} not divisible by "
                              f"cache block {self.bs}")
-        blocks_per_slot = b.n_tail_max // self.bs
-        self.store = None
+        self._blocks_per_slot = b.n_tail_max // self.bs
         self.timings = {"host_s": 0.0, "wait_s": 0.0, "decode_s": 0.0,
                         "steps": 0}
-        store = HostKVStore(
-            m.num_layers, m.num_kv_heads, B * b.n_tail_max, m.head_dim,
+        self.store = HostKVStore(
+            m.num_layers, m.num_kv_heads, self.B * b.n_tail_max, m.head_dim,
             block_size=self.bs,
             hbm_cache_tokens=cfg.cache.hbm_cache_tokens,
             cache_topk_blocks=cfg.cache.cache_topk_blocks,
             dtype=jnp.int8 if self.kv_int8 else self.dtype)
+        self.bstate = self._init_bstate(b)
+        B = self.B
+        self._stored = np.zeros((B,), np.int64)   # prefill rows per slot
+        self._valid = np.zeros((B,), np.int64)    # complete-block rows
+        self._fill = np.zeros((B,), np.int64)     # tail cursor
+        self._ncand = np.zeros((B,), np.int64)
+        self._rng = (jax.random.PRNGKey(cfg.runtime.sample_seed)
+                     if self.sampler is not None else None)
+        self.slots: List[_OSlot] = [_OSlot() for _ in range(B)]
+        self._head_slot = np.repeat(np.arange(B), self.H_kv)   # [B·H_kv]
 
-        bstate = self._init_bstate(b)
-        L = m.num_layers
-        stored = np.zeros((B,), np.int64)   # prefill rows per slot (const)
-        valid = np.zeros((B,), np.int64)    # complete-block rows, per slot
-        fill = np.zeros((B,), np.int64)     # tail cursor, per slot
-        n_cand_py = np.zeros((B,), np.int64)
-        rng = (jax.random.PRNGKey(cfg.runtime.sample_seed)
-               if self.sampler is not None else None)
-        firsts = []
-        for slot, ids in enumerate(prompts):
-            true_len = true_lens[slot]
-            pad = P - true_len
-            n_store = true_len - b.sink
-            base = slot * blocks_per_slot
-            rem_parts: dict = {}
+    def _admission_start(self, slot: int, seq_id: int,
+                         ids: np.ndarray) -> _OAdmission:
+        """Open slot `slot` for `ids`: slot-prefixed leaf ids route the
+        prefill's offload into the SHARED store; the returned admission's
+        generator is advanced one bounded device unit per _admission_step."""
+        b = self.budget
+        ids = np.asarray(ids, np.int32)
+        true_len = int(ids.shape[0])
+        pad = self._P - true_len
+        if pad < 0:
+            raise ValueError(f"prompt {true_len} > pool prefill {self._P}")
+        n_store = true_len - b.sink
+        base = slot * self._blocks_per_slot
+        rem_parts: dict = {}
 
-            def offload_fn(l, k_full, v_full, st, _slot=slot, _pad=pad,
-                           _n=n_store, _base=base, _rem=rem_parts):
-                if self.kv_int8:
-                    k_full, v_full = self._se._quant_layer_kv(
-                        k_full, v_full, st.k_scale[l], st.v_scale[l])
-                part = store.offload_blocks_device(
-                    l, k_full, v_full, _n, _pad + b.sink, id_base=_base)
-                if part is not None:
-                    # zero-pad the remainder to a full block for the state
-                    # tail insert (rows past fill are cursor-hidden)
-                    part = jnp.pad(
-                        part, ((0, 0), (0, self.bs - part.shape[1]),
-                               (0, 0)))
-                _rem[l] = part
+        def offload_fn(l, k_full, v_full, st):
+            if self.kv_int8:
+                k_full, v_full = self._se._quant_layer_kv(
+                    k_full, v_full, st.k_scale[l], st.v_scale[l])
+            part = self.store.offload_blocks_device(
+                l, k_full, v_full, n_store, pad + b.sink, id_base=base)
+            if part is not None:
+                # zero-pad the remainder to a full block for the state
+                # tail insert (rows past fill are cursor-hidden)
+                part = jnp.pad(
+                    part, ((0, 0), (0, self.bs - part.shape[1]), (0, 0)))
+            rem_parts[l] = part
 
-            sstate = self._se._init_state(b)
-            logits, sstate = self._se._prefill_pass(
-                sstate, ids, P, pad, true_len, chunked, ch, offload_fn,
-                store.sync_transfers)
-            if self.sampler is None:
-                firsts.append(int(jnp.argmax(logits)))
-            else:
-                rng, sub = jax.random.split(rng)
-                firsts.append(int(self.sampler(sub, logits)))
-            n_full = n_store // self.bs
-            rem_n = n_store - n_full * self.bs
-            if rem_parts and rem_parts[0] is not None:
-                rem = jnp.stack([rem_parts[l] for l in range(L)])
-            else:
-                rem = jnp.zeros((L, self.H_kv, self.bs, 2 * self.D),
-                                bstate.tail.dtype)
-            bstate = self._insert(bstate, sstate, slot, rem)
-            del sstate
-            stored[slot] = n_store
-            valid[slot] = n_full * self.bs
-            fill[slot] = rem_n
-            n_cand_py[slot] = max(true_len - b.sink - b.local, 0)
+        sstate = self._se._init_state(b)
+        gen = self._se._prefill_pass_steps(
+            sstate, ids, self._P, pad, true_len, self._chunked, self._ch,
+            offload_fn, self.store.sync_transfers)
+        return _OAdmission(slot=slot, seq_id=seq_id, gen=gen,
+                           rem_parts=rem_parts, n_store=n_store,
+                           true_len=true_len)
 
-        results = [[t] for t in firsts]
-        done = [t in eos_ids for t in firsts]
-        next_toks = np.asarray(firsts, np.int32)
+    def _admission_step(self, adm: _OAdmission) -> bool:
+        """Advance one prefill unit; True when the admission finished
+        (first token sampled, state folded into the batched state, slot
+        live)."""
+        try:
+            next(adm.gen)
+            return False
+        except StopIteration as e:
+            logits, sstate = e.value
+        if self.sampler is None:
+            first = int(jnp.argmax(logits))
+        else:
+            self._rng, sub = jax.random.split(self._rng)
+            first = int(self.sampler(sub, logits))
+        L = self.cfg.model.num_layers
+        if adm.rem_parts and adm.rem_parts[0] is not None:
+            rem = jnp.stack([adm.rem_parts[l] for l in range(L)])
+        else:
+            rem = jnp.zeros((L, self.H_kv, self.bs, 2 * self.D),
+                            self.bstate.tail.dtype)
+        self.bstate = self._insert(self.bstate, sstate, adm.slot, rem)
+        b = self.budget
+        n_full = adm.n_store // self.bs
+        self._stored[adm.slot] = adm.n_store
+        self._valid[adm.slot] = n_full * self.bs
+        self._fill[adm.slot] = adm.n_store - n_full * self.bs
+        self._ncand[adm.slot] = max(adm.true_len - b.sink - b.local, 0)
+        self.slots[adm.slot] = _OSlot(seq_id=adm.seq_id, tokens=[first],
+                                      done=False)
+        return True
+
+    def _retire(self, slot: int) -> None:
+        """Free a finished slot: invalidate its block-id range in the
+        shared store (pinned leaves released, LFU entries erased, cache
+        slots recycled) so the next admission can reuse the range without
+        stale rows classifying as hits; zero the host counters so the
+        decode step masks the slot out (n_sel = n_tail = 0, no append)."""
+        base = slot * self._blocks_per_slot
+        self.store.invalidate_blocks(
+            np.arange(base, base + self._blocks_per_slot, dtype=np.int32))
+        self._stored[slot] = 0
+        self._valid[slot] = 0
+        self._fill[slot] = 0
+        self._ncand[slot] = 0
+        self.slots[slot] = _OSlot()
+
+    # -- decode step -----------------------------------------------------------
+
+    def _decode_step(self, next_toks: np.ndarray,
+                     active: np.ndarray) -> np.ndarray:
+        """One batched decode step over all B slots (inactive slots are
+        masked: zero selection/tail, no tail append; their sampled token
+        is discarded by the caller). Returns the next tokens [B]."""
+        import time
+        t_step = time.perf_counter()
+        B, Hk, L = self.B, self.H_kv, self.cfg.model.num_layers
+        n_sel = np.minimum(self._ncand, self._valid)
+        n_tail = np.maximum(self._ncand - self._valid, 0)
+        do_app = (self._ncand >= self._stored) & active
+        n_sel_h = jnp.asarray(np.repeat(n_sel, Hk), jnp.int32)
+        n_tail_h = jnp.asarray(np.repeat(n_tail, Hk), jnp.int32)
+        fill_j = jnp.asarray(self._fill, jnp.int32)
+        do_app_j = jnp.asarray(do_app)
+        layers = self.params["layers"]
         params_out = {"final_norm": self.params["final_norm"],
                       "lm_head": self.params["lm_head"]}
-        layers = self.params["layers"]
-        Hk = self.H_kv
-        head_slot = np.repeat(np.arange(B), Hk)           # [B·H_kv]
-
-        for _ in range(max_new_tokens - 1):
-            if all(done):
-                break
-            t_step = time.perf_counter()
-            n_sel = np.minimum(n_cand_py, valid)
-            n_tail = np.maximum(n_cand_py - valid, 0)
-            do_app = n_cand_py >= stored
-            n_sel_h = jnp.asarray(np.repeat(n_sel, Hk), jnp.int32)
-            n_tail_h = jnp.asarray(np.repeat(n_tail, Hk), jnp.int32)
-            fill_j = jnp.asarray(fill, jnp.int32)
-            do_app_j = jnp.asarray(do_app)
-            hidden, cos, sin, q, k_new, v_new, blk = self._decode_first_b(
-                layers, bstate, jnp.asarray(next_toks), n_sel_h)
-            cb_h = (valid // self.bs)[head_slot]          # complete blocks
-            base_h = (np.arange(B) * blocks_per_slot)[head_slot]
-            for l in range(L):
-                t0 = time.perf_counter()
-                blk_np = np.asarray(blk)                  # sync
-                t1 = time.perf_counter()
-                self.timings["wait_s"] += t1 - t0
-                ok = blk_np < cb_h[:, None]
-                gids = np.where(ok, blk_np + base_h[:, None], 0)
-                slots_, miss_, staged, cache = store.classify_blocks(
-                    l, gids, ok=ok)
-                self.timings["host_s"] += time.perf_counter() - t1
-                li = jnp.asarray(l, jnp.int32)
-                args = (jnp.asarray(blk_np), jnp.asarray(slots_),
-                        jnp.asarray(miss_), staged, cache, n_sel_h,
-                        n_tail_h, fill_j, do_app_j)
-                if l < L - 1:
-                    (hidden, bstate, q, k_new, v_new, blk
-                     ) = self._decode_fused_b(
-                        layers, bstate, li, hidden, cos, sin, q, k_new,
-                        v_new, *args)
+        hidden, cos, sin, q, k_new, v_new, blk = self._decode_first_b(
+            layers, self.bstate, jnp.asarray(next_toks, jnp.int32), n_sel_h)
+        head_slot = self._head_slot
+        cb_h = (self._valid // self.bs)[head_slot]        # complete blocks
+        base_h = (np.arange(B) * self._blocks_per_slot)[head_slot]
+        act_h = active[head_slot]
+        for l in range(L):
+            t0 = time.perf_counter()
+            blk_np = np.asarray(blk)                      # sync
+            t1 = time.perf_counter()
+            self.timings["wait_s"] += t1 - t0
+            ok = (blk_np < cb_h[:, None]) & act_h[:, None]
+            gids = np.where(ok, blk_np + base_h[:, None], 0)
+            slots_, miss_, staged, cache = self.store.classify_blocks(
+                l, gids, ok=ok)
+            self.timings["host_s"] += time.perf_counter() - t1
+            li = jnp.asarray(l, jnp.int32)
+            args = (jnp.asarray(blk_np), jnp.asarray(slots_),
+                    jnp.asarray(miss_), staged, cache, n_sel_h,
+                    n_tail_h, fill_j, do_app_j)
+            if l < L - 1:
+                (hidden, self.bstate, q, k_new, v_new, blk
+                 ) = self._decode_fused_b(
+                    layers, self.bstate, li, hidden, cos, sin, q, k_new,
+                    v_new, *args)
+            else:
+                if self.sampler is not None:
+                    self._rng, sub = jax.random.split(self._rng)
+                    self.bstate, nxt = self._decode_last_b(
+                        layers, params_out, self.bstate, li, hidden, q,
+                        k_new, v_new, *args, key=sub)
                 else:
-                    if self.sampler is not None:
-                        rng, sub = jax.random.split(rng)
-                        bstate, nxt = self._decode_last_b(
-                            layers, params_out, bstate, li, hidden, q,
-                            k_new, v_new, *args, key=sub)
-                    else:
-                        bstate, nxt = self._decode_last_b(
-                            layers, params_out, bstate, li, hidden, q,
-                            k_new, v_new, *args)
-            next_toks = np.asarray(nxt)
-            n_cand_py += 1
-            fill += do_app.astype(np.int64)
-            for b_i in range(B):
-                if fill[b_i] == self.bs:
-                    # flush the filled tail block to a pinned leaf
-                    ext = self._extract_tail(bstate.tail, b_i)
-                    leaves = [ext[l] for l in range(L)]
-                    hosted = (jax.device_put(leaves, store._s_host)
-                              if store._s_host is not None else leaves)
-                    gid = b_i * blocks_per_slot + int(valid[b_i]) // self.bs
-                    for l in range(L):
-                        store.adopt_block_device(l, hosted[l], block_id=gid)
-                    valid[b_i] += self.bs
-                    fill[b_i] = 0
-            for b_i in range(B):
-                if done[b_i]:
+                    self.bstate, nxt = self._decode_last_b(
+                        layers, params_out, self.bstate, li, hidden, q,
+                        k_new, v_new, *args)
+        nxt = np.asarray(nxt)
+        self._ncand += active.astype(np.int64)
+        self._fill += do_app.astype(np.int64)
+        for b_i in range(B):
+            if self._fill[b_i] == self.bs:
+                # flush the filled tail block to a pinned leaf
+                ext = self._extract_tail(self.bstate.tail, b_i)
+                leaves = [ext[l] for l in range(L)]
+                hosted = (jax.device_put(leaves, self.store._s_host)
+                          if self.store._s_host is not None else leaves)
+                gid = (b_i * self._blocks_per_slot
+                       + int(self._valid[b_i]) // self.bs)
+                for l in range(L):
+                    self.store.adopt_block_device(l, hosted[l],
+                                                  block_id=gid)
+                self._valid[b_i] += self.bs
+                self._fill[b_i] = 0
+        self.timings["decode_s"] += time.perf_counter() - t_step
+        self.timings["steps"] += 1
+        return nxt
+
+    # -- public API ----------------------------------------------------------
+
+    def generate_batch(self, prompts, max_new_tokens: int,
+                       eos_ids=()) -> List[list]:
+        """Decode B prompts concurrently on the shared offload tier (all
+        slots prefilled up front). Returns a list of token lists."""
+        if len(prompts) != self.B:
+            raise ValueError(f"need exactly {self.B} prompts, "
+                             f"got {len(prompts)}")
+        prompts = [np.asarray(p, np.int32) for p in prompts]
+        self._setup(max(int(p.shape[0]) for p in prompts), max_new_tokens)
+        for slot, ids in enumerate(prompts):
+            adm = self._admission_start(slot, slot, ids)
+            while not self._admission_step(adm):
+                pass
+        for s in self.slots:
+            if s.tokens[-1] in eos_ids or max_new_tokens <= 1:
+                s.done = True
+        while any(not s.done for s in self.slots):
+            active = np.asarray([not s.done for s in self.slots])
+            next_toks = np.asarray([s.tokens[-1] for s in self.slots],
+                                   np.int32)
+            nxt = self._decode_step(next_toks, active)
+            for b_i, s in enumerate(self.slots):
+                if s.done:
                     continue
-                t = int(next_toks[b_i])
-                results[b_i].append(t)
-                if t in eos_ids or len(results[b_i]) >= max_new_tokens:
-                    done[b_i] = True
-            self.timings["decode_s"] += time.perf_counter() - t_step
-            self.timings["steps"] += 1
-        store.flush()
-        self.store = store
+                t = int(nxt[b_i])
+                s.tokens.append(t)
+                if t in eos_ids or len(s.tokens) >= max_new_tokens:
+                    s.done = True
+        self.store.flush()
+        return [s.tokens for s in self.slots]
+
+    def serve(self, requests: Iterable[tuple[int, np.ndarray]],
+              max_new_tokens: int, eos_ids=(),
+              arrivals: Optional[dict] = None,
+              timing: Optional[dict] = None,
+              prefill_len: Optional[int] = None) -> dict[int, list]:
+        """Continuous batched serving on the offload tier: (seq_id,
+        prompt_ids) requests admit FIFO into free slots, ONE prefill unit
+        advances per decode step (running streams never stall more than
+        one bounded device program), finished slots retire — their
+        block-id range is invalidated in the shared store and reused by
+        the next admission. Returns seq_id → tokens.
+
+        arrivals / timing: same contract as BatchEngine.run — simulated
+        arrival schedule, and per-sequence wall-clock events ("arrive",
+        "admit", "first", "done", "token_times")."""
+        import time
+        queue = [(sid, np.asarray(ids, np.int32)) for sid, ids in requests]
+        if not queue:
+            return {}
+        self._setup(prefill_len if prefill_len is not None
+                    else max(int(p.shape[0]) for _, p in queue),
+                    max_new_tokens)
+        arrivals = arrivals or {}
+        results: dict[int, list] = {}
+        t0 = time.perf_counter()
+        now = lambda: time.perf_counter() - t0
+
+        def rec(sid, key, val):
+            if timing is not None:
+                timing.setdefault(sid, {})[key] = val
+
+        pending: Optional[_OAdmission] = None
+        while queue or pending is not None or any(
+                not s.done for s in self.slots):
+            if (pending is None and queue
+                    and any(s.done for s in self.slots)
+                    and now() >= arrivals.get(queue[0][0], 0.0)):
+                sid, ids = queue.pop(0)
+                slot = next(i for i, s in enumerate(self.slots) if s.done)
+                rec(sid, "arrive", arrivals.get(sid, 0.0))
+                rec(sid, "admit", now())
+                pending = self._admission_start(slot, sid, ids)
+            active = np.asarray([not s.done for s in self.slots])
+            if active.any():
+                next_toks = np.asarray(
+                    [s.tokens[-1] if not s.done else 0 for s in self.slots],
+                    np.int32)
+                nxt = self._decode_step(next_toks, active)
+                t_step = now()
+                for b_i, s in enumerate(self.slots):
+                    if s.done:
+                        continue
+                    t = int(nxt[b_i])
+                    s.tokens.append(t)
+                    if timing is not None:
+                        timing[s.seq_id]["token_times"].append(t_step)
+                    if t in eos_ids or len(s.tokens) >= max_new_tokens:
+                        results[s.seq_id] = s.tokens
+                        rec(s.seq_id, "done", t_step)
+                        self._retire(b_i)
+            if pending is not None:
+                if self._admission_step(pending):
+                    s = self.slots[pending.slot]
+                    rec(pending.seq_id, "first", now())
+                    if timing is not None:
+                        timing[pending.seq_id]["token_times"] = [
+                            timing[pending.seq_id]["first"]]
+                    if s.tokens[-1] in eos_ids or max_new_tokens <= 1:
+                        results[s.seq_id] = s.tokens
+                        rec(s.seq_id, "done", now())
+                        self._retire(pending.slot)
+                    pending = None
+            elif not active.any() and queue:
+                # pool idle, FIFO head not arrived yet: sleep to it
+                time.sleep(max(0.0, arrivals.get(queue[0][0], 0.0) - now()))
+        self.store.flush()
         return results

@@ -470,14 +470,22 @@ class OffloadEngine:
 
     # -- public API --------------------------------------------------------
 
-    def _prefill_pass(self, state, ids, P: int, pad: int, true_len: int,
-                      chunked: bool, ch: int, offload_fn, sync_fn):
-        """Layer-by-layer prefill driving an arbitrary offload sink:
+    def _prefill_pass_steps(self, state, ids, P: int, pad: int,
+                            true_len: int, chunked: bool, ch: int,
+                            offload_fn, sync_fn):
+        """GENERATOR form of the layer-by-layer prefill: yields after each
+        bounded device-program unit (pass A K/V build, each pass-B chunk
+        slab, pass C tail + offload). The batched offload tier advances
+        one unit per decode step so running streams never stall more than
+        one slab (the interleaved-admission discipline of
+        runtime/batch_engine.py, applied to the beyond-HBM tier). Final
+        value (StopIteration.value) is (last-token logits, state).
+
         offload_fn(layer, k_full, v_full, state) persists each layer's
         K/V (single-sequence: this engine's store; batch-as-heads: the
         shared store with slot-prefixed ids, runtime/offload_batch.py);
-        sync_fn(layer) bounds in-flight transfers. Returns (last-token
-        logits, state). Requires self.budget set."""
+        sync_fn(layer) bounds in-flight transfers. Requires self.budget
+        set."""
         m = self.cfg.model
         tokens = np.zeros((P,), np.int32)
         tokens[pad:] = np.asarray(ids, np.int32)
@@ -493,10 +501,12 @@ class OffloadEngine:
             if chunked:
                 k_full, v_full = self._prefill_layer_kv(
                     layers, li, hidden, cos, sin, ch)
+                yield
                 for c in range(P // ch):
                     hidden = self._prefill_attn_chunk(
                         layers, li, c * ch, hidden, k_full, v_full,
                         cos, sin, pad_j, ch)
+                    yield
                 state = self._prefill_tail_chunked(
                     state, li, k_full, v_full, pad_j, tl_j)
             else:
@@ -510,10 +520,23 @@ class OffloadEngine:
             # while transfers lag, OOMing at 128k (0.5 GB/layer there)
             np.asarray(hidden[:1, :1])
             sync_fn(l)
+            yield
         last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
                               m.rms_norm_eps)
         logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
         return logits, state
+
+    def _prefill_pass(self, state, ids, P: int, pad: int, true_len: int,
+                      chunked: bool, ch: int, offload_fn, sync_fn):
+        """Monolithic prefill: drains the step generator in one go.
+        Returns (last-token logits, state)."""
+        gen = self._prefill_pass_steps(state, ids, P, pad, true_len,
+                                       chunked, ch, offload_fn, sync_fn)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as e:
+                return e.value
 
     def generate(self, prompt_ids, max_new_tokens: int, eos_ids=()):
         return list(self.stream(prompt_ids, max_new_tokens, eos_ids))

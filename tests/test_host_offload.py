@@ -131,3 +131,30 @@ def test_hit_evicted_and_readmitted_in_one_batch_serves_fresh_data():
                     got[h, j], leaf[h],
                     err_msg=f"step={step} h={h} blk={blk[h, j]} "
                             f"slot={slots[h, j]}")
+
+
+def test_invalidate_blocks_recycles_range():
+    """Slot retirement: invalidated block ids drop their leaves, LFU
+    entries, and cache residency; re-offloading NEW data at the SAME ids
+    must serve the new rows (no stale cache hit)."""
+    s = _store(hbm_cache_tokens=128)
+    rng = np.random.default_rng(5)
+    k1 = rng.normal(size=(2, 256, 8)).astype(np.float32)
+    s.offload_layer(0, k1, k1.copy())
+    idx = np.tile(np.arange(0, 64)[None], (2, 1))
+    s.fetch(0, idx)                       # promote blocks 0-1 into cache
+    s.fetch(0, idx)
+    assert (s.block_slot[0][:2] >= 0).all()
+    s.invalidate_blocks(np.arange(8))
+    assert (s.block_slot[0][:8] == -1).all()
+    assert not s.kv_blocks[0]
+    # same ids, new occupant
+    k2 = rng.normal(size=(2, 256, 8)).astype(np.float32)
+    s.valid[0] = 0
+    s.tail_fill[0] = 0
+    s.offload_layer(0, k2, k2.copy())
+    k_top, _ = s.fetch(0, idx)
+    for h in range(2):
+        for j, t in enumerate(idx[h]):
+            np.testing.assert_allclose(np.asarray(k_top)[h, j], k2[h, t],
+                                       rtol=2e-2, atol=1e-3)

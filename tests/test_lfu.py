@@ -18,13 +18,10 @@ def make_cache(request):
         if request.param == "native" and not c.native:
             pytest.skip("native liblfu.so unavailable")
         if request.param == "python":
-            # force the pure-python path
-            c = LFUCache.__new__(LFUCache)
-            c.capacity = capacity
+            # force the pure-python path (fallback state is always
+            # initialized by __init__)
             c._lib = None
             c._h = None
-            c._freq, c._tick, c._slots = {}, {}, {}
-            c._next_slot, c._t = 0, 0
         return c
     return _make
 
@@ -81,15 +78,50 @@ def test_async_insert_then_synchronize():
     assert len(c) == 8
 
 
+def test_erase_recycles_slots(make_cache):
+    c = make_cache(4)
+    proxy = np.full(16, -1, np.int32)
+    c.batched_insert(np.array([1, 2, 3], np.int32), proxy)
+    s2 = proxy[2]
+    c.batched_erase(np.array([2, 9], np.int32), proxy)  # 9 absent: no-op
+    assert proxy[2] == -1 and not c.contains(2) and len(c) == 2
+    # the freed slot recycles before any new slot is minted
+    c.batched_insert(np.array([7], np.int32), proxy)
+    assert proxy[7] == s2
+    # eviction still works after erase emptied a frequency bucket
+    c.batched_insert(np.array([1, 3], np.int32), proxy)   # bump 1, 3
+    c.batched_insert(np.array([8, 9], np.int32), proxy)   # fill to capacity
+    c.batched_insert(np.array([10], np.int32), proxy)     # must evict freq-1
+    assert proxy[1] >= 0 and proxy[3] >= 0 and proxy[10] >= 0
+
+
+def test_erase_matches_python_model():
+    """Randomized insert+erase trace: native == pure-python model."""
+    a, b = LFUCache(8), LFUCache(8)
+    if not a.native:
+        pytest.skip("native liblfu.so unavailable")
+    b._lib = None; b._h = None
+    rng = np.random.default_rng(3)
+    pa = np.full(32, -1, np.int32)
+    pb = np.full(32, -1, np.int32)
+    for step in range(60):
+        ids = rng.integers(0, 32, size=5).astype(np.int32)
+        if step % 3 == 2:
+            a.batched_erase(ids, pa)
+            b.batched_erase(ids, pb)
+        else:
+            a.batched_insert(ids, pa)
+            b.batched_insert(ids, pb)
+    np.testing.assert_array_equal(pa, pb)
+    assert len(a) == len(b)
+
+
 def test_matches_reference_trace(make_cache):
     """Randomized trace: native result == pure-python model result."""
     rng = np.random.default_rng(0)
     cap, n_blocks = 8, 32
-    a, b = make_cache(cap), LFUCache.__new__(LFUCache)
-    b.capacity = cap
+    a, b = make_cache(cap), LFUCache(cap)
     b._lib = None; b._h = None
-    b._freq, b._tick, b._slots = {}, {}, {}
-    b._next_slot, b._t = 0, 0
     pa = np.full(n_blocks, -1, np.int32)
     pb = np.full(n_blocks, -1, np.int32)
     for _ in range(50):

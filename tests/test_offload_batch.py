@@ -73,6 +73,55 @@ def test_batched_offload_same_prompt_slots_agree(setup):
     assert out[0] == out[1], out
 
 
+def test_serve_continuous_matches_single_runs(setup):
+    """Continuous serving (BatchOffloadEngine.serve): 4 requests through a
+    2-slot pool. Requests 3/4 admit into RETIRED slots — their block-id
+    ranges are recycled, so any stale LFU/cache row from the previous
+    occupant that classified as a hit would silently corrupt attention.
+    Every stream must match its single-sequence OffloadEngine run."""
+    ecfg, params, _ = setup
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, ecfg.model.vocab_size, size=320)
+               .astype(np.int32) for _ in range(4)]
+    n = 12
+    refs = [OffloadEngine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=n) for ids in prompts]
+    be = BatchOffloadEngine(ecfg, params, batch_size=2, dtype=jnp.float32)
+    timing: dict = {}
+    out = be.serve([(i, p) for i, p in enumerate(prompts)],
+                   max_new_tokens=n, timing=timing)
+    assert set(out) == {0, 1, 2, 3}
+    for i in range(4):
+        assert out[i] == refs[i], (i, out[i], refs[i])
+    # every slot retired at the end: all leaves invalidated
+    assert all(not blocks for blocks in be.store.kv_blocks)
+    # timing events recorded for every stream
+    for i in range(4):
+        ev = timing[i]
+        assert ev["admit"] <= ev["first"] <= ev["done"]
+        assert len(ev["token_times"]) == n
+
+
+def test_serve_arrivals_and_eos(setup):
+    """Arrival schedule delays admission; EOS retires a slot early and
+    the freed slot serves the next request."""
+    ecfg, params, _ = setup
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, ecfg.model.vocab_size, size=320)
+               .astype(np.int32) for _ in range(3)]
+    ref = OffloadEngine(ecfg, params, dtype=jnp.float32).generate(
+        prompts[0], max_new_tokens=6)
+    eos = (int(ref[2]),)        # stop stream 0 after 3 tokens
+    be = BatchOffloadEngine(ecfg, params, batch_size=1, dtype=jnp.float32)
+    timing: dict = {}
+    out = be.serve([(i, p) for i, p in enumerate(prompts)],
+                   max_new_tokens=6, eos_ids=eos,
+                   arrivals={0: 0.0, 1: 0.0, 2: 0.5}, timing=timing)
+    assert out[0] == ref[:3]
+    assert len(out[1]) <= 6 and len(out[2]) <= 6
+    assert timing[2]["admit"] >= 0.5
+
+
 def test_batched_offload_parity_at_equal_bucket(setup):
     """Both slots at the pool bucket length → BOTH must match their
     single runs exactly (block flush + shared-cache path crossed: gen 24
