@@ -133,7 +133,7 @@ def run(args) -> list[dict]:
         )
         eng = BatchEngine(cfg, params, batch_size=args.pool,
                           prefill_len=args.ctx, max_new_tokens=args.gen,
-                          prefix=prefix)
+                          prefix=prefix, interleave=args.interleave)
         # warm-up: compile prefill + insert + decode-chunk programs
         eng.run([(10_000, prompts[0])], chunk=args.chunk)
 
@@ -184,6 +184,13 @@ def parse_args(argv=None):
                    help="pq_search HBM-tail dtype; int8 halves the pool "
                         "state (pool=8 @ 32k/8L no longer OOMs; pool=16 "
                         "fits one 16 GB chip)")
+    p.add_argument("--interleave", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="admission interleaving (BatchEngine): 'auto' = on "
+                        "for chunked non-prefix configs. 'off' = monolithic "
+                        "layer-major admission — ~0.6 GiB leaner peak; what "
+                        "fits pool=16 int8 @ 32k/8L on a 16 GB chip (the "
+                        "interleaved path's all-layer kbuf/vbuf OOM there)")
     p.add_argument("--select-block", type=int, default=256)
     p.add_argument("--fetch-par", type=int, default=16)
     p.add_argument("--policies", nargs="*",

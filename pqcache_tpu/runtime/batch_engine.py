@@ -72,12 +72,23 @@ class BatchEngine:
 
     def __init__(self, cfg: EngineConfig, params: dict, *, batch_size: int = 4,
                  prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16,
-                 prefix=None):
+                 prefix=None, interleave: str = "auto"):
         """prefix: optional PrefixCache (runtime/generate.prefill_prefix) —
         the pool-wide shared prompt prefix (the serving pattern: one system
         prompt for every request). Each admitted prompt is then a SUFFIX of
         at most prefill_len - prefix.n tokens; its prefill pays only the
-        suffix's triangle slab against the cached prefix K/V."""
+        suffix's triangle slab against the cached prefix K/V.
+
+        interleave: "auto" (on whenever the prefill is chunked and there is
+        no prefix cache), "on", or "off". Interleaved admissions advance
+        one prefill SLAB between decode chunks (bounded stalls — tail
+        latency), but hold full-length all-layer K/V admission buffers
+        (kbuf/vbuf, [L, H_kv, P, D] ≈ 1 GiB at 32k/8L) for the whole
+        admission. The monolithic path ("off") is layer-major: it holds
+        ONE layer's K/V plus the hidden rows (~0.4 GiB) — at pool sizes
+        where the batched state + weights nearly fill the chip (pool=16
+        int8 @ 32k/8L ≈ 14 GiB of 16), "off" is what makes admission fit,
+        at the cost of a full-prefill stall per admission."""
         self.cfg = cfg
         self.params = params
         self.B = batch_size
@@ -188,7 +199,15 @@ class BatchEngine:
         # running streams never stall more than one slab (the monolithic
         # path measured tbt_p95 = 16× p50 under a burst). Token streams
         # are identical either way (same math, sliced differently).
+        if interleave not in ("auto", "on", "off"):
+            raise ValueError(f"interleave must be auto/on/off, "
+                             f"got {interleave!r}")
         self.interleave = bool(pf_chunk) and prefix is None
+        if interleave == "off":
+            self.interleave = False
+        elif interleave == "on" and not self.interleave:
+            raise ValueError("interleave='on' requires a chunked prefill "
+                             "(runtime.prefill_chunk) and no prefix cache")
         self._slab_cache: dict = {}
         if self.interleave:
             def tail_fn(params, state, kbuf, vbuf, h_last, pad, tlen):

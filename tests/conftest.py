@@ -12,6 +12,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # The axon sitecustomize registers the TPU-tunnel backend in every
 # interpreter when this is set; tests must run on the virtual CPU mesh.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# Tests must NOT share the persistent compilation cache with live TPU
+# harness runs: harness modules enable it at import (so in-process harness
+# tests flip it on process-wide), and a concurrently-killed writer once
+# left a corrupted entry that SEGFAULTED cache deserialization. CPU
+# compiles are cheap — give tests their own throwaway dir.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/pqcache_jax_cache_tests"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -224,8 +224,9 @@ def test_interleaved_admission_matches_monolithic(setup):
                      timing=timing)
 
     be_m = BatchEngine(ecfg_c, params, batch_size=2, prefill_len=P,
-                       max_new_tokens=8, dtype=jnp.float32)
-    be_m.interleave = False            # monolithic chunked prefill
+                       max_new_tokens=8, dtype=jnp.float32,
+                       interleave="off")   # monolithic chunked prefill
+    assert not be_m.interleave
     out_m = be_m.run([(i, p) for i, p in enumerate(prompts)], chunk=3)
 
     assert set(out_i) == set(out_m) == {0, 1, 2, 3}

@@ -14,13 +14,15 @@ run() {
   local rc=$?
   local dt=$(( $(date +%s) - t0 ))
   cat "$tmp" >> "$LOG"
-  # the harness prints one JSON line; take THIS arm's last json line only
+  # the harness prints one JSON line; take THIS arm's last json line only.
+  # NOTE: pass the line as ARGV, not stdin — `python - <<EOF` reads the
+  # script from stdin, so an `echo | python - <<EOF` pipe is silently
+  # discarded (the round-4 ledger's empty "result" fields).
   local js=$(grep -E '^\{' "$tmp" | tail -1)
   rm -f "$tmp"
-  echo "$js" | python - "$OUT" "$name" "$rc" "$dt" <<'EOF'
+  python -c '
 import json, sys
-out, name, rc, dt = sys.argv[1:5]
-line = sys.stdin.read().strip()
+out, name, rc, dt, line = sys.argv[1:6]
 row = {"arm": name, "rc": int(rc), "wall_s": int(dt)}
 try:
     row["result"] = json.loads(line)
@@ -29,7 +31,7 @@ except Exception:
 with open(out, "a") as f:
     f.write(json.dumps(row) + "\n")
 print(f"[{name}] rc={rc} {dt}s", flush=True)
-EOF
+' "$OUT" "$name" "$rc" "$dt" "$js"
 }
 
 # 1. headline bench arms (int8 default); B=12/16 re-measure the jhist fix
