@@ -336,7 +336,8 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
 def prefill_chunk_step(cfg: ModelConfig, params: dict, kbuf: jax.Array,
                        vbuf: jax.Array, hidden_c: jax.Array,
                        pad_len: jax.Array, c0: int, *,
-                       use_pallas=None, interpret: bool = False
+                       use_pallas=None, interpret: bool = False,
+                       axis_name=None
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """CHUNK-MAJOR prefill slab: process prompt rows [c0, c0+ch) through
     ALL layers, appending each layer's rope'd K/V into the admission
@@ -375,10 +376,15 @@ def prefill_chunk_step(cfg: ModelConfig, params: dict, kbuf: jax.Array,
         att = prefill_chunk_attention(q, k_pref, v_pref, pad_len,
                                       q_offset=c0, use_pallas=use_pallas,
                                       interpret=interpret)
-        hidden = hidden + att.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
+        attn_out = att.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
+        if axis_name is not None:        # Megatron head-sharded slab (tp)
+            attn_out = jax.lax.psum(attn_out, axis_name)
+        hidden = hidden + attn_out
         h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-        hidden = hidden + mlp(lp, h2, chunk=cfg.mlp_chunk)
-        return (hidden, kbuf, vbuf), None
+        mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
+        if axis_name is not None:
+            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        return (hidden + mlp_out, kbuf, vbuf), None
 
     (hidden, kbuf, vbuf), _ = jax.lax.scan(
         body, (hidden_c, kbuf, vbuf),

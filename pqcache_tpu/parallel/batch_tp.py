@@ -78,7 +78,14 @@ class BatchTPEngine:
     """B sequence slots over a (dp, tp) mesh; batch-as-heads decode."""
 
     def __init__(self, cfg: EngineConfig, params: dict, mesh: Mesh,
-                 prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16):
+                 prefill_len: int, max_new_tokens: int, dtype=jnp.bfloat16,
+                 interleave: str = "auto"):
+        """interleave: "auto"/"on"/"off" — same contract as
+        runtime/batch_engine.BatchEngine. "on"/"auto" (with a chunked
+        prefill) gives serve_local SLAB-wise collective admission: one
+        chunk-major slab program per decode chunk instead of a monolithic
+        prefill wave, so running streams on every host stall at most one
+        slab per admission."""
         self.mesh = mesh
         self.dp = mesh.shape["dp"]
         self.tp = mesh.shape["tp"]
@@ -87,52 +94,42 @@ class BatchTPEngine:
         # chunk_plan padding so prefill_wave ALWAYS takes the chunked path
         # (a silent full-length fallback would reintroduce the activation
         # OOM the feature exists to prevent); callers pad prompts to self.P
+        ch_eff = 0
         if cfg.runtime.prefill_chunk and prefill_len > cfg.runtime.prefill_chunk:
             from pqcache_tpu.runtime.generate import chunk_plan_capped
             # max_seq_len is a hard reservation cap here too (chunk_plan
             # alone silently padded the pool past it — review finding)
-            prefill_len, _ = chunk_plan_capped(
+            # ch_eff == 0 means the cap forced the unchunked fallback
+            prefill_len, ch_eff = chunk_plan_capped(
                 prefill_len, cfg.runtime.prefill_chunk,
                 cfg.runtime.max_seq_len)
         self.P = prefill_len
+        self._pf_chunk = ch_eff
         self.max_new = max_new_tokens
         self.dtype = dtype
         self.params = params
         self.budget = compute_budget(cfg.budget, prefill_len, max_new_tokens)
         self.policy = get_policy(self.cfg_local, self.budget)
+        if interleave not in ("auto", "on", "off"):
+            raise ValueError(f"interleave must be auto/on/off, "
+                             f"got {interleave!r}")
+        self.interleave = bool(ch_eff) and interleave != "off"
+        if interleave == "on" and not self.interleave:
+            raise ValueError("interleave='on' requires a chunked prefill "
+                             "(runtime.prefill_chunk)")
 
         local_m = self.cfg_local.model
         policy = self.policy
         sspec = batch_state_specs(jhist=policy.use_jhist,
                                   ring=bool(policy.ring_k),
                                   int8_scales=policy.kv_int8)
+        self._sspec = sspec
 
-        def prefill_wave(p, bstate, tokens, pad, tlen, lslot, admit):
-            """One dp wave: each dp group prefills ITS prompt (tokens local
-            [1, P]) and inserts the result at local slot `lslot` — unless
-            its `admit` flag is 0 (continuous serving: groups with nothing
-            to admit participate in the collective prefill but leave their
-            state untouched; lax.cond keeps the no-admit branch copy-free)."""
-            single = policy.init_state(dtype)
-            from pqcache_tpu.runtime.generate import chunk_plan_capped
-            ch = cfg.runtime.prefill_chunk
-            # recompute __init__'s capped plan (idempotent on its output);
-            # ch_eff == 0 means the cap forced the unchunked fallback
-            ch_eff = (chunk_plan_capped(prefill_len, ch,
-                                        cfg.runtime.max_seq_len)[1]
-                      if ch and prefill_len > ch else 0)
-            if ch_eff:
-                # __init__ chunk-planned self.P, so the plan always divides
-                assert prefill_len % ch_eff == 0, (prefill_len, ch_eff)
-                logits, st = llama.prefill_chunked(
-                    local_m, p, policy, single, tokens[0], pad[0], tlen[0],
-                    chunk=ch_eff, axis_name="tp")
-            else:
-                logits, st = llama.prefill(local_m, p, policy, single,
-                                           tokens[0], pad[0], tlen[0],
-                                           axis_name="tp")
-            first = jnp.argmax(logits).astype(jnp.int32)
-
+        def insert_single(bstate, st, lslot, admit):
+            """Predicated fold of a prefilled single-sequence LOCAL state
+            into local slot `lslot` (admit == 0: state untouched;
+            lax.cond keeps the no-admit branch copy-free). Shared by the
+            monolithic prefill wave and the slab admission's tail."""
             def do_insert(b_in):
                 def ins(b, s):
                     # b [L, B_loc, H_kv_loc, ...]; s [L, H_kv_loc, ...]
@@ -156,8 +153,41 @@ class BatchTPEngine:
                     v_scale=(ins(b_in.v_scale, st.v_scale)
                              if policy.kv_int8 else None))
 
-            new = jax.lax.cond(admit[0] > 0, do_insert, lambda b: b, bstate)
-            return first[None], new
+            return jax.lax.cond(admit[0] > 0, do_insert, lambda b: b,
+                                bstate)
+
+        def prefill_wave(p, bstate, tokens, pad, tlen, lslot, admit):
+            """One dp wave: each dp group prefills ITS prompt (tokens local
+            [1, P]) and inserts the result at local slot `lslot` — unless
+            its `admit` flag is 0 (continuous serving: groups with nothing
+            to admit participate in the collective prefill but leave their
+            state untouched)."""
+            single = policy.init_state(dtype)
+            if ch_eff:
+                # __init__ chunk-planned self.P, so the plan always divides
+                assert prefill_len % ch_eff == 0, (prefill_len, ch_eff)
+                logits, st = llama.prefill_chunked(
+                    local_m, p, policy, single, tokens[0], pad[0], tlen[0],
+                    chunk=ch_eff, axis_name="tp")
+            else:
+                logits, st = llama.prefill(local_m, p, policy, single,
+                                           tokens[0], pad[0], tlen[0],
+                                           axis_name="tp")
+            first = jnp.argmax(logits).astype(jnp.int32)
+            return first[None], insert_single(bstate, st, lslot, admit)
+
+        def admit_tail(p, bstate, kbuf, vbuf, h_last, pad, tlen, lslot,
+                       admit):
+            """Finish a slab-wise admission wave: the policy tail over the
+            assembled per-layer K/V, first token, predicated insert —
+            exactly what the monolithic wave computes, sliced so decode
+            chunks ran between the slabs."""
+            single = policy.init_state(dtype)
+            logits, st = llama.prefill_finish_tail(
+                local_m, p, policy, single, kbuf[0], vbuf[0], h_last[0],
+                pad[0], tlen[0])
+            first = jnp.argmax(logits).astype(jnp.int32)
+            return first[None], insert_single(bstate, st, lslot, admit)
 
         def decode_chunk(p, bstate, toks, poss, n):
             folded = _fold(bstate)
@@ -181,6 +211,46 @@ class BatchTPEngine:
             in_specs=(PARAM_SPECS, sspec, P("dp"), P("dp")),
             out_specs=(P("dp", None), sspec), check_rep=False),
             donate_argnums=(1,))
+
+        # slab-wise admission programs (interleaved serve_local): per-dp
+        # admission K/V buffers [dp, L, H_kv, P, D] (head axis tp-sharded),
+        # one chunk-major slab program per static offset, one tail program
+        self._kvspec = P("dp", None, "tp", None, None)
+        self._slab_cache: dict = {}
+        if self.interleave:
+            self._admit_tail = jax.jit(shard_map(
+                admit_tail, mesh=mesh,
+                in_specs=(PARAM_SPECS, sspec, self._kvspec, self._kvspec,
+                          P("dp", None, None), P("dp"), P("dp"), P(),
+                          P("dp")),
+                out_specs=(P("dp"), sspec), check_rep=False),
+                donate_argnums=(1, 2, 3, 4))
+
+    def _slab_fn(self, c0: int):
+        """Jitted collective slab program for STATIC offset c0: every dp
+        group advances its admission's rows [c0, c0+ch) through all layers
+        (tp-sharded heads, psum'd projections)."""
+        if c0 in self._slab_cache:
+            return self._slab_cache[c0]
+        local_m = self.cfg_local.model
+        pol = self.policy
+
+        def f(p, kbuf, vbuf, toks_c, pad):
+            hidden_c = jnp.take(p["embed"], toks_c[0], axis=0)
+            kb, vb, h = llama.prefill_chunk_step(
+                local_m, p, kbuf[0], vbuf[0], hidden_c, pad[0], c0,
+                use_pallas=getattr(pol, "use_pallas", None),
+                interpret=getattr(pol, "interpret", False), axis_name="tp")
+            return kb[None], vb[None], h[None]
+
+        fn = jax.jit(shard_map(
+            f, mesh=self.mesh,
+            in_specs=(PARAM_SPECS, self._kvspec, self._kvspec,
+                      P("dp", None), P("dp")),
+            out_specs=(self._kvspec, self._kvspec, P("dp", None, None)),
+            check_rep=False), donate_argnums=(1, 2))
+        self._slab_cache[c0] = fn
+        return fn
 
     def init_state(self, B: int) -> PQState:
         """Global 5-D zero state for B slots (B divisible by dp)."""

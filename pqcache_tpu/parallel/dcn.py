@@ -182,9 +182,10 @@ class DistributedBatchTPEngine(BatchTPEngine):
     only ITS slots' prompts and reads back only its slots' tokens."""
 
     def __init__(self, cfg, params, mesh, prefill_len, max_new_tokens,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, interleave: str = "auto"):
         super().__init__(cfg, global_params(mesh, params), mesh,
-                         prefill_len, max_new_tokens, dtype)
+                         prefill_len, max_new_tokens, dtype,
+                         interleave=interleave)
 
     def init_state(self, B: int):
         """Zero state created collectively ON-DEVICE with the engine's
@@ -212,13 +213,18 @@ class DistributedBatchTPEngine(BatchTPEngine):
         (iteration-level scheduling, the multi-host form of
         runtime/batch_engine.BatchEngine.run).
 
-        All device programs are collective: a prefill wave runs when ANY
+        All device programs are collective: an admission wave runs when ANY
         host has an admission for that local slot index (groups with
         nothing to admit join the wave with admit=0 and their state is
-        untouched — the predicated insert in batch_tp.prefill_wave), and
-        decode chunks advance every slot everywhere. Agreement uses only
-        host-side process allgathers. Returns {seq_id: tokens} for THIS
-        process's requests."""
+        untouched — the predicated insert in batch_tp), and decode chunks
+        advance every slot everywhere. Agreement uses only host-side
+        process allgathers. With `self.interleave` (chunked prefill), the
+        wave is SLAB-WISE: one chunk-major slab program advances between
+        decode chunks, so running streams on every host stall at most one
+        slab per admission instead of a full prefill (the multi-host form
+        of BatchEngine's interleaved admission); token streams are
+        identical either way. Returns {seq_id: tokens} for THIS process's
+        requests."""
         n_proc = jax.process_count()
         dp_local = self.dp // n_proc
         B_loc = slots_per_group
@@ -233,7 +239,9 @@ class DistributedBatchTPEngine(BatchTPEngine):
         slots = [[{"done": True, "sid": None, "toks": None, "pos": 0}
                   for _ in range(B_loc)] for _ in range(dp_local)]
 
-        def admit_wave(w, bstate):
+        def build_admission(w):
+            """Collect this host's admissions for local slot index w.
+            Returns None when NO host admits at w (collective check)."""
             admit = np.zeros((dp_local,), np.int32)
             toks = np.zeros((dp_local, self.P), np.int32)
             pads = np.zeros((dp_local,), np.int32)
@@ -250,29 +258,36 @@ class DistributedBatchTPEngine(BatchTPEngine):
                     pend[g] = (sid, len(ids))
             # collective skip: no admissions anywhere at this slot index
             if all_hosts_done(admit.sum() == 0):
-                return bstate, False
-            first, bstate = self._prefill(
-                self.params, bstate,
-                host_local_rows(mesh, P("dp", None), (self.dp, self.P),
-                                toks, np.int32),
-                host_local_rows(mesh, P("dp"), (self.dp,), pads, np.int32),
-                host_local_rows(mesh, P("dp"), (self.dp,), tlens, np.int32),
-                jnp.asarray(w, jnp.int32),
-                host_local_rows(mesh, P("dp"), (self.dp,), admit, np.int32))
+                return None
+            return {"w": w, "admit": admit, "toks": toks, "pads": pads,
+                    "tlens": tlens, "pend": pend}
+
+        def record_firsts(adm, first):
             f, _ = read_local_rows(first, self.dp)
-            for g, (sid, tlen) in pend.items():
+            w = adm["w"]
+            for g, (sid, tlen) in adm["pend"].items():
                 slots[g][w] = {"done": int(f[g]) in eos_ids, "sid": sid,
                                "toks": [int(f[g])], "pos": tlen}
                 if slots[g][w]["done"]:
                     results[sid] = slots[g][w]["toks"]
-            return bstate, True
 
-        while True:
-            for w in range(B_loc):
-                bstate, _ = admit_wave(w, bstate)
-            idle = all(s["done"] for row in slots for s in row)
-            if all_hosts_done(idle and not queue):
-                break
+        def admit_wave(adm, bstate):
+            """Monolithic collective prefill wave."""
+            first, bstate = self._prefill(
+                self.params, bstate,
+                host_local_rows(mesh, P("dp", None), (self.dp, self.P),
+                                adm["toks"], np.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), adm["pads"],
+                                np.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), adm["tlens"],
+                                np.int32),
+                jnp.asarray(adm["w"], jnp.int32),
+                host_local_rows(mesh, P("dp"), (self.dp,), adm["admit"],
+                                np.int32))
+            record_firsts(adm, first)
+            return bstate
+
+        def decode_once(bstate):
             cur = np.zeros((B_loc * dp_local,), np.int32)
             poss = np.zeros((B_loc * dp_local,), np.int32)
             for g in range(dp_local):
@@ -299,6 +314,73 @@ class DistributedBatchTPEngine(BatchTPEngine):
                             s["done"] = True
                             results[s["sid"]] = s["toks"][:max_new_tokens]
                             break
+            return bstate
+
+        if not self.interleave:
+            while True:
+                for w in range(B_loc):
+                    adm = build_admission(w)
+                    if adm is not None:
+                        bstate = admit_wave(adm, bstate)
+                idle = all(s["done"] for row in slots for s in row)
+                if all_hosts_done(idle and not queue):
+                    break
+                bstate = decode_once(bstate)
+            return results
+
+        # interleaved: at most one pending SLAB-WISE wave; one slab program
+        # advances per decode chunk. pending-ness is a collective decision
+        # (build_admission's allgather), so every host runs the same slab
+        # and tail programs in lockstep.
+        from jax.sharding import NamedSharding
+        m_g = self.cfg_local.model
+        kv_shape = (self.dp, m_g.num_layers, m_g.num_kv_heads * self.tp,
+                    self.P, m_g.head_dim)
+        kv_zeros = jax.jit(
+            lambda: jnp.zeros(kv_shape, self.dtype),
+            out_shardings=NamedSharding(mesh, self._kvspec))
+        ch = self._pf_chunk
+        n_slabs = self.P // ch
+        pending = None
+        wave_w = 0
+        while True:
+            if pending is None:
+                adm = build_admission(wave_w)
+                if adm is not None:
+                    adm["kbuf"], adm["vbuf"] = kv_zeros(), kv_zeros()
+                    adm["h"] = None
+                    adm["i"] = 0
+                    adm["pads_g"] = host_local_rows(
+                        mesh, P("dp"), (self.dp,), adm["pads"], np.int32)
+                    pending = adm
+                wave_w = (wave_w + 1) % B_loc
+            idle = all(s["done"] for row in slots for s in row)
+            if pending is None and all_hosts_done(idle and not queue):
+                break
+            if not all_hosts_done(idle):
+                bstate = decode_once(bstate)
+            if pending is not None:
+                c0 = pending["i"] * ch
+                toks_c = host_local_rows(
+                    mesh, P("dp", None), (self.dp, ch),
+                    np.ascontiguousarray(pending["toks"][:, c0:c0 + ch]),
+                    np.int32)
+                pending["kbuf"], pending["vbuf"], pending["h"] = \
+                    self._slab_fn(c0)(self.params, pending["kbuf"],
+                                      pending["vbuf"], toks_c,
+                                      pending["pads_g"])
+                pending["i"] += 1
+                if pending["i"] == n_slabs:
+                    first, bstate = self._admit_tail(
+                        self.params, bstate, pending["kbuf"],
+                        pending["vbuf"], pending["h"], pending["pads_g"],
+                        host_local_rows(mesh, P("dp"), (self.dp,),
+                                        pending["tlens"], np.int32),
+                        jnp.asarray(pending["w"], jnp.int32),
+                        host_local_rows(mesh, P("dp"), (self.dp,),
+                                        pending["admit"], np.int32))
+                    record_firsts(pending, first)
+                    pending = None
         return results
 
     def generate_batch_local(self, local_prompts: Sequence,

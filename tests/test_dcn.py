@@ -168,3 +168,44 @@ def test_continuous_serving_ragged_queue():
 
     outs = eng.serve_local(list(enumerate(prompts)), max_new_tokens=8)
     assert outs == refs
+
+
+@needs8
+def test_continuous_serving_interleaved_matches_monolithic():
+    """SLAB-WISE collective admission (interleave, chunked prefill): one
+    chunk-major slab program advances per decode chunk instead of a
+    monolithic prefill wave — running streams on every host stall at most
+    one slab. Token streams must match the monolithic waves exactly."""
+    cfg_m = tiny_model_config(num_layers=2, num_heads=8, num_kv_heads=4,
+                              hidden_size=64)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(9),
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=8,
+                    approx_topk=False),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=8, max_seq_len=512,
+                              kernels="xla", prefill_chunk=64),
+    )
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, cfg_m.vocab_size, size=256 - 9 * i)
+               .astype(np.int32) for i in range(5)]
+
+    mesh = dcn.serving_mesh(2, 4)
+    eng_m = dcn.DistributedBatchTPEngine(
+        ecfg, params, mesh, prefill_len=256, max_new_tokens=8,
+        dtype=jnp.float32, interleave="off")
+    assert not eng_m.interleave
+    outs_m = eng_m.serve_local(list(enumerate(prompts)), max_new_tokens=8)
+
+    eng_i = dcn.DistributedBatchTPEngine(
+        ecfg, params, mesh, prefill_len=256, max_new_tokens=8,
+        dtype=jnp.float32)
+    assert eng_i.interleave          # auto: chunked prefill turns it on
+    outs_i = eng_i.serve_local(list(enumerate(prompts)), max_new_tokens=8)
+
+    assert set(outs_i) == set(range(5))
+    assert outs_i == outs_m
