@@ -33,3 +33,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
+
+
+# Bound accumulated XLA:CPU state across the suite: with ~200 compiled
+# programs resident, the ring-prefill shard_map compile segfaulted
+# deterministically at ~2/3 of the suite (backend_compile_and_load, twice,
+# same test — passes in isolation and after either suite half). Dropping
+# executables between MODULES keeps per-module caching (fixtures reuse
+# programs within a file) while capping the resident-program count.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
