@@ -311,9 +311,13 @@ class BatchOffloadEngine:
         return hidden, state
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode_first_b(self, layers, state, toks, n_sel_h):
+    def _decode_first_b(self, layers, embed, state, toks, n_sel_h):
+        # `embed` MUST be an operand, not a closure over self.params: a
+        # closed-over [V, E] table (1 GB at Llama vocab) is baked into the
+        # HLO as a constant — the serialized executable was 819 MB, remote
+        # compiles took ~20 min and killed the dev tunnel (broken pipe).
         m = self.cfg.model
-        hidden = jnp.take(self.params["embed"], toks, axis=0)  # [B, E]
+        hidden = jnp.take(embed, toks, axis=0)  # [B, E]
         cos, sin = llama.rope_cos_sin(m, state.pos)
         lp = jax.tree_util.tree_map(lambda a: a[0], layers)
         q, k, v, blk = self._score_topk_b(
@@ -506,7 +510,8 @@ class BatchOffloadEngine:
         params_out = {"final_norm": self.params["final_norm"],
                       "lm_head": self.params["lm_head"]}
         hidden, cos, sin, q, k_new, v_new, blk = self._decode_first_b(
-            layers, self.bstate, jnp.asarray(next_toks, jnp.int32), n_sel_h)
+            layers, self.params["embed"], self.bstate,
+            jnp.asarray(next_toks, jnp.int32), n_sel_h)
         head_slot = self._head_slot
         cb_h = (self._valid // self.bs)[head_slot]        # complete blocks
         base_h = (np.arange(B) * self._blocks_per_slot)[head_slot]

@@ -137,3 +137,21 @@ def test_batched_offload_parity_at_equal_bucket(setup):
     out = be.generate_batch([a, b], max_new_tokens=n)
     assert out[0] == refs[0], (out[0], refs[0])
     assert out[1] == refs[1], (out[1], refs[1])
+
+
+def test_decode_programs_capture_no_weight_constants(setup):
+    """No decode-step program may close over a weight array: a captured
+    [V, E] embedding table is baked into the HLO as a literal constant —
+    at Llama vocab that made the serialized _decode_first_b executable
+    819 MB (~20-min remote compiles). Weights must enter as operands."""
+    ecfg, params, prompts = setup
+    be = BatchOffloadEngine(ecfg, params, batch_size=2, dtype=jnp.float32)
+    be._setup(max(int(p.shape[0]) for p in prompts), 8)
+    toks = jnp.zeros((be.B,), jnp.int32)
+    n_sel_h = jnp.zeros((be.B * be.H_kv,), jnp.int32)
+    closed = jax.make_jaxpr(
+        lambda *a: be._decode_first_b(*a))(
+        params["layers"], params["embed"], be.bstate, toks, n_sel_h)
+    big = [(np.shape(c), np.asarray(c).nbytes) for c in closed.consts
+           if hasattr(c, "nbytes") and np.asarray(c).nbytes > 65536]
+    assert not big, f"large closure constants traced into decode: {big}"
