@@ -98,7 +98,11 @@ def main():
         from pqcache_tpu.runtime.offload_batch import BatchOffloadEngine
         be = BatchOffloadEngine(cfg, params, batch_size=BATCH)
         reqs = [(i, ids) for i in range(REQUESTS)]
-        be.serve(reqs[:BATCH], max_new_tokens=4)       # compile
+        # warm-up MUST use the measured max_new_tokens: the budget (and so
+        # every program's state shapes) depends on it — a smaller warm-up
+        # value can round n_tail_max to a different 256-multiple and the
+        # timed run would recompile everything inside the timed region
+        be.serve(reqs[:BATCH], max_new_tokens=GEN)     # compile
         timing: dict = {}
         t0 = time.perf_counter()
         outs = be.serve(reqs, max_new_tokens=GEN, timing=timing)
@@ -106,9 +110,10 @@ def main():
         tm = be.timings
         steps = max(tm["steps"], 1)
         n_tok = sum(len(o) for o in outs.values())
-        tbt = np.concatenate([np.diff(v["token_times"])
-                              for v in timing.values()
-                              if len(v.get("token_times", [])) > 1])
+        diffs = [np.diff(v["token_times"]) for v in timing.values()
+                 if len(v.get("token_times", [])) > 1]
+        # GEN=1 leaves every stream with a single token time: no tbt
+        tbt = np.concatenate(diffs) if diffs else np.zeros((0,))
         ttft = np.asarray([v["first"] - v["arrive"]
                            for v in timing.values()])
         print(json.dumps({
@@ -116,8 +121,10 @@ def main():
                        f"({LAYERS}L, pool={BATCH}, requests={REQUESTS})"),
             "per_step_ms": round(tm["decode_s"] / steps * 1e3, 2),
             "agg_tok_s": round(n_tok / dt, 2),
-            "tbt_p50_ms": round(float(np.percentile(tbt, 50)) * 1e3, 2),
-            "tbt_p95_ms": round(float(np.percentile(tbt, 95)) * 1e3, 2),
+            "tbt_p50_ms": (round(float(np.percentile(tbt, 50)) * 1e3, 2)
+                           if tbt.size else None),
+            "tbt_p95_ms": (round(float(np.percentile(tbt, 95)) * 1e3, 2)
+                           if tbt.size else None),
             "ttft_p50_s": round(float(np.percentile(ttft, 50)), 2),
             "ttft_p95_s": round(float(np.percentile(ttft, 95)), 2),
             "hit_rate": round(be.store.hit_rate, 4),
@@ -131,7 +138,8 @@ def main():
         from pqcache_tpu.runtime.offload_batch import BatchOffloadEngine
         be = BatchOffloadEngine(cfg, params, batch_size=BATCH)
         prompts = [ids] * BATCH
-        be.generate_batch(prompts, max_new_tokens=4)   # compile
+        # same max_new_tokens as the timed run: budget → program shapes
+        be.generate_batch(prompts, max_new_tokens=GEN)  # compile
         t0 = time.perf_counter()
         outs = be.generate_batch(prompts, max_new_tokens=GEN)
         dt = time.perf_counter() - t0

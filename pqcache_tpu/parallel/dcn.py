@@ -336,9 +336,15 @@ class DistributedBatchTPEngine(BatchTPEngine):
         m_g = self.cfg_local.model
         kv_shape = (self.dp, m_g.num_layers, m_g.num_kv_heads * self.tp,
                     self.P, m_g.head_dim)
-        kv_zeros = jax.jit(
-            lambda: jnp.zeros(kv_shape, self.dtype),
-            out_shardings=NamedSharding(mesh, self._kvspec))
+        # cache the jitted zeros constructor on the engine (keyed by shape):
+        # a fresh jax.jit wrapper per serve_local call would re-trace and
+        # re-compile the admission-buffer program on every invocation
+        if getattr(self, "_kv_zeros_shape", None) != kv_shape:
+            self._kv_zeros_shape = kv_shape
+            self._kv_zeros = jax.jit(
+                lambda: jnp.zeros(kv_shape, self.dtype),
+                out_shardings=NamedSharding(mesh, self._kvspec))
+        kv_zeros = self._kv_zeros
         ch = self._pf_chunk
         n_slabs = self.P // ch
         pending = None

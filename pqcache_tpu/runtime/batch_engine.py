@@ -79,8 +79,10 @@ class BatchEngine:
         at most prefill_len - prefix.n tokens; its prefill pays only the
         suffix's triangle slab against the cached prefix K/V.
 
-        interleave: "auto" (on whenever the prefill is chunked and there is
-        no prefix cache), "on", or "off". Interleaved admissions advance
+        interleave: "auto" (on whenever the prefill is chunked, there is
+        no prefix cache, AND the admission buffers fit next to the
+        resident set — see _interleave_fits), "on", or "off".
+        Interleaved admissions advance
         one prefill SLAB between decode chunks (bounded stalls — tail
         latency), but hold full-length all-layer K/V admission buffers
         (kbuf/vbuf, [L, H_kv, P, D] ≈ 1 GiB at 32k/8L) for the whole
@@ -208,6 +210,15 @@ class BatchEngine:
         elif interleave == "on" and not self.interleave:
             raise ValueError("interleave='on' requires a chunked prefill "
                              "(runtime.prefill_chunk) and no prefix cache")
+        self.bstate = self.policy.init_batched_state(self.B, dtype)
+        self.slots: List[_Slot] = [_Slot() for _ in range(self.B)]
+        if interleave == "auto" and self.interleave:
+            # memory-aware fallback: at pool sizes where state + weights
+            # nearly fill the chip, the interleave path's admission
+            # buffers are the difference between running and
+            # RESOURCE_EXHAUSTED — drop to the layer-major monolithic
+            # admission instead of OOMing (explicit 'on' overrides)
+            self.interleave = self._interleave_fits()
         self._slab_cache: dict = {}
         if self.interleave:
             def tail_fn(params, state, kbuf, vbuf, h_last, pad, tlen):
@@ -219,8 +230,28 @@ class BatchEngine:
                 return logits, st
             self._admit_tail = jax.jit(tail_fn, donate_argnums=(1, 2, 3))
 
-        self.bstate = self.policy.init_batched_state(self.B, dtype)
-        self.slots: List[_Slot] = [_Slot() for _ in range(self.B)]
+    def _interleave_fits(self) -> bool:
+        """Whether interleaved admission's full-length all-layer K/V
+        buffers (kbuf/vbuf, [L, H_kv, P, D] ≈ 1 GiB at 32k/8L) fit next
+        to the resident set. Measured: pool=16 int8 @ 32k/8L holds
+        bstate 8.76 + params 5.21 GiB on a 16 GiB chip — interleave OOMs
+        while the layer-major monolithic admission (~0.4 GiB transient)
+        runs (MEASURE_r4 serving_pool16_int8[_mono]). Conservative 90%
+        threshold; devices that report no limit (CPU) keep interleave."""
+        try:
+            lim = jax.devices()[0].memory_stats().get("bytes_limit")
+        except Exception:
+            return True
+        if not lim:
+            return True
+        m = self.cfg.model
+        pbytes = sum(getattr(x, "nbytes", 0)
+                     for x in jax.tree_util.tree_leaves(self.params))
+        sbytes = sum(getattr(x, "nbytes", 0)
+                     for x in jax.tree_util.tree_leaves(self.bstate))
+        buf = (2 * m.num_layers * m.num_kv_heads * self.P * m.head_dim
+               * jnp.dtype(self.dtype).itemsize)
+        return pbytes + sbytes + buf <= 0.90 * lim
 
     # -- interleaved admission ----------------------------------------------
 

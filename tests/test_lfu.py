@@ -11,6 +11,17 @@ import pytest
 from pqcache_tpu.native.lfu_cache import LFUCache
 
 
+def _force_python(c: LFUCache) -> LFUCache:
+    """Drop to the pure-python path WITHOUT leaking the native handle
+    __init__ may already have created (fallback state is always
+    initialized by __init__)."""
+    if c._lib is not None and c._h:
+        c._lib.lfu_destroy(c._h)
+    c._lib = None
+    c._h = None
+    return c
+
+
 @pytest.fixture(params=["native", "python"])
 def make_cache(request):
     def _make(capacity):
@@ -18,10 +29,7 @@ def make_cache(request):
         if request.param == "native" and not c.native:
             pytest.skip("native liblfu.so unavailable")
         if request.param == "python":
-            # force the pure-python path (fallback state is always
-            # initialized by __init__)
-            c._lib = None
-            c._h = None
+            _force_python(c)
         return c
     return _make
 
@@ -100,7 +108,7 @@ def test_erase_matches_python_model():
     a, b = LFUCache(8), LFUCache(8)
     if not a.native:
         pytest.skip("native liblfu.so unavailable")
-    b._lib = None; b._h = None
+    _force_python(b)
     rng = np.random.default_rng(3)
     pa = np.full(32, -1, np.int32)
     pb = np.full(32, -1, np.int32)
@@ -121,7 +129,7 @@ def test_matches_reference_trace(make_cache):
     rng = np.random.default_rng(0)
     cap, n_blocks = 8, 32
     a, b = make_cache(cap), LFUCache(cap)
-    b._lib = None; b._h = None
+    _force_python(b)
     pa = np.full(n_blocks, -1, np.int32)
     pb = np.full(n_blocks, -1, np.int32)
     for _ in range(50):

@@ -41,18 +41,18 @@ print(f"[{name}] rc={rc} {dt}s", flush=True)
 ' "$OUT" "$name" "$rc" "$dt" "$js"
 }
 
-run offload_batch_B4_65k_fix env CTX=65536 LAYERS=8 GEN=12 BATCH=4 \
+run offload_batch_B4_65k_fix timeout 5400 env CTX=65536 LAYERS=8 GEN=12 BATCH=4 \
     CACHE_TOKENS=24576 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 KV_INT8=1 \
     python -m pqcache_tpu.harness.offload_bench
-run offload_batch_B2_128k_fix env CTX=131072 LAYERS=8 GEN=12 BATCH=2 \
+run offload_batch_B2_128k_fix timeout 5400 env CTX=131072 LAYERS=8 GEN=12 BATCH=2 \
     CACHE_TOKENS=24576 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 KV_INT8=1 \
     python -m pqcache_tpu.harness.offload_bench
-run offload_serve_B2_65k_fix env CTX=65536 LAYERS=8 GEN=12 BATCH=2 \
+run offload_serve_B2_65k_fix timeout 5400 env CTX=65536 LAYERS=8 GEN=12 BATCH=2 \
     REQUESTS=6 CACHE_TOKENS=24576 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
     KV_INT8=1 python -m pqcache_tpu.harness.offload_bench
 
 # past-16 probes on the HBM serving engine (jhist layout fix headroom)
-run bench_B20_32k env BENCH_BATCH=20 BENCH_SKIP_BASE=1 python bench.py
-run bench_B24_32k env BENCH_BATCH=24 BENCH_SKIP_BASE=1 python bench.py
+run bench_B20_32k timeout 5400 env BENCH_BATCH=20 BENCH_SKIP_BASE=1 python bench.py
+run bench_B24_32k timeout 5400 env BENCH_BATCH=24 BENCH_SKIP_BASE=1 python bench.py
 
 echo "done -> $OUT"
