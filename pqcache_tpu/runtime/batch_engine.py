@@ -237,11 +237,10 @@ class BatchEngine:
         bstate 8.76 + params 5.21 GiB on a 16 GiB chip — interleave OOMs
         while the layer-major monolithic admission (~0.4 GiB transient)
         runs (MEASURE_r4 serving_pool16_int8[_mono]). Conservative 90%
-        threshold; devices that report no limit (CPU) keep interleave."""
-        try:
-            lim = jax.devices()[0].memory_stats().get("bytes_limit")
-        except Exception:
-            return True
+        threshold; devices whose limit can't be determined (CPU, or
+        remote devices whose memory_stats() is None — the axon tunnel)
+        keep interleave. PQCACHE_HBM_BYTES overrides."""
+        lim = self._device_memory_limit()
         if not lim:
             return True
         m = self.cfg.model
@@ -252,6 +251,32 @@ class BatchEngine:
         buf = (2 * m.num_layers * m.num_kv_heads * self.P * m.head_dim
                * jnp.dtype(self.dtype).itemsize)
         return pbytes + sbytes + buf <= 0.90 * lim
+
+    @staticmethod
+    def _device_memory_limit():
+        """Device memory in bytes, or None if undeterminable. Order:
+        PQCACHE_HBM_BYTES env → PJRT memory_stats()["bytes_limit"] →
+        a device_kind table (remote/tunnelled TPUs report no stats)."""
+        import os
+        env = os.environ.get("PQCACHE_HBM_BYTES")
+        if env:
+            return int(env)
+        d = jax.devices()[0]
+        try:
+            stats = d.memory_stats()
+            if stats and stats.get("bytes_limit"):
+                return int(stats["bytes_limit"])
+        except Exception:
+            pass
+        kind = getattr(d, "device_kind", "") or ""
+        gib = 1 << 30
+        for pat, size in (("v5 lite", 16 * gib), ("v5e", 16 * gib),
+                          ("v5p", 95 * gib), ("v6", 32 * gib),
+                          ("v4", 32 * gib), ("v3", 16 * gib),
+                          ("v2", 8 * gib)):
+            if pat in kind.lower():
+                return size
+        return None
 
     # -- interleaved admission ----------------------------------------------
 
