@@ -319,7 +319,7 @@ def decode_window_attention_segments(q, segments, partials=()):
     (m [H_kv, g], l [H_kv, g], acc [H_kv, g, D]) from fused kernels
     (ops/block_attn_pallas.py), merged with the same combination."""
     H, _, D = q.shape
-    H_kv = segments[0][0].shape[0]
+    H_kv = (segments[0][0] if segments else partials[0][0]).shape[0]
     group = H // H_kv
     scale = 1.0 / (D ** 0.5)
     qg = q.reshape(H_kv, group, D)

@@ -36,13 +36,20 @@ NEG_INF = -1e30
 
 
 def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
-            n_heads, scale, pair=False):
+            n_heads, scale, pair=False, nb_local=0):
     kv_refs = rest[:n_par]
     m_ref, l_ref, acc_ref, m_scr, l_scr, acc_scr = rest[n_par:]
     h = pl.program_id(0)
     j = pl.program_id(1)
     n_steps = nb_pad // n_par
     n_cand = scal_ref[1 + h]                      # per-head (per-slot) count
+    # local-window coverage (nb_local > 0): entries [nb_sel, nb_sel+nb_local)
+    # of the index list are the aligned blocks spanning the CONTIGUOUS
+    # window [n_cand, n_cand + win) — same DMA path, range mask instead of
+    # the candidate mask (the two regions are disjoint, so no row is
+    # attended twice)
+    win = scal_ref[1 + n_heads + h] if nb_local else None
+    scal_base = 1 + (2 if nb_local else 1) * n_heads
 
     @pl.when(j == 0)
     def _init():
@@ -53,44 +60,64 @@ def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
     q = q_ref[0].astype(jnp.float32) * scale          # [g, D]
     # n_par selected blocks per grid step: their HBM→VMEM DMAs are issued
     # together by the pipeline (the per-block DMA is latency- not
-    # bandwidth-bound at 512 B × bs rows), the online-softmax update walks
-    # them sequentially in VMEM. Lane assignment is BLOCKED (lane p owns
-    # the sorted slice [p·n_steps, (p+1)·n_steps)) so that in pair mode
-    # adjacent selected blocks of one 2bs-aligned pair hit the same ref on
-    # consecutive steps and the second DMA is elided (same block index).
+    # bandwidth-bound at 512 B × bs rows). Lane assignment is BLOCKED
+    # (lane p owns the sorted slice [p·n_steps, (p+1)·n_steps)) so that in
+    # pair mode adjacent selected blocks of one 2bs-aligned pair hit the
+    # same ref on consecutive steps and the second DMA is elided.
+    #
+    # The softmax update is COMBINED across the step's n_par blocks: a
+    # per-block running (m, l, acc) update chains n_par dependent VPU
+    # sequences per grid step, which is what bounds the kernel (measured
+    # ~2× the DMA roofline at n_par=16). Instead: per-block s/p terms are
+    # independent, one max-tree + one scratch update per grid step —
+    # identical math (online softmax over the step's union segment).
     fetch = 2 * bs if pair else bs
+    s_list, v_list, mask_list = [], [], []
     for p_i in range(n_par):
         jj = p_i * n_steps + j
-        blk = scal_ref[1 + n_heads + h * nb_pad + jj]
+        blk = scal_ref[scal_base + h * nb_pad + jj]
         kv = kv_refs[p_i][0, 0]                        # [fetch, 2D]
         k = kv[:, :D].astype(jnp.float32)
-        v = kv[:, D:].astype(jnp.float32)
+        v_list.append(kv[:, D:].astype(jnp.float32))
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [g, fetch]
+        if nb_local:
+            is_loc = jj >= nb_sel
+            lo = jnp.where(is_loc, n_cand, 0)
+            hi = jnp.where(is_loc, n_cand + win, n_cand)
+            in_list = jj < nb_sel + nb_local
+        else:
+            lo, hi, in_list = 0, n_cand, jj < nb_sel
         if pair:
             # fetched the 2bs-aligned pair containing blk; attend only the
             # selected bs-half (selection quality stays at bs granularity)
             tok = ((blk // 2) * fetch
                    + jax.lax.broadcasted_iota(jnp.int32, (1, fetch), 1))
             half = (tok >= blk * bs) & (tok < blk * bs + bs)
-            mask = half & (tok < n_cand) & (jj < nb_sel)
+            mask = half & (tok >= lo) & (tok < hi) & in_list
         else:
             tok = blk * bs + jax.lax.broadcasted_iota(
                 jnp.int32, (1, fetch), 1)
-            mask = (tok < n_cand) & (jj < nb_sel)      # padded steps no-op
-        s = jnp.where(mask, s, NEG_INF)
+            mask = (tok >= lo) & (tok < hi) & in_list  # padded steps no-op
+        s_list.append(jnp.where(mask, s, NEG_INF))
+        mask_list.append(mask)
 
-        m_prev = m_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    m_prev = m_scr[:, :1]
+    m_new = m_prev
+    for s in s_list:                                   # cheap max tree
+        m_new = jnp.maximum(m_new, jnp.max(s, axis=-1, keepdims=True))
+    l_add = jnp.zeros_like(m_new)
+    acc_add = jnp.zeros_like(acc_scr)
+    for s, v, mask in zip(s_list, v_list, mask_list):  # independent terms
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        corr = jnp.exp(m_prev - m_new)
-        l_scr[:] = jnp.broadcast_to(
-            l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
-            l_scr.shape)
-        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+        l_add = l_add + jnp.sum(p, axis=-1, keepdims=True)
+        acc_add = acc_add + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    corr = jnp.exp(m_prev - m_new)
+    l_scr[:] = jnp.broadcast_to(l_scr[:, :1] * corr + l_add, l_scr.shape)
+    acc_scr[:] = acc_scr[:] * corr + acc_add
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(j == nb_pad // n_par - 1)
     def _finalize():
@@ -100,7 +127,7 @@ def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "n_par", "pair",
-                                             "interpret"))
+                                             "win_max", "interpret"))
 @jax.named_scope("pq_fetch")
 def block_topk_attention(
     q: jax.Array,
@@ -112,6 +139,8 @@ def block_topk_attention(
     block: int,
     n_par: int = 4,
     pair: bool = False,
+    win_len=None,
+    win_max: int = 0,
     interpret: bool = False,
 ):
     """Attention partials of q over the selected candidate blocks.
@@ -133,6 +162,14 @@ def block_topk_attention(
     latency-bound DMA count at key-locality-heavy selections while quality
     stays at the finer granularity. Requires N % (2·block) == 0.
 
+    `win_len`/`win_max`: local-window coverage. win_max > 0 appends the
+    ceil(win_max/block)+1 aligned blocks spanning the contiguous span
+    [n_cand, n_cand + win_len) per head to the fetch list (win_len: i32
+    scalar or [H_kv], <= win_max); rows in the span are attended with the
+    same online-softmax pass. This replaces a separate materialized
+    dynamic-slice of the window (at B=16/32k the 16 per-slot slices +
+    XLA's remat of them cost ~1.8 ms/step) with range-masked block DMAs.
+
     Returns (m [H_kv, g], l [H_kv, g], acc [H_kv, g, D]) f32 online-softmax
     partials (logits scaled by 1/sqrt(D)) for segment merging.
     """
@@ -144,42 +181,61 @@ def block_topk_attention(
     if pair:
         assert N % (2 * block) == 0, (N, block)
     scale = 1.0 / (D ** 0.5)
-    n_par = min(n_par, nb_sel)
-    nb_pad = -(-nb_sel // n_par) * n_par
-    if nb_pad != nb_sel:
-        # padding lanes index block 0 (always in-bounds); the kernel's
-        # jj < nb_sel mask zeroes their contribution
-        blk_idx = jnp.pad(blk_idx, ((0, 0), (0, nb_pad - nb_sel)))
 
     n_cand = jnp.asarray(n_cand, jnp.int32)
     if n_cand.ndim == 0:
         n_cand = jnp.broadcast_to(n_cand, (H_kv,))
-    scalars = jnp.concatenate([
-        jnp.asarray(layer, jnp.int32).reshape(1),
-        n_cand,
-        blk_idx.astype(jnp.int32).reshape(-1),
-    ])
+
+    nb_local = 0
+    if win_max:
+        # aligned blocks covering [n_cand, n_cand + win): the span crosses
+        # at most ceil(win_max/block)+1 block boundaries; entries clamped
+        # to the tail (over-span rows are range-masked anyway)
+        nb_local = -(-win_max // block) + 1
+        lo_blk = n_cand // block                               # [H_kv]
+        ent = jnp.minimum(
+            lo_blk[:, None] + jnp.arange(nb_local, dtype=jnp.int32)[None],
+            N // block - 1)
+        blk_idx = jnp.concatenate([blk_idx.astype(jnp.int32), ent], axis=1)
+        win_len = jnp.asarray(win_len, jnp.int32)
+        if win_len.ndim == 0:
+            win_len = jnp.broadcast_to(win_len, (H_kv,))
+
+    nb_tot = nb_sel + nb_local
+    n_par = min(n_par, nb_tot)
+    nb_pad = -(-nb_tot // n_par) * n_par
+    if nb_pad != nb_tot:
+        # padding lanes index block 0 (always in-bounds); the kernel's
+        # in-list mask zeroes their contribution
+        blk_idx = jnp.pad(blk_idx, ((0, 0), (0, nb_pad - nb_tot)))
+
+    scalars = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), n_cand]
+        + ([win_len] if nb_local else [])
+        + [blk_idx.astype(jnp.int32).reshape(-1)])
     qg = q.reshape(H_kv, group, D)
 
     n_steps = nb_pad // n_par
     grid = (H_kv, n_steps)
     kernel = functools.partial(_kernel, bs=block, D=D, nb_pad=nb_pad,
                                nb_sel=nb_sel, n_par=n_par, n_heads=H_kv,
-                               scale=scale, pair=pair)
+                               scale=scale, pair=pair, nb_local=nb_local)
 
     fetch = 2 * block if pair else block
+
+    base = 1 + (2 if nb_local else 1) * H_kv
 
     def kv_spec(p_i):
         # blocked lane assignment: lane p reads scalar slot p·n_steps + j
         if pair:
             return pl.BlockSpec(
                 (1, 1, fetch, D2),
-                lambda h, j, s, p=p_i, nb=nb_pad, hk=H_kv, ns=n_steps: (
-                    s[0], h, s[1 + hk + h * nb + p * ns + j] // 2, 0))
+                lambda h, j, s, p=p_i, nb=nb_pad, b0=base, ns=n_steps: (
+                    s[0], h, s[b0 + h * nb + p * ns + j] // 2, 0))
         return pl.BlockSpec(
             (1, 1, fetch, D2),
-            lambda h, j, s, p=p_i, nb=nb_pad, hk=H_kv, ns=n_steps: (
-                s[0], h, s[1 + hk + h * nb + p * ns + j], 0))
+            lambda h, j, s, p=p_i, nb=nb_pad, b0=base, ns=n_steps: (
+                s[0], h, s[b0 + h * nb + p * ns + j], 0))
 
     m, l, acc = pl.pallas_call(
         kernel,
@@ -211,22 +267,41 @@ def block_topk_attention(
 
 
 @jax.named_scope("pq_fetch")
-def block_topk_attention_xla(q, kv_tail, layer, blk_idx, n_cand, *, block):
+def block_topk_attention_xla(q, kv_tail, layer, blk_idx, n_cand, *, block,
+                             win_len=None, win_max: int = 0):
     """XLA reference with identical contract (tests / non-TPU)."""
     H, _, D = q.shape
     L, H_kv, N, _ = kv_tail.shape
     group = H // H_kv
     heads = jnp.arange(H_kv)
+    n_cand = jnp.asarray(n_cand, jnp.int32)
+    if n_cand.ndim == 0:
+        n_cand = jnp.broadcast_to(n_cand, (H_kv,))
     nb_sel = blk_idx.shape[1]
     rows = (blk_idx[:, :, None] * block
             + jnp.arange(block, dtype=jnp.int32)[None, None, :]
             ).reshape(H_kv, nb_sel * block)
+    mask = rows < n_cand[:, None]
+    if win_max:
+        nb_local = -(-win_max // block) + 1
+        lo_blk = n_cand // block
+        ent = jnp.minimum(
+            lo_blk[:, None] + jnp.arange(nb_local, dtype=jnp.int32)[None],
+            N // block - 1)
+        lrows = (ent[:, :, None] * block
+                 + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+                 ).reshape(H_kv, nb_local * block)
+        win_len = jnp.asarray(win_len, jnp.int32)
+        if win_len.ndim == 0:
+            win_len = jnp.broadcast_to(win_len, (H_kv,))
+        lmask = ((lrows >= n_cand[:, None])
+                 & (lrows < (n_cand + win_len)[:, None]))
+        rows = jnp.concatenate([rows, lrows], axis=1)
+        mask = jnp.concatenate([mask, lmask], axis=1)
     kv = kv_tail[layer, heads[:, None], rows]         # [H_kv, nb*bs, 2D]
     k, v = kv[..., :D].astype(jnp.float32), kv[..., D:].astype(jnp.float32)
     qg = q.reshape(H_kv, group, D).astype(jnp.float32) / (D ** 0.5)
     s = jnp.einsum("hgd,hwd->hgw", qg, k, preferred_element_type=jnp.float32)
-    n_cand = jnp.asarray(n_cand, jnp.int32)
-    mask = rows < (n_cand[:, None] if n_cand.ndim else n_cand)
     s = jnp.where(mask[:, None, :], s, NEG_INF)
     m = jnp.max(s, axis=-1)
     p = jnp.where(mask[:, None, :], jnp.exp(s - m[..., None]), 0.0)

@@ -734,8 +734,11 @@ class PQSearchPolicy:
         else:
             scores = pq.adc_gather_scores(lut, codes)        # [B·H, N]
 
+        use_ring = bool(self.ring_k) and state.ring_kv is not None
+        r = state.ring_r if use_ring else None
         partials = []
         topk_idx = None
+        local_fused = False
         if self.select_block > 1:
             bs = self.select_block
             if self.use_jhist or fused_blockscore:
@@ -751,12 +754,20 @@ class PQSearchPolicy:
             if self.use_pallas and self.D % 128 == 0:
                 from pqcache_tpu.ops.block_attn_pallas import (
                     block_topk_attention)
+                # local windows ride the same kernel (win_len coverage):
+                # the B per-slot dynamic slices below materialized (and
+                # XLA remat'd) ~107 MB/layer at B=16/32k — ~1.8 ms/step
+                # of pure copying (trace: dynamic-slice_bitcast_fusion.28)
+                wl = (jnp.asarray(b.local, jnp.int32) - r if use_ring
+                      else jnp.asarray(b.local, jnp.int32))
                 m_p, l_p, acc_p = block_topk_attention(
                     self._q_for_tail(qf, state, idx), state.kv_tail, idx,
                     blk_idx, n_cand_h, block=bs,
                     n_par=self.cfg.pq.fetch_par, pair=self.fetch_pair,
+                    win_len=wl, win_max=b.local,
                     interpret=self.interpret)
                 partials = [self._deq_partials(m_p, l_p, acc_p, state, idx)]
+                local_fused = True
             else:
                 topk_idx = (blk_idx[:, :, None] * bs
                             + jnp.arange(bs, dtype=jnp.int32)[None, None, :]
@@ -768,41 +779,42 @@ class PQSearchPolicy:
                 approx=self.approx_topk)                     # [B·H_kv, k]
             topk_idx = jnp.sort(topk_idx, axis=-1)
 
-        # Per-slot local windows are CONTIGUOUS spans starting at n_cand[b]:
-        # fetch them as B unrolled dynamic slices (B is small and static).
-        # Expressing this as one row gather ran at ~93 GB/s AND made XLA
-        # assign the 4+ GB kv_tail carry a heads-major layout that the
-        # Pallas kernel then undid with a whole-tail transpose copy EVERY
-        # step (profiled: 12.9 ms/step at B=4/32k/8L); contiguous slices
-        # fuse at HBM roofline and keep the carry row-major.
-        # Per-slot local windows: contiguous tail slices, reduced to
-        # online-softmax PARTIALS per slot and merged with the other
-        # segments — assembling one [B·H_kv, local, 2D] buffer from B
-        # slices made XLA chain dynamic updates into a ~100 MB temp and
-        # compress-remat every link (~6 ms/step at B=8; profiled). The
-        # per-slot einsum reads each slice in place at roofline.
-        use_ring = bool(self.ring_k) and state.ring_kv is not None
-        r = state.ring_r if use_ring else None
-        lmask = ((jnp.arange(b.local, dtype=jnp.int32) < b.local - r)
-                 if use_ring else None)
-        qg = qf.reshape(BH_kv, self.group, self.D)
-        lp = []
-        for b_i in range(B):
-            kvl = jax.lax.dynamic_slice(
-                state.kv_tail,
-                (idx, b_i * self.H_kv, shared["n_cand"][b_i], 0),
-                (1, self.H_kv, b.local, 2 * self.D))[0]
-            if self.kv_int8:
-                hsl = slice(b_i * self.H_kv, (b_i + 1) * self.H_kv)
-                kl, vl = quant.dequant_kv(kvl, state.k_scale[idx, hsl],
-                                          state.v_scale[idx, hsl],
-                                          dtype=state.k_sink.dtype)
-            else:
-                kl, vl = kvl[..., :self.D], kvl[..., self.D:]
-            lp.append(segment_partial(
-                qg[b_i * self.H_kv:(b_i + 1) * self.H_kv], kl, vl, lmask))
-        partials = partials + [tuple(
-            jnp.concatenate([p[i] for p in lp], axis=0) for i in range(3))]
+        if not local_fused:
+            # Per-slot local windows are CONTIGUOUS spans starting at
+            # n_cand[b]: fetch them as B unrolled dynamic slices (B is
+            # small and static). Expressing this as one row gather ran at
+            # ~93 GB/s AND made XLA assign the 4+ GB kv_tail carry a
+            # heads-major layout that the Pallas kernel then undid with a
+            # whole-tail transpose copy EVERY step (profiled: 12.9 ms/step
+            # at B=4/32k/8L); contiguous slices fuse at HBM roofline and
+            # keep the carry row-major. Assembling one [B·H_kv, local, 2D]
+            # buffer from B slices made XLA chain dynamic updates into a
+            # ~100 MB temp and compress-remat every link (~6 ms/step at
+            # B=8; profiled). The per-slot einsum reads each slice in
+            # place at roofline. (On the kernel path the windows ride the
+            # fetch kernel instead — local_fused above.)
+            lmask = ((jnp.arange(b.local, dtype=jnp.int32) < b.local - r)
+                     if use_ring else None)
+            qg = qf.reshape(BH_kv, self.group, self.D)
+            lp = []
+            for b_i in range(B):
+                kvl = jax.lax.dynamic_slice(
+                    state.kv_tail,
+                    (idx, b_i * self.H_kv, shared["n_cand"][b_i], 0),
+                    (1, self.H_kv, b.local, 2 * self.D))[0]
+                if self.kv_int8:
+                    hsl = slice(b_i * self.H_kv, (b_i + 1) * self.H_kv)
+                    kl, vl = quant.dequant_kv(kvl, state.k_scale[idx, hsl],
+                                              state.v_scale[idx, hsl],
+                                              dtype=state.k_sink.dtype)
+                else:
+                    kl, vl = kvl[..., :self.D], kvl[..., self.D:]
+                lp.append(segment_partial(
+                    qg[b_i * self.H_kv:(b_i + 1) * self.H_kv], kl, vl,
+                    lmask))
+            partials = partials + [tuple(
+                jnp.concatenate([p[i] for p in lp], axis=0)
+                for i in range(3))]
         segs = [(k_sink, v_sink, None)]
         if use_ring:
             rkv = state.ring_kv[idx]                  # [B·H_kv, K, 2D]

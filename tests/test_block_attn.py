@@ -187,3 +187,76 @@ def test_pair_fetch_matches_xla_reference(nb_sel, n_cand, n_par):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(acc), np.asarray(accr), rtol=2e-2,
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("pair,n_par,win_len", [(False, 4, 200),
+                                                (False, 2, 0),
+                                                (True, 4, 257),
+                                                (False, 16, 384)])
+def test_window_coverage_matches_xla_reference(pair, n_par, win_len):
+    """win_max coverage: the kernel's range-masked local blocks must equal
+    the XLA reference with the same span appended (incl. win_len=0 and an
+    unaligned span crossing block boundaries)."""
+    rng = np.random.default_rng(7)
+    L, H_kv, group, N, D, bs = 2, 2, 4, 1024, 128, 128
+    H = H_kv * group
+    win_max = 384
+    kv_tail = _mk(rng, L, H_kv, N, 2 * D).astype(jnp.bfloat16)
+    q = _mk(rng, H, 1, D)
+    nb_sel = 3
+    blk_idx = jnp.asarray(
+        np.stack([rng.choice(N // bs, nb_sel, replace=False)
+                  for _ in range(H_kv)]), jnp.int32)
+    layer = jnp.asarray(1, jnp.int32)
+    # per-head candidate counts, deliberately block-UNALIGNED
+    nc = jnp.asarray([300, 517], jnp.int32)
+    wl = jnp.asarray(win_len, jnp.int32)
+
+    m, l, acc = block_topk_attention(
+        q, kv_tail, layer, blk_idx, nc, block=bs, n_par=n_par, pair=pair,
+        win_len=wl, win_max=win_max, interpret=True)
+    mr, lr, accr = block_topk_attention_xla(
+        q, kv_tail, layer, blk_idx, nc, block=bs,
+        win_len=wl, win_max=win_max)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(mr), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(lr), rtol=1e-2,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(accr), rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_window_coverage_equals_separate_window_segment():
+    """Kernel-with-window partials merged alone must equal [topk partials]
+    + an explicit local-window segment (the path the policy replaces)."""
+    from pqcache_tpu.ops.attention_xla import segment_partial
+    rng = np.random.default_rng(8)
+    L, H_kv, group, N, D, bs = 1, 2, 2, 1024, 128, 128
+    H = H_kv * group
+    win_max, win_len = 300, 300
+    kv_tail = _mk(rng, L, H_kv, N, 2 * D).astype(jnp.bfloat16)
+    q = _mk(rng, H, 1, D)
+    blk_idx = jnp.asarray([[0, 1], [2, 0]], jnp.int32)
+    nc = jnp.asarray([290, 401], jnp.int32)
+    lay = jnp.asarray(0, jnp.int32)
+
+    m, l, acc = block_topk_attention(
+        q, kv_tail, lay, blk_idx, nc, block=bs,
+        win_len=jnp.asarray(win_len), win_max=win_max, interpret=True)
+    out = decode_window_attention_segments(q, [], partials=[(m, l, acc)])
+
+    m2, l2, acc2 = block_topk_attention(
+        q, kv_tail, lay, blk_idx, nc, block=bs, interpret=True)
+    qg = q.reshape(H_kv, group, D)
+    parts = []
+    for h in range(H_kv):
+        kvl = jax.lax.dynamic_slice(
+            kv_tail, (0, h, int(nc[h]), 0), (1, 1, win_len, 2 * D))[0]
+        kl, vl = kvl[..., :D], kvl[..., D:]
+        parts.append(segment_partial(qg[h:h + 1], kl, vl, None))
+    loc = tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                for i in range(3))
+    ref = decode_window_attention_segments(
+        q, [], partials=[(m2, l2, acc2), loc])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
+                               atol=2e-2)

@@ -271,3 +271,60 @@ def test_jhist_pending_mass_correction_is_exact():
                                      b.topk, group=pol.group,
                                      block=pol.select_block, approx=False)
     np.testing.assert_array_equal(np.asarray(sel_e), np.asarray(sel_d))
+
+
+def test_ring_batched_decode_pallas_matches_xla_logits():
+    """Ring-active (jhist_defer='on') batched decode through the fused
+    kernel (interpret; the local window rides the kernel via win_len) vs
+    the XLA path: mid-ring state (r > 0), logits allclose — covers the
+    window coverage + pending-mass + per-slot n_cand interaction the
+    engine runs at bench config."""
+    import dataclasses
+    from pqcache_tpu.core.budget import compute_budget
+    from pqcache_tpu.policies.base import get_policy
+    cfg_m = tiny_model_config(num_layers=2, num_heads=4, num_kv_heads=2,
+                              head_dim=128, hidden_size=128)
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(3),
+                               dtype=jnp.float32)
+    base = _defer_cfg(cfg_m, "on")
+    # C·H_kv·S must be 128-aligned for the Pallas ADC (use_pallas gate):
+    # subbits 5 → C=32, 32·2·2 = 128
+    base = dataclasses.replace(
+        base, pq=dataclasses.replace(base.pq, n_subbits=5))
+    mk = lambda kern: get_policy(dataclasses.replace(
+        base, runtime=dataclasses.replace(base.runtime, kernels=kern)),
+        compute_budget(base.budget, 256, 24))
+    pol_x, pol_p = mk("xla"), mk("pallas-interpret")
+    assert pol_x.ring_k > 0 and pol_p.use_pallas
+
+    rng = np.random.default_rng(11)
+    B = 2
+    st = None
+    bstate = pol_x.init_batched_state(B, jnp.float32)
+    for slot, n in enumerate((256, 243)):
+        ids = rng.integers(0, cfg_m.vocab_size, size=n).astype(np.int32)
+        toks = np.zeros((256,), np.int32)
+        toks[256 - n:] = ids
+        s = pol_x.init_state(jnp.float32)
+        _, s = llama.prefill(cfg_m, params, pol_x, s, jnp.asarray(toks),
+                             jnp.asarray(256 - n, jnp.int32),
+                             jnp.asarray(n, jnp.int32))
+        bstate = pol_x.insert_slot(bstate, s, jnp.asarray(slot, jnp.int32))
+    # advance 3 steps (xla) WITHOUT flushing: mid-ring state, r = 3
+    tok = jnp.asarray([7, 9], jnp.int32)
+    pos = jnp.asarray([256, 243], jnp.int32)
+    for _ in range(3):
+        logits, bstate = llama.decode_step_batched(
+            cfg_m, params, pol_x, bstate, tok, pos)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos = pos + 1
+    assert int(bstate.ring_r) == 3
+    lx, _ = llama.decode_step_batched(cfg_m, params, pol_x, bstate, tok,
+                                      pos)
+    lp, _ = llama.decode_step_batched(cfg_m, params, pol_p, bstate, tok,
+                                      pos)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), rtol=3e-2,
+                               atol=3e-2)
+    # the two paths select the SAME blocks: argmax tokens agree
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(lx, -1)),
+                                  np.asarray(jnp.argmax(lp, -1)))

@@ -30,6 +30,7 @@ LAYERS = int(os.environ.get("LAYERS", "8"))
 STEPS = int(os.environ.get("STEPS", "16"))
 MAXNEW = int(os.environ.get("MAXNEW", "64"))
 BLOCK = int(os.environ.get("BLOCK", "256"))
+FETCH_PAR = int(os.environ.get("FETCH_PAR", "4"))   # bench.py uses 16
 POLICY = os.environ.get("POLICY", "pq_search")
 B = int(os.environ.get("BATCH", "1"))
 KV = "int8" if os.environ.get("KV_INT8", "0") == "1" else "bf16"
@@ -43,7 +44,7 @@ model = ModelConfig(
 cfg = EngineConfig(
     model=model,
     pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
-                select_block=BLOCK),
+                select_block=BLOCK, fetch_par=FETCH_PAR),
     budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5, sink_size=32),
     cache=CacheConfig(kv_dtype=KV),
     runtime=RuntimeConfig(policy=POLICY, prefill_bucket=1024,
