@@ -136,30 +136,38 @@ def mlp(lp: dict, x: jax.Array, chunk: int = 16384) -> jax.Array:
 # buffers in place — passing per-layer state through scan xs/ys instead
 # would copy every buffer once per token.
 
-def _qkv(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
+def _q_proj(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
     T = h_norm.shape[0]
-    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    H, D = cfg.num_heads, cfg.head_dim
     q = (h_norm @ lp["wq"]).reshape(T, H, D).transpose(1, 0, 2)
+    return apply_rope(q, cos, sin)
+
+
+def _kv_proj(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
+    T = h_norm.shape[0]
+    Hkv, D = cfg.num_kv_heads, cfg.head_dim
     k = (h_norm @ lp["wk"]).reshape(T, Hkv, D).transpose(1, 0, 2)
     v = (h_norm @ lp["wv"]).reshape(T, Hkv, D).transpose(1, 0, 2)
-    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+    return apply_rope(k, cos, sin), v
 
 
-def _layer_fwd(cfg: ModelConfig, lp: dict, hidden, attn_fn, cos, sin,
-               axis_name=None):
-    """One decoder layer; attn_fn(q, k, v) -> (attn_out, layer_state_out).
+def _qkv(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
+    k, v = _kv_proj(cfg, lp, h_norm, cos, sin)
+    return _q_proj(cfg, lp, h_norm, cos, sin), k, v
 
-    With `axis_name` set (explicit tensor parallelism under shard_map), lp
-    holds this shard's column/row slices and the two row-parallel
-    projections (attention output, MLP down) are psum-reduced — the
-    Megatron pattern, expressed manually so Pallas kernels inside attn_fn
+
+def _finish_layer(cfg: ModelConfig, lp: dict, hidden: jax.Array,
+                  att: jax.Array, axis_name=None) -> jax.Array:
+    """Post-attention half of one decoder layer — THE single source of
+    truth for the residual/norm/MLP tail (every prefill variant and both
+    decode steps call this; a dropped residual add here once produced
+    plausible-but-wrong tokens, see ROUND_NOTES). att: [T, H·D] flattened
+    head outputs. With `axis_name` set (explicit tensor parallelism under
+    shard_map), lp holds this shard's column/row slices and the two
+    row-parallel projections (attention output, MLP down) are psum-reduced
+    — the Megatron pattern, expressed manually so Pallas kernels upstream
     run per-shard."""
-    T = hidden.shape[0]
-    h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
-    q, k, v = _qkv(cfg, lp, h_norm, cos, sin)
-    attn, ls_out = attn_fn(q, k, v)
-    attn = attn.transpose(1, 0, 2).reshape(T, -1)
-    attn_out = attn @ lp["wo"]
+    attn_out = att @ lp["wo"]
     if axis_name is not None:
         attn_out = jax.lax.psum(attn_out, axis_name)
     hidden = hidden + attn_out
@@ -167,7 +175,18 @@ def _layer_fwd(cfg: ModelConfig, lp: dict, hidden, attn_fn, cos, sin,
     mlp_out = mlp(lp, h_norm2, chunk=cfg.mlp_chunk)
     if axis_name is not None:
         mlp_out = jax.lax.psum(mlp_out, axis_name)
-    hidden = hidden + mlp_out
+    return hidden + mlp_out
+
+
+def _layer_fwd(cfg: ModelConfig, lp: dict, hidden, attn_fn, cos, sin,
+               axis_name=None):
+    """One decoder layer; attn_fn(q, k, v) -> (attn_out, layer_state_out)."""
+    T = hidden.shape[0]
+    h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
+    q, k, v = _qkv(cfg, lp, h_norm, cos, sin)
+    attn, ls_out = attn_fn(q, k, v)
+    hidden = _finish_layer(cfg, lp, hidden,
+                           attn.transpose(1, 0, 2).reshape(T, -1), axis_name)
     return hidden, ls_out
 
 
@@ -215,9 +234,7 @@ def kv_full_chunked(cfg: ModelConfig, lp: dict, hidden: jax.Array,
     def kv_chunk(args):
         h_c, cos_c, sin_c = args
         h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
-        kc = (h_norm @ lp["wk"]).reshape(chunk, H_kv, D).transpose(1, 0, 2)
-        vc = (h_norm @ lp["wv"]).reshape(chunk, H_kv, D).transpose(1, 0, 2)
-        return apply_rope(kc, cos_c, sin_c), vc
+        return _kv_proj(cfg, lp, h_norm, cos_c, sin_c)
 
     ks, vs = jax.lax.map(kv_chunk, (
         hidden.reshape(nc, chunk, E),
@@ -238,23 +255,13 @@ def attn_mlp_chunk(cfg: ModelConfig, lp: dict, h_c: jax.Array,
     OffloadEngine._prefill_attn_chunk."""
     from pqcache_tpu.ops.dispatch import prefill_chunk_attention
     ch = h_c.shape[0]
-    H, D = cfg.num_heads, cfg.head_dim
     h_norm = rms_norm(h_c, lp["ln1"], cfg.rms_norm_eps)
-    q = apply_rope(
-        (h_norm @ lp["wq"]).reshape(ch, H, D).transpose(1, 0, 2),
-        cos_c, sin_c)
+    q = _q_proj(cfg, lp, h_norm, cos_c, sin_c)
     att = prefill_chunk_attention(q, k_pref, v_pref, pad_len, q_offset=c0,
                                   use_pallas=use_pallas,
                                   interpret=interpret)
-    attn_out = att.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
-    if axis_name is not None:
-        attn_out = jax.lax.psum(attn_out, axis_name)
-    h_c = h_c + attn_out
-    h2 = rms_norm(h_c, lp["ln2"], cfg.rms_norm_eps)
-    mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
-    if axis_name is not None:
-        mlp_out = jax.lax.psum(mlp_out, axis_name)
-    return h_c + mlp_out
+    return _finish_layer(cfg, lp, h_c,
+                         att.transpose(1, 0, 2).reshape(ch, -1), axis_name)
 
 
 def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
@@ -376,15 +383,10 @@ def prefill_chunk_step(cfg: ModelConfig, params: dict, kbuf: jax.Array,
         att = prefill_chunk_attention(q, k_pref, v_pref, pad_len,
                                       q_offset=c0, use_pallas=use_pallas,
                                       interpret=interpret)
-        attn_out = att.transpose(1, 0, 2).reshape(ch, -1) @ lp["wo"]
-        if axis_name is not None:        # Megatron head-sharded slab (tp)
-            attn_out = jax.lax.psum(attn_out, axis_name)
-        hidden = hidden + attn_out
-        h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-        mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
-        if axis_name is not None:
-            mlp_out = jax.lax.psum(mlp_out, axis_name)
-        return (hidden + mlp_out, kbuf, vbuf), None
+        hidden = _finish_layer(cfg, lp, hidden,
+                               att.transpose(1, 0, 2).reshape(ch, -1),
+                               axis_name)
+        return (hidden, kbuf, vbuf), None
 
     (hidden, kbuf, vbuf), _ = jax.lax.scan(
         body, (hidden_c, kbuf, vbuf),
@@ -438,15 +440,10 @@ def prefill_capture_kv(cfg: ModelConfig, params: dict, tokens: jax.Array,
         q, k, v = _qkv(cfg, lp, h_norm, cos, sin)
         att, _ = dense_prefill_attention(q, k, v, 0, use_pallas=use_pallas,
                                          interpret=interpret)
-        attn_out = att.transpose(1, 0, 2).reshape(P, -1) @ lp["wo"]
-        if axis_name is not None:
-            attn_out = jax.lax.psum(attn_out, axis_name)
-        hidden = hidden + attn_out
-        h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-        mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
-        if axis_name is not None:
-            mlp_out = jax.lax.psum(mlp_out, axis_name)
-        return hidden + mlp_out, (k, v)
+        hidden = _finish_layer(cfg, lp, hidden,
+                               att.transpose(1, 0, 2).reshape(P, -1),
+                               axis_name)
+        return hidden, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, hidden, params["layers"])
     return ks, vs
@@ -483,11 +480,7 @@ def prefill_with_prefix(cfg: ModelConfig, params: dict, policy, state: Any,
         hidden, state = carry
         lp, idx, pk, pv = xs
         h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
-        k_suf = apply_rope(
-            (h_norm @ lp["wk"]).reshape(P_suf, H_kv, D).transpose(1, 0, 2),
-            cos, sin)
-        v_suf = (h_norm @ lp["wv"]).reshape(P_suf, H_kv, D).transpose(
-            1, 0, 2)
+        k_suf, v_suf = _kv_proj(cfg, lp, h_norm, cos, sin)
         k_full = jnp.concatenate([pk, k_suf], axis=1)
         v_full = jnp.concatenate([pv, v_suf], axis=1)
         hidden = attn_mlp_chunk(
@@ -597,17 +590,11 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
         v = (h_norm @ lp["wv"]).reshape(B, Hkv, D)
         attn, ls_out = policy.decode_attn_batched(state, idx, q, k, v,
                                                   shared)
-        attn_out = attn.reshape(B, H * D) @ lp["wo"]
-        if axis_name is not None:
-            attn_out = jax.lax.psum(attn_out, axis_name)
-        hidden = hidden + attn_out
-        h2 = rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-        mlp_out = mlp(lp, h2, chunk=cfg.mlp_chunk)
-        if axis_name is not None:
-            mlp_out = jax.lax.psum(mlp_out, axis_name)
+        hidden = _finish_layer(cfg, lp, hidden, attn.reshape(B, H * D),
+                               axis_name)
         if deferred:
-            return (hidden + mlp_out, state), ls_out
-        return (hidden + mlp_out, ls_out), None
+            return (hidden, state), ls_out
+        return (hidden, ls_out), None
 
     (hidden, new_state), payloads = jax.lax.scan(
         body, (hidden, state),

@@ -85,7 +85,13 @@ def _kernel(scal_ref, q_ref, *rest, bs, D, nb_pad, nb_sel, n_par,
             is_loc = jj >= nb_sel
             lo = jnp.where(is_loc, n_cand, 0)
             hi = jnp.where(is_loc, n_cand + win, n_cand)
-            in_list = jj < nb_sel + nb_local
+            # window entries past hi_blk were CLAMPED to the tail block by
+            # the caller; without this mask the tail block appears twice in
+            # the fetch list and its in-range rows double-count in l/acc
+            hi_blk = (n_cand + win - 1) // bs
+            not_dup = jnp.logical_or(
+                ~is_loc, (n_cand // bs) + (jj - nb_sel) <= hi_blk)
+            in_list = (jj < nb_sel + nb_local) & not_dup
         else:
             lo, hi, in_list = 0, n_cand, jj < nb_sel
         if pair:
@@ -294,8 +300,14 @@ def block_topk_attention_xla(q, kv_tail, layer, blk_idx, n_cand, *, block,
         win_len = jnp.asarray(win_len, jnp.int32)
         if win_len.ndim == 0:
             win_len = jnp.broadcast_to(win_len, (H_kv,))
+        hi_blk = (n_cand + win_len - 1) // block
         lmask = ((lrows >= n_cand[:, None])
-                 & (lrows < (n_cand + win_len)[:, None]))
+                 & (lrows < (n_cand + win_len)[:, None])
+                 # mask entries clamped onto the tail block (duplicates)
+                 & (lo_blk[:, None]
+                    + jnp.arange(nb_local, dtype=jnp.int32)[None]
+                    <= hi_blk[:, None])[:, :, None].repeat(block, 2)
+                 .reshape(H_kv, nb_local * block))
         rows = jnp.concatenate([rows, lrows], axis=1)
         mask = jnp.concatenate([mask, lmask], axis=1)
     kv = kv_tail[layer, heads[:, None], rows]         # [H_kv, nb*bs, 2D]

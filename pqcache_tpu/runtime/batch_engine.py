@@ -270,8 +270,14 @@ class BatchEngine:
             pass
         kind = getattr(d, "device_kind", "") or ""
         gib = 1 << 30
+        # most-specific kinds first; unknown variants (e.g. a future
+        # 'v6p') fall through to None rather than guessing — an over-
+        # estimate defeats the memory-aware fallback and an under-
+        # estimate silently drops to monolithic admission
+        # (PQCACHE_HBM_BYTES is the override for ambiguous kinds)
         for pat, size in (("v5 lite", 16 * gib), ("v5e", 16 * gib),
-                          ("v5p", 95 * gib), ("v6", 32 * gib),
+                          ("v5p", 95 * gib), ("v6 lite", 32 * gib),
+                          ("v6e", 32 * gib),
                           ("v4", 32 * gib), ("v3", 16 * gib),
                           ("v2", 8 * gib)):
             if pat in kind.lower():

@@ -633,14 +633,19 @@ class BatchOffloadEngine:
         pending: Optional[_OAdmission] = None
         while queue or pending is not None or any(
                 not s.done for s in self.slots):
-            if (pending is None and queue
-                    and any(s.done for s in self.slots)
-                    and now() >= arrivals.get(queue[0][0], 0.0)):
-                sid, ids = queue.pop(0)
-                slot = next(i for i, s in enumerate(self.slots) if s.done)
-                rec(sid, "arrive", arrivals.get(sid, 0.0))
-                rec(sid, "admit", now())
-                pending = self._admission_start(slot, sid, ids)
+            if pending is None and queue and any(s.done for s in self.slots):
+                # first ARRIVED request, not the FIFO head: a not-yet-
+                # arrived head must not block arrived requests behind it
+                t_now = now()
+                q_i = next((i for i, (sid, _) in enumerate(queue)
+                            if t_now >= arrivals.get(sid, 0.0)), None)
+                if q_i is not None:
+                    sid, ids = queue.pop(q_i)
+                    slot = next(i for i, s in enumerate(self.slots)
+                                if s.done)
+                    rec(sid, "arrive", arrivals.get(sid, 0.0))
+                    rec(sid, "admit", now())
+                    pending = self._admission_start(slot, sid, ids)
             active = np.asarray([not s.done for s in self.slots])
             if active.any():
                 next_toks = np.asarray(
@@ -672,7 +677,8 @@ class BatchOffloadEngine:
                         self._retire(pending.slot)
                     pending = None
             elif not active.any() and queue:
-                # pool idle, FIFO head not arrived yet: sleep to it
-                time.sleep(max(0.0, arrivals.get(queue[0][0], 0.0) - now()))
+                # pool idle, nothing arrived yet: sleep to earliest arrival
+                nxt_t = min(arrivals.get(sid, 0.0) for sid, _ in queue)
+                time.sleep(max(0.0, nxt_t - now()))
         self.store.flush()
         return results

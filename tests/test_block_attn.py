@@ -260,3 +260,54 @@ def test_window_coverage_equals_separate_window_segment():
         q, [], partials=[(m2, l2, acc2), loc])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_window_at_tail_no_duplicate_block():
+    """Regression (advisor r4): when n_cand + win reaches the end of
+    kv_tail, clamped over-range window entries duplicated the last block
+    and double-counted its rows in l/acc. Kernel AND XLA reference must
+    both equal an explicit dynamic-slice window segment."""
+    from pqcache_tpu.ops.attention_xla import segment_partial
+    rng = np.random.default_rng(9)
+    L, H_kv, group, N, D, bs = 1, 2, 2, 512, 128, 128
+    H = H_kv * group
+    win_max = 128          # nb_local = 2 entries; span fits in 1-2 blocks
+    kv_tail = _mk(rng, L, H_kv, N, 2 * D).astype(jnp.bfloat16)
+    q = _mk(rng, H, 1, D)
+    blk_idx = jnp.asarray([[0, 1], [1, 0]], jnp.int32)
+    # head 0: the advisor's repro shape (n_cand + win == N, span inside the
+    # last block only -> 2nd entry clamps onto it); head 1: aligned tail
+    nc = jnp.asarray([411, 384], jnp.int32)
+    wl = jnp.asarray([100, 128], jnp.int32)
+    lay = jnp.asarray(0, jnp.int32)
+
+    # ground truth: top-k partials + explicit sliced window segment
+    m2, l2, acc2 = block_topk_attention(q, kv_tail, lay, blk_idx, nc,
+                                        block=bs, interpret=True)
+    qg = q.reshape(H_kv, group, D)
+    parts = []
+    for h in range(H_kv):
+        w = int(wl[h])
+        kvl = jax.lax.dynamic_slice(
+            kv_tail, (0, h, int(nc[h]), 0), (1, 1, w, 2 * D))[0]
+        kl, vl = kvl[..., :D], kvl[..., D:]
+        p = segment_partial(qg[h:h + 1], kl, vl, None)
+        parts.append(p)
+    loc = tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                for i in range(3))
+    ref = decode_window_attention_segments(
+        q, [], partials=[(m2, l2, acc2), loc])
+
+    for impl in ("pallas", "xla"):
+        if impl == "pallas":
+            m, l, acc = block_topk_attention(
+                q, kv_tail, lay, blk_idx, nc, block=bs,
+                win_len=wl, win_max=win_max, interpret=True)
+        else:
+            m, l, acc = block_topk_attention_xla(
+                q, kv_tail, lay, blk_idx, nc, block=bs,
+                win_len=wl, win_max=win_max)
+        out = decode_window_attention_segments(q, [], partials=[(m, l, acc)])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"impl={impl}")
