@@ -190,6 +190,19 @@ class CacheConfig:
     # rows with no per-row scale plumbing. Beyond the reference (fp16
     # everywhere); enables pool=16 serving at 32k on one 16 GB chip.
     kv_dtype: str = "bf16"
+    # One-step-stale block selection for the offload tier: fetch step t's
+    # blocks from the selections computed by step t-1's queries, so the
+    # whole decode step runs with ONE blocking device sync instead of one
+    # per layer (the exact path's classify→stage→launch chain costs
+    # 2·L round trips — 488 ms/step of device_wait at 192k through the
+    # dev tunnel, 66% of the step). The top-k set is already a PQ
+    # approximation and consecutive queries select heavily-overlapping
+    # blocks; the sink/local/tail segments stay exact. CHANGES TOKENS
+    # relative to exact selection (except when top-k covers every valid
+    # block), so it is a mode, off by default. The reference's hierarchy
+    # is likewise approximate by design (cache_manager.py:364-418 promotes
+    # asynchronously on a side stream).
+    stale_select: bool = False
 
     def __post_init__(self):
         if self.kv_dtype not in ("bf16", "int8"):

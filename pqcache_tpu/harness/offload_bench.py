@@ -57,6 +57,9 @@ BATCH = int(os.environ.get("BATCH", "1"))
 # into free slots one prefill unit per decode step, finished slots retire
 # and their block-id range is recycled (BatchOffloadEngine.serve)
 REQUESTS = int(os.environ.get("REQUESTS", "0"))
+# STALE=1: one-step-stale block selection (CacheConfig.stale_select) —
+# O(1) blocking syncs per decode step instead of 2 per layer
+STALE = os.environ.get("STALE", "0") == "1"
 
 
 def main():
@@ -72,7 +75,8 @@ def main():
                             sink_size=32),
         cache=CacheConfig(offload=True, block_size=BLOCK,
                           hbm_cache_tokens=CACHE_TOKENS,
-                          cache_topk_blocks=64, kv_dtype=KV),
+                          cache_topk_blocks=64, kv_dtype=KV,
+                          stale_select=STALE),
         runtime=RuntimeConfig(policy="pq_search", prefill_bucket=1024,
                               max_new_tokens=GEN + 2, max_seq_len=CTX + 2048,
                               prefill_chunk=PREFILL_CHUNK))
@@ -130,6 +134,8 @@ def main():
             "hit_rate": round(be.store.hit_rate, 4),
             "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
             "cache_tokens": CACHE_TOKENS, "block": BLOCK, "kv_dtype": KV,
+            "stale": STALE, "device_wait_ms_per_step": round(
+                tm["wait_s"] / steps * 1e3, 2),
             "batch": BATCH, "requests": REQUESTS, "tokens": n_tok,
             "total_s": round(dt, 1),
         }))
@@ -157,6 +163,7 @@ def main():
             "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
             "device_wait_ms_per_step": round(tm["wait_s"] / steps * 1e3, 2),
             "cache_tokens": CACHE_TOKENS, "block": BLOCK, "kv_dtype": KV,
+            "stale": STALE,
             "batch": BATCH, "tokens": n_tok, "total_s": round(dt, 1),
         }))
         return
@@ -176,6 +183,7 @@ def main():
         "host_ms_per_step": round(tm["host_s"] / steps * 1e3, 2),
         "device_wait_ms_per_step": round(tm["wait_s"] / steps * 1e3, 2),
         "cache_tokens": CACHE_TOKENS, "block": BLOCK, "kv_dtype": KV,
+        "stale": STALE,
         "tokens": len(toks), "total_s": round(dt, 1),
     }))
 

@@ -80,6 +80,17 @@ def _stack_n(n: int):
     return jax.jit(lambda *xs: jnp.stack(xs))
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_sel(n: int):
+    """Pack n per-layer selection arrays + the sampled token(s) into ONE
+    flat i32 array, so a stale-selection decode step pulls everything it
+    needs for step t+1 with a single host transfer (each np.asarray is a
+    full round trip through the dev tunnel)."""
+    return jax.jit(lambda nxt, *blks: jnp.concatenate(
+        [jnp.stack(blks).astype(jnp.int32).ravel(),
+         nxt.astype(jnp.int32).ravel()]))
+
+
 @jax.jit
 def _scatter_admit(cache: jax.Array, staged: jax.Array, slots: jax.Array,
                    pos: jax.Array) -> jax.Array:

@@ -98,6 +98,12 @@ class BatchOffloadEngine:
         self.kv_int8 = self._se.kv_int8
         self.use_jhist = self._se.use_jhist
         self.sampler = self._se.sampler
+        # one-step-stale selection (config.CacheConfig.stale_select): the
+        # decode step classifies ALL layers from the previous step's
+        # selections and dispatches every layer program back-to-back with
+        # one blocking pull — O(1) syncs/step instead of 2·L round trips
+        self.stale = cfg.cache.stale_select
+        self._blk_stale: Optional[np.ndarray] = None  # [L, B·H_kv, kb]
         self.store: Optional[HostKVStore] = None
         self.timings = {}
 
@@ -406,6 +412,7 @@ class BatchOffloadEngine:
                      if self.sampler is not None else None)
         self.slots: List[_OSlot] = [_OSlot() for _ in range(B)]
         self._head_slot = np.repeat(np.arange(B), self.H_kv)   # [B·H_kv]
+        self._blk_stale = None
 
     def _admission_start(self, slot: int, seq_id: int,
                          ids: np.ndarray) -> _OAdmission:
@@ -464,6 +471,9 @@ class BatchOffloadEngine:
             rem = jnp.zeros((L, self.H_kv, self.bs, 2 * self.D),
                             self.bstate.tail.dtype)
         self.bstate = self._insert(self.bstate, sstate, adm.slot, rem)
+        # stale selections for this slot's rows were computed from the
+        # RETIRED occupant's state — force one exact re-seeding step
+        self._blk_stale = None
         b = self.budget
         n_full = adm.n_store // self.bs
         self._stored[adm.slot] = adm.n_store
@@ -516,36 +526,77 @@ class BatchOffloadEngine:
         cb_h = (self._valid // self.bs)[head_slot]        # complete blocks
         base_h = (np.arange(B) * self._blocks_per_slot)[head_slot]
         act_h = active[head_slot]
-        for l in range(L):
-            t0 = time.perf_counter()
-            blk_np = np.asarray(blk)                      # sync
-            t1 = time.perf_counter()
-            self.timings["wait_s"] += t1 - t0
+
+        def classify(l, blk_np):
             ok = (blk_np < cb_h[:, None]) & act_h[:, None]
             gids = np.where(ok, blk_np + base_h[:, None], 0)
-            slots_, miss_, staged, cache = self.store.classify_blocks(
-                l, gids, ok=ok)
+            return self.store.classify_blocks(l, gids, ok=ok)
+
+        if self.stale and self._blk_stale is not None:
+            from pqcache_tpu.runtime.host_offload import _pack_sel
+            t1 = time.perf_counter()
+            cls = [classify(l, self._blk_stale[l]) for l in range(L)]
             self.timings["host_s"] += time.perf_counter() - t1
-            li = jnp.asarray(l, jnp.int32)
-            args = (jnp.asarray(blk_np), jnp.asarray(slots_),
-                    jnp.asarray(miss_), staged, cache, n_sel_h,
-                    n_tail_h, fill_j, do_app_j)
-            if l < L - 1:
-                (hidden, self.bstate, q, k_new, v_new, blk
-                 ) = self._decode_fused_b(
-                    layers, self.bstate, li, hidden, cos, sin, q, k_new,
-                    v_new, *args)
-            else:
-                if self.sampler is not None:
-                    self._rng, sub = jax.random.split(self._rng)
-                    self.bstate, nxt = self._decode_last_b(
-                        layers, params_out, self.bstate, li, hidden, q,
-                        k_new, v_new, *args, key=sub)
-                else:
-                    self.bstate, nxt = self._decode_last_b(
-                        layers, params_out, self.bstate, li, hidden, q,
+            new_blks = [blk]        # layer 0's selection for step t+1
+            for l in range(L):
+                slots_, miss_, staged, cache = cls[l]
+                li = jnp.asarray(l, jnp.int32)
+                args = (jnp.asarray(self._blk_stale[l]),
+                        jnp.asarray(slots_), jnp.asarray(miss_), staged,
+                        cache, n_sel_h, n_tail_h, fill_j, do_app_j)
+                if l < L - 1:
+                    (hidden, self.bstate, q, k_new, v_new, blk
+                     ) = self._decode_fused_b(
+                        layers, self.bstate, li, hidden, cos, sin, q,
                         k_new, v_new, *args)
-        nxt = np.asarray(nxt)
+                    new_blks.append(blk)
+                else:
+                    if self.sampler is not None:
+                        self._rng, sub = jax.random.split(self._rng)
+                        self.bstate, nxt = self._decode_last_b(
+                            layers, params_out, self.bstate, li, hidden, q,
+                            k_new, v_new, *args, key=sub)
+                    else:
+                        self.bstate, nxt = self._decode_last_b(
+                            layers, params_out, self.bstate, li, hidden, q,
+                            k_new, v_new, *args)
+            t0 = time.perf_counter()
+            flat = np.asarray(_pack_sel(L)(nxt, *new_blks))   # ONE pull
+            self.timings["wait_s"] += time.perf_counter() - t0
+            BH, kb = new_blks[0].shape
+            self._blk_stale = flat[: L * BH * kb].reshape(L, BH, kb)
+            nxt = flat[L * BH * kb:]
+        else:
+            rec = []
+            for l in range(L):
+                t0 = time.perf_counter()
+                blk_np = np.asarray(blk)                      # sync
+                t1 = time.perf_counter()
+                self.timings["wait_s"] += t1 - t0
+                rec.append(blk_np)
+                slots_, miss_, staged, cache = classify(l, blk_np)
+                self.timings["host_s"] += time.perf_counter() - t1
+                li = jnp.asarray(l, jnp.int32)
+                args = (jnp.asarray(blk_np), jnp.asarray(slots_),
+                        jnp.asarray(miss_), staged, cache, n_sel_h,
+                        n_tail_h, fill_j, do_app_j)
+                if l < L - 1:
+                    (hidden, self.bstate, q, k_new, v_new, blk
+                     ) = self._decode_fused_b(
+                        layers, self.bstate, li, hidden, cos, sin, q, k_new,
+                        v_new, *args)
+                else:
+                    if self.sampler is not None:
+                        self._rng, sub = jax.random.split(self._rng)
+                        self.bstate, nxt = self._decode_last_b(
+                            layers, params_out, self.bstate, li, hidden, q,
+                            k_new, v_new, *args, key=sub)
+                    else:
+                        self.bstate, nxt = self._decode_last_b(
+                            layers, params_out, self.bstate, li, hidden, q,
+                            k_new, v_new, *args)
+            self._blk_stale = np.stack(rec) if self.stale else None
+            nxt = np.asarray(nxt)
         self._ncand += active.astype(np.int64)
         self._fill += do_app.astype(np.int64)
         for b_i in range(B):

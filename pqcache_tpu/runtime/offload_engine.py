@@ -110,6 +110,9 @@ class OffloadEngine:
         from pqcache_tpu.core.sampling import make_sampler
         self.sampler = make_sampler(cfg.runtime.temperature,
                                     cfg.runtime.top_k, cfg.runtime.top_p)
+        # one-step-stale block selection (config.CacheConfig.stale_select):
+        # O(1) blocking syncs per decode step instead of one per layer
+        self.stale = cfg.cache.stale_select
 
     def _budget(self, P: int, max_new: int) -> Budget:
         return compute_budget(self.cfg.budget, P, max_new)
@@ -616,6 +619,13 @@ class OffloadEngine:
         L = m.num_layers
         pos = true_len
         n_cand_py = max(true_len - b.sink - b.local, 0)
+        # one-step-stale selection (cache.stale_select): per-layer
+        # selections computed by the PREVIOUS step's queries, classified up
+        # front so the step dispatches every layer program back-to-back
+        # with a single blocking pull at the end. The first step runs the
+        # exact per-layer chain and records its selections as the seed.
+        from pqcache_tpu.runtime.host_offload import _pack_sel
+        blk_prev: Optional[list] = None
         for _ in range(max_new_tokens - 1):
             if next_tok in eos_ids:
                 break
@@ -632,34 +642,74 @@ class OffloadEngine:
             q, k_new, v_new, blk = self._decode_first(
                 layers, state, hidden, cos, sin, n_sel)
             kv_evs = []
-            for l in range(L):
-                t0 = time.perf_counter()
-                blk_np = np.asarray(blk)     # sync: block ids to host
+            if self.stale and blk_prev is not None:
                 t1 = time.perf_counter()
-                self.timings["wait_s"] += t1 - t0
-                slots, miss_pos, staged, cache = store.classify_blocks(
-                    l, blk_np)
+                cls = [store.classify_blocks(l, blk_prev[l])
+                       for l in range(L)]
                 self.timings["host_s"] += time.perf_counter() - t1
-                li = jnp.asarray(l, jnp.int32)
-                args = (jnp.asarray(blk_np), jnp.asarray(slots),
-                        jnp.asarray(miss_pos), staged, cache,
-                        store.tail[l], n_sel, n_tail_att)
-                if l < L - 1:
-                    (hidden, state, kv_ev, q, k_new, v_new, blk
-                     ) = self._decode_fused(
-                        layers, state, li,
-                        hidden, cos, sin, q, k_new, v_new, *args)
-                else:
-                    if self.sampler is not None:
-                        rng, sub = jax.random.split(rng)
-                        state, kv_ev, nxt = self._decode_last(
-                            layers, params_out, state, li, hidden, q,
-                            k_new, v_new, *args, key=sub)
+                new_blks = [blk]     # layer 0's selection for step t+1
+                for l in range(L):
+                    slots, miss_pos, staged, cache = cls[l]
+                    li = jnp.asarray(l, jnp.int32)
+                    args = (jnp.asarray(blk_prev[l]), jnp.asarray(slots),
+                            jnp.asarray(miss_pos), staged, cache,
+                            store.tail[l], n_sel, n_tail_att)
+                    if l < L - 1:
+                        (hidden, state, kv_ev, q, k_new, v_new, blk
+                         ) = self._decode_fused(
+                            layers, state, li,
+                            hidden, cos, sin, q, k_new, v_new, *args)
+                        new_blks.append(blk)
                     else:
-                        state, kv_ev, nxt = self._decode_last(
-                            layers, params_out, state, li, hidden, q,
-                            k_new, v_new, *args)
-                kv_evs.append(kv_ev)
+                        if self.sampler is not None:
+                            rng, sub = jax.random.split(rng)
+                            state, kv_ev, nxt = self._decode_last(
+                                layers, params_out, state, li, hidden, q,
+                                k_new, v_new, *args, key=sub)
+                        else:
+                            state, kv_ev, nxt = self._decode_last(
+                                layers, params_out, state, li, hidden, q,
+                                k_new, v_new, *args)
+                    kv_evs.append(kv_ev)
+                t0 = time.perf_counter()
+                flat = np.asarray(_pack_sel(L)(nxt, *new_blks))  # ONE pull
+                self.timings["wait_s"] += time.perf_counter() - t0
+                kb = new_blks[0].shape[-1]
+                blk_prev = list(flat[: L * m.num_kv_heads * kb].reshape(
+                    L, m.num_kv_heads, kb))
+                nxt = int(flat[-1])
+            else:
+                rec = []
+                for l in range(L):
+                    t0 = time.perf_counter()
+                    blk_np = np.asarray(blk)     # sync: block ids to host
+                    t1 = time.perf_counter()
+                    self.timings["wait_s"] += t1 - t0
+                    rec.append(blk_np)
+                    slots, miss_pos, staged, cache = store.classify_blocks(
+                        l, blk_np)
+                    self.timings["host_s"] += time.perf_counter() - t1
+                    li = jnp.asarray(l, jnp.int32)
+                    args = (jnp.asarray(blk_np), jnp.asarray(slots),
+                            jnp.asarray(miss_pos), staged, cache,
+                            store.tail[l], n_sel, n_tail_att)
+                    if l < L - 1:
+                        (hidden, state, kv_ev, q, k_new, v_new, blk
+                         ) = self._decode_fused(
+                            layers, state, li,
+                            hidden, cos, sin, q, k_new, v_new, *args)
+                    else:
+                        if self.sampler is not None:
+                            rng, sub = jax.random.split(rng)
+                            state, kv_ev, nxt = self._decode_last(
+                                layers, params_out, state, li, hidden, q,
+                                k_new, v_new, *args, key=sub)
+                        else:
+                            state, kv_ev, nxt = self._decode_last(
+                                layers, params_out, state, li, hidden, q,
+                                k_new, v_new, *args)
+                    kv_evs.append(kv_ev)
+                blk_prev = rec if self.stale else None
             # evicted tokens beyond the prefilled region extend the store
             # (prefill already stored positions < true_len - sink; the
             # first `local` evictions re-evict stored prompt tokens)

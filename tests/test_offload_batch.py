@@ -155,3 +155,40 @@ def test_decode_programs_capture_no_weight_constants(setup):
     big = [(np.shape(c), np.asarray(c).nbytes) for c in closed.consts
            if hasattr(c, "nbytes") and np.asarray(c).nbytes > 65536]
     assert not big, f"large closure constants traced into decode: {big}"
+
+
+def test_batched_stale_select_equals_exact_when_covered(setup):
+    """Batched stale selection: with top-k covering every valid block the
+    selected sets are query-independent, so stale generate_batch must
+    reproduce exact generate_batch token for token (O(1) syncs/step)."""
+    ecfg, params, prompts = setup
+    cov = dataclasses.replace(
+        ecfg, budget=BudgetConfig(compress_ratio=1.5, recent_ratio=0.2,
+                                  sink_size=4))
+    exact = BatchOffloadEngine(cov, params, batch_size=2).generate_batch(
+        prompts, max_new_tokens=10)
+    st = dataclasses.replace(
+        cov, cache=dataclasses.replace(cov.cache, stale_select=True))
+    eng = BatchOffloadEngine(st, params, batch_size=2)
+    stale = eng.generate_batch(prompts, max_new_tokens=10)
+    assert stale == exact
+
+
+def test_serve_stale_reseeds_on_admission(setup):
+    """Continuous serving in stale mode: an admission invalidates the
+    stale selections (they were computed from the retired occupant's
+    state), forcing one exact re-seeding step — with covered top-k the
+    results must still match exact serving exactly across retirement and
+    block-id recycling."""
+    ecfg, params, prompts = setup
+    cov = dataclasses.replace(
+        ecfg, budget=BudgetConfig(compress_ratio=1.5, recent_ratio=0.2,
+                                  sink_size=4))
+    reqs = [(i, prompts[i % 2]) for i in range(4)]
+    exact = BatchOffloadEngine(cov, params, batch_size=2).serve(
+        reqs, max_new_tokens=8)
+    st = dataclasses.replace(
+        cov, cache=dataclasses.replace(cov.cache, stale_select=True))
+    eng = BatchOffloadEngine(st, params, batch_size=2)
+    stale = eng.serve(reqs, max_new_tokens=8)
+    assert stale == exact

@@ -189,3 +189,55 @@ def test_offload_int8_jhist_and_long_run(setup):
     assert len(out) == 36
     # generated tokens crossed at least one block boundary into the store
     assert eng.store.valid[0] > 0
+
+
+def test_stale_select_equals_exact_when_topk_covers_all(setup):
+    """One-step-stale selection (cache.stale_select): when the block top-k
+    covers EVERY valid candidate block, the selected set is query-
+    independent, so stale and exact modes must generate identical tokens
+    (the mechanics differ: one blocking sync per step vs 2 per layer)."""
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    bs = 16
+    # compress 1.5 => kb blocks always exceed the valid candidate blocks
+    ecfg_cov = dataclasses.replace(
+        ecfg,
+        pq=dataclasses.replace(ecfg.pq, select_block=bs),
+        budget=BudgetConfig(compress_ratio=1.5, recent_ratio=0.2,
+                            sink_size=4),
+        cache=CacheConfig(offload=True, block_size=bs, hbm_cache_tokens=64,
+                          cache_topk_blocks=4))
+    exact = OffloadEngine(ecfg_cov, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=12)
+    cfg_stale = dataclasses.replace(
+        ecfg_cov, cache=dataclasses.replace(ecfg_cov.cache,
+                                            stale_select=True))
+    eng = OffloadEngine(cfg_stale, params, dtype=jnp.float32)
+    stale = eng.generate(ids, max_new_tokens=12)
+    assert stale == exact, (stale, exact)
+
+
+def test_stale_select_smoke_normal_budget(setup):
+    """Stale mode at a normal budget: tokens may diverge from exact after
+    the seeded first step, but the run must complete, agree early, and
+    keep the cache accounting live."""
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    ecfg, params, ids = setup
+    bs = 16
+    base = dataclasses.replace(
+        ecfg, pq=dataclasses.replace(ecfg.pq, select_block=bs),
+        cache=CacheConfig(offload=True, block_size=bs, hbm_cache_tokens=96,
+                          cache_topk_blocks=4))
+    exact = OffloadEngine(base, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=10)
+    eng = OffloadEngine(
+        dataclasses.replace(base, cache=dataclasses.replace(
+            base.cache, stale_select=True)), params, dtype=jnp.float32)
+    stale = eng.generate(ids, max_new_tokens=10)
+    assert len(stale) == len(exact)
+    # step 0 is exact-seeded; step 1 attends step-0 selections — the first
+    # two tokens cannot diverge (token 0 comes from prefill logits)
+    assert stale[:2] == exact[:2]
+    assert eng.store.hits + eng.store.misses > 0
