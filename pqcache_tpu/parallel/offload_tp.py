@@ -1,0 +1,670 @@
+"""dp×tp SHARDED host-offload tier: the beyond-HBM cache hierarchy
+distributed over a device mesh.
+
+The reference instantiates one GPU cache manager PER RANK, each owning the
+kv-head slice of every layer's pinned CPU buffers and GPU cache
+(pq_search.py:46-64; cache_manager.py:53-147). This module is the TPU-mesh
+equivalent wired into the dp×tp serving layout of parallel/batch_tp.py:
+
+  * `dp` shards the SLOT pool (each data-parallel group its own sequences);
+  * `tp` shards the kv heads (Megatron psums on the attention-out and
+    MLP-down projections — the same axis contract as parallel/tp_decode.py);
+  * every (dp, tp) DEVICE owns a host-store SHARD: leaves
+    [H_kv/tp, bs, 2D] for its head slice and its group's slots, its own
+    native LFU + slot proxy, and its slice of the HBM block cache.
+
+Data path per decode step (exact mode, mirroring
+runtime/offload_batch.py): per layer, each device's block selection comes
+back to its host, the per-shard residency managers classify hit/miss and
+nominate LFU admissions, the misses stage with ONE mesh-wide device_put
+([dp, tp, Mb, H_loc, bs, 2D] — each device receives exactly its shard's
+blocks), and the shard_map'd fused layer program assembles the window and
+runs attention + tail maintenance per shard. Admission is a separate tiny
+scatter program on the cache (donated), equivalent to the single-device
+engine's synchronous admission: admitted data serves hits from the next
+step.
+
+Host leaves are kept as per-shard HOST arrays (numpy): in the multi-host
+deployment each host holds exactly its devices' shards in its own RAM and
+`device_put` of the staged stack is the per-host pinned upload — the same
+model `jax.make_array_from_process_local_data` formalizes. Compute bodies
+are REUSED from BatchOffloadEngine (batch-as-heads, with `tp_axis` psums)
+— per-device math is identical to the single-device engine on the local
+(B/dp)·(H_kv/tp) fold, which is what the token-parity test asserts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pqcache_tpu.config import EngineConfig
+from pqcache_tpu.core.budget import compute_budget
+from pqcache_tpu.models import llama
+from pqcache_tpu.native.lfu_cache import LFUCache
+from pqcache_tpu.parallel.tp_decode import PARAM_SPECS, local_model_config
+from pqcache_tpu.runtime.offload_batch import BatchOffloadEngine
+from pqcache_tpu.runtime.offload_engine import OffloadPQState
+
+
+from pqcache_tpu.runtime.host_offload import _bucket as _bucket4
+
+
+# 5-D OffloadPQState partition specs: [L, B, H_kv, ...] → (None, dp, tp)
+def offload_state_specs(jhist: bool, int8: bool) -> OffloadPQState:
+    h = P(None, "dp", "tp", None, None)
+    return OffloadPQState(
+        k_sink=h, v_sink=h, k_local=h, v_local=h, codes=h,
+        centroids=P(None, "dp", "tp", None, None, None),
+        phi=h,                      # [L, B, H_kv·S, 1, 1] (head-major → tp)
+        n_cand=P("dp"), ring_ptr=P("dp"), pos=P("dp"),
+        jhist=h if jhist else None,
+        k_scale=h if int8 else None, v_scale=h if int8 else None,
+        tail=h)
+
+
+def _fold(state):
+    """[L, B_loc, H_loc, ...] at-rest → [L, B_loc·H_loc, ...] fold."""
+    def go(a):
+        if a is None or a.ndim <= 1:
+            return a
+        return a.reshape(a.shape[0], a.shape[1] * a.shape[2], *a.shape[3:])
+    return jax.tree_util.tree_map(go, state)
+
+
+def _unfold(state, B: int):
+    def go(a):
+        if a is None or a.ndim <= 1:
+            return a
+        return a.reshape(a.shape[0], B, a.shape[1] // B, *a.shape[2:])
+    return jax.tree_util.tree_map(go, state)
+
+
+class _ShardResidency:
+    """Host-side residency manager for ONE (dp, tp, layer) store shard:
+    numpy leaves keyed by global block id, a native LFU with the slot-proxy
+    contract, and hit/miss classification mirroring
+    HostKVStore.classify_blocks (hits-before-misses LFU ordering — the
+    stale-slot churn hazard, see runtime/host_offload.py)."""
+
+    def __init__(self, n_cache_blocks: int, max_blocks: int,
+                 cache_topk: int):
+        self.leaves: dict = {}
+        self.lfu = LFUCache(n_cache_blocks)
+        self.proxy = np.full((max_blocks,), -1, np.int32)
+        self.max_blocks = max_blocks
+        self.n_cache = n_cache_blocks
+        self.cache_topk = cache_topk
+        self.hits = 0
+        self.misses = 0
+
+    def classify(self, blk: np.ndarray, ok: np.ndarray):
+        """blk/ok [Hr, kb] → (slots, miss_pos [Hr, kb], miss_ids [M],
+        adm_slots [A], adm_pos [A]) — data for the staged stack and the
+        admission scatter come back as ids/positions; the caller owns
+        assembling the numpy stacks."""
+        slots = np.where(ok, self.proxy[
+            np.clip(blk, 0, self.max_blocks - 1)], -1)
+        hit = slots >= 0
+        self.hits += int(hit.sum())
+        self.misses += int((ok & ~hit).sum())
+        miss_ids = np.unique(blk[ok & ~hit])
+        touched = np.unique(blk[ok]).astype(np.int32)
+        if touched.size > self.cache_topk:
+            counts = np.bincount(blk[ok].ravel(),
+                                 minlength=self.max_blocks)
+            touched = touched[
+                np.argsort(-counts[touched])[: self.cache_topk]]
+        t_hit = self.proxy[touched] >= 0
+        touched = np.ascontiguousarray(
+            np.concatenate([touched[t_hit], touched[~t_hit]]), np.int32)
+        if touched.size:
+            self.lfu.batched_insert(touched, self.proxy)
+        if miss_ids.size:
+            lut = np.full((self.max_blocks,), -1, np.int64)
+            lut[miss_ids] = np.arange(miss_ids.size)
+            miss_pos = np.where(ok & ~hit,
+                                lut[np.clip(blk, 0, self.max_blocks - 1)],
+                                -1)
+            new = self.proxy[miss_ids]
+            admitted = new >= 0
+            adm_slots = new[admitted].astype(np.int32)
+            adm_pos = np.nonzero(admitted)[0].astype(np.int32)
+        else:
+            miss_pos = np.full_like(slots, -1)
+            adm_slots = np.zeros((0,), np.int32)
+            adm_pos = np.zeros((0,), np.int32)
+        return (slots.astype(np.int32), miss_pos.astype(np.int32),
+                miss_ids.astype(np.int32), adm_slots, adm_pos)
+
+    def invalidate(self, ids: np.ndarray) -> None:
+        self.lfu.batched_erase(np.asarray(ids, np.int32), self.proxy)
+        for b in np.asarray(ids).tolist():
+            self.leaves.pop(int(b), None)
+
+
+class ShardedOffloadEngine:
+    """Batch offload decode over a (dp, tp) mesh with per-device host-store
+    shards. generate_batch only (fixed pool; the continuous-serving form is
+    runtime/offload_batch.py on one device — admission interleaving is
+    orthogonal to the sharding shown here)."""
+
+    def __init__(self, cfg: EngineConfig, params, mesh: Mesh,
+                 batch_size: int, dtype=jnp.bfloat16):
+        self.mesh = mesh
+        self.dp = mesh.shape["dp"]
+        self.tp = mesh.shape["tp"]
+        if batch_size % self.dp:
+            raise ValueError(f"batch {batch_size} % dp {self.dp} != 0")
+        self.B = batch_size
+        self.B_loc = batch_size // self.dp
+        self.cfg = cfg
+        self.cfg_local = local_model_config(cfg, self.tp)
+        self.dtype = dtype
+        self.params = params
+        m = cfg.model
+        lm = self.cfg_local.model
+        self.H_kv, self.H_loc = m.num_kv_heads, lm.num_kv_heads
+        self.D = m.head_dim
+        self.bs = cfg.cache.block_size
+        # compute core: the single-device batched engine's traced bodies,
+        # instantiated at the LOCAL shapes (B/dp slots × H_kv/tp heads)
+        # with tp psums on the row-parallel projections
+        self.core = BatchOffloadEngine(self.cfg_local, params,
+                                       batch_size=self.B_loc, dtype=dtype)
+        self.core.tp_axis = "tp"
+        self.core._se.tp_axis = "tp"
+        self.kv_int8 = self.core.kv_int8
+        self._store_dt = jnp.int8 if self.kv_int8 else dtype
+        self._sspec = offload_state_specs(self.core.use_jhist, self.kv_int8)
+        self._programs()
+
+    # -- shard_map programs -------------------------------------------------
+
+    def _programs(self):
+        mesh = self.mesh
+        core = self.core
+        B_loc, H_loc = self.B_loc, self.H_loc
+        lm = self.cfg_local.model
+        sspec = self._sspec
+        h4 = P("dp", "tp", None, None)
+        rep = P()
+
+        def first_fn(p, bstate, toks, n_sel):
+            st = _fold(bstate)
+            n_sel_h = jnp.repeat(n_sel, H_loc)
+            hidden, cos, sin, q, k, v, blk = core._decode_first_body(
+                p["layers"], p["embed"], st, toks, n_sel_h)
+            return (hidden, cos, sin,
+                    q.reshape(B_loc, lm.num_heads, self.D),
+                    k.reshape(B_loc, H_loc, self.D),
+                    v.reshape(B_loc, H_loc, self.D),
+                    blk.reshape(B_loc, H_loc, -1))
+
+        self._first = jax.jit(shard_map(
+            first_fn, mesh=mesh,
+            in_specs=(PARAM_SPECS, sspec, P("dp"), P("dp")),
+            out_specs=(P("dp", None), P("dp", None), P("dp", None),
+                       P("dp", "tp", None), P("dp", "tp", None),
+                       P("dp", "tp", None), P("dp", "tp", None)),
+            check_rep=False))
+
+        def _unpack(q4, k4, v4, blk3, slots3, miss3):
+            q = q4.reshape(B_loc * lm.num_heads, 1, self.D)
+            k = k4.reshape(B_loc * H_loc, self.D)
+            v = v4.reshape(B_loc * H_loc, self.D)
+            f2 = lambda a: a.reshape(B_loc * H_loc, -1)
+            return q, k, v, f2(blk3), f2(slots3), f2(miss3)
+
+        def fused_fn(p, bstate, cache, idx, hidden, cos, sin, q4, k4, v4,
+                     blk3, slots3, miss3, staged, n_sel, n_tail, fill,
+                     do_app):
+            st = _fold(bstate)
+            q, k, v, blk, slots, miss = _unpack(q4, k4, v4, blk3, slots3,
+                                                miss3)
+            hidden, st, q2, k2, v2, blk2 = core._decode_fused_body(
+                p["layers"], st, idx, hidden, cos, sin, q, k, v, blk,
+                slots, miss, staged[0, 0], cache[0, 0, idx],
+                jnp.repeat(n_sel, H_loc), jnp.repeat(n_tail, H_loc),
+                fill, do_app)
+            return (hidden, _unfold(st, B_loc),
+                    q2.reshape(B_loc, lm.num_heads, self.D),
+                    k2.reshape(B_loc, H_loc, self.D),
+                    v2.reshape(B_loc, H_loc, self.D),
+                    blk2.reshape(B_loc, H_loc, -1))
+
+        cache_spec = P("dp", "tp", None, None, None, None, None)
+        staged_spec = P("dp", "tp", None, None, None, None)
+        self._fused = jax.jit(shard_map(
+            fused_fn, mesh=mesh,
+            in_specs=(PARAM_SPECS, sspec, cache_spec, rep, P("dp", None),
+                      P("dp", None), P("dp", None), P("dp", "tp", None),
+                      P("dp", "tp", None), P("dp", "tp", None),
+                      P("dp", "tp", None), P("dp", "tp", None),
+                      P("dp", "tp", None), staged_spec, P("dp"), P("dp"),
+                      P("dp"), P("dp")),
+            out_specs=(P("dp", None), sspec, P("dp", "tp", None),
+                       P("dp", "tp", None), P("dp", "tp", None),
+                       P("dp", "tp", None)),
+            check_rep=False), donate_argnums=(1,))
+
+        def last_fn(p, pout, bstate, cache, idx, hidden, q4, k4, v4, blk3,
+                    slots3, miss3, staged, n_sel, n_tail, fill, do_app):
+            st = _fold(bstate)
+            q, k, v, blk, slots, miss = _unpack(q4, k4, v4, blk3, slots3,
+                                                miss3)
+            st, nxt = core._decode_last_body(
+                p["layers"], pout, st, idx, hidden, q, k, v, blk, slots,
+                miss, staged[0, 0], cache[0, 0, idx],
+                jnp.repeat(n_sel, H_loc), jnp.repeat(n_tail, H_loc),
+                fill, do_app)
+            return _unfold(st, B_loc), nxt
+
+        pout_spec = {"final_norm": P(None), "lm_head": P(None, None)}
+        self._last = jax.jit(shard_map(
+            last_fn, mesh=mesh,
+            in_specs=(PARAM_SPECS, pout_spec, sspec, cache_spec, rep,
+                      P("dp", None), P("dp", "tp", None),
+                      P("dp", "tp", None), P("dp", "tp", None),
+                      P("dp", "tp", None), P("dp", "tp", None),
+                      P("dp", "tp", None), staged_spec, P("dp"), P("dp"),
+                      P("dp"), P("dp")),
+            out_specs=(sspec, P("dp")), check_rep=False),
+            donate_argnums=(2,))
+
+        def admit_fn(cache, staged, idx, sl, ps):
+            # cache local [1,1,L,nc,H_loc,bs,2D]; sl/ps local [1,1,Ab]
+            c = cache[0, 0]
+            c = c.at[idx, sl[0, 0]].set(
+                staged[0, 0][ps[0, 0]].astype(c.dtype), mode="drop")
+            return c[None, None]
+
+        self._admit = jax.jit(shard_map(
+            admit_fn, mesh=mesh,
+            in_specs=(cache_spec, staged_spec, rep, P("dp", "tp", None),
+                      P("dp", "tp", None)),
+            out_specs=cache_spec, check_rep=False), donate_argnums=(0,))
+
+        # prefill wave: one sequence per dp group, layer at a time; the
+        # program also emits the layer's STORE-READY interleaved rows
+        # (quantized when int8) for the host shards to leaf-split
+        def pf_layer_fn(p, pf, idx, hidden, pad, tlen):
+            se = core._se
+            single = jax.tree_util.tree_map(
+                lambda a: (a[:, 0] if a.ndim > 1 else a[0]), pf)
+            h0 = hidden[0]
+            Pn = h0.shape[0]
+            positions = jnp.maximum(
+                jnp.arange(Pn, dtype=jnp.int32) - pad[0], 0)
+            cos, sin = llama.rope_cos_sin(lm, positions)
+            h0, single, k, v = se._prefill_layer_body(
+                p["layers"], single, idx, h0, cos, sin, pad[0], tlen[0])
+            if self.kv_int8:
+                from pqcache_tpu.core import quant
+                kq = quant.quantize_channels(k, single.k_scale[idx])
+                vq = quant.quantize_channels(v, single.v_scale[idx])
+                rows = jnp.concatenate([kq, vq], axis=-1)
+            else:
+                rows = jnp.concatenate([k, v], axis=-1)
+            pf = jax.tree_util.tree_map(
+                lambda b, s: (b.at[:, 0].set(s.astype(b.dtype))
+                              if b.ndim > 1 else b.at[0].set(s)),
+                pf, single)
+            return h0[None], pf, rows.astype(self._store_dt)[None]
+
+        pf_spec = offload_state_specs(self.core.use_jhist, self.kv_int8)
+        self._pf_layer = jax.jit(shard_map(
+            pf_layer_fn, mesh=mesh,
+            in_specs=(PARAM_SPECS, pf_spec, rep, P("dp", None, None),
+                      P("dp"), P("dp")),
+            out_specs=(P("dp", None, None), pf_spec,
+                       P("dp", "tp", None, None)),
+            check_rep=False), donate_argnums=(1,))
+
+        def pf_logits_fn(p, pout, hidden):
+            h0 = hidden[0]
+            last = llama.rms_norm(h0[-1:], pout["final_norm"],
+                                  lm.rms_norm_eps)
+            logits = (last @ pout["lm_head"]).astype(jnp.float32)[0]
+            return jnp.argmax(logits).astype(jnp.int32)[None]
+
+        self._pf_logits = jax.jit(shard_map(
+            pf_logits_fn, mesh=mesh,
+            in_specs=(PARAM_SPECS, pout_spec, P("dp", None, None)),
+            out_specs=P("dp"), check_rep=False))
+
+        def insert_fn(bstate, pf, rem, w):
+            # fold the wave's per-group single state into local slot w
+            def ins(b, s):
+                if b.ndim <= 1:
+                    return b.at[w].set(s[0])
+                return jax.lax.dynamic_update_slice(
+                    b, s.astype(b.dtype), (0, w) + (0,) * (b.ndim - 2))
+            new = jax.tree_util.tree_map(ins, bstate, pf)
+            # the prefill remainder rows seed the slot's tail; reset ring
+            rem_t = jnp.swapaxes(rem, 0, 1)      # [1,L,...] → [L,1,...]
+            tail = jax.lax.dynamic_update_slice(
+                new.tail, rem_t.astype(new.tail.dtype),
+                (0, w, 0, 0, 0))
+            return new.replace(tail=tail,
+                               ring_ptr=new.ring_ptr.at[w].set(0))
+
+        rem_spec = P("dp", None, "tp", None, None)   # [dp, L, H_kv, bs, 2D]
+        self._insert = jax.jit(shard_map(
+            insert_fn, mesh=mesh,
+            in_specs=(sspec, pf_spec, rem_spec, rep),
+            out_specs=sspec, check_rep=False), donate_argnums=(0,))
+
+        def tail_slot_fn(bstate, b):
+            # local slot b's tail per dp group → global [L, DP, H_kv, bs, 2D]
+            return bstate.tail[:, b][:, None]
+
+        self._tail_slot = jax.jit(shard_map(
+            tail_slot_fn, mesh=mesh, in_specs=(sspec, rep),
+            out_specs=P(None, "dp", "tp", None, None), check_rep=False))
+
+    # -- state / store allocation ------------------------------------------
+
+    def _zeros_state(self, b, B_axis: int) -> OffloadPQState:
+        lm = self.cfg_local.model
+        L, D = lm.num_layers, lm.head_dim
+        Hg, S, C = self.H_kv, self.core.S, self.core.C
+        d_lift = D // S + (1 if self.core.metric == "ip" else 0)
+
+        def z(spec, shape, dt):
+            return jax.device_put(
+                jnp.zeros(shape, dt), NamedSharding(self.mesh, spec))
+
+        from pqcache_tpu.core import pq as pqm
+        h = P(None, "dp", "tp", None, None)
+        Bx = B_axis
+        st = OffloadPQState(
+            k_sink=z(h, (L, Bx, Hg, b.sink, D), self.dtype),
+            v_sink=z(h, (L, Bx, Hg, b.sink, D), self.dtype),
+            k_local=z(h, (L, Bx, Hg, b.local, D), self.dtype),
+            v_local=z(h, (L, Bx, Hg, b.local, D), self.dtype),
+            codes=z(h, (L, Bx, Hg, S, b.n_tail_max), jnp.uint8),
+            centroids=z(P(None, "dp", "tp", None, None, None),
+                        (L, Bx, Hg, S, C, d_lift), jnp.float32),
+            phi=z(h, (L, Bx, Hg * S, 1, 1), jnp.float32),
+            n_cand=z(P("dp"), (Bx,), jnp.int32),
+            ring_ptr=z(P("dp"), (Bx,), jnp.int32),
+            pos=z(P("dp"), (Bx,), jnp.int32),
+            jhist=(z(h, (L, Bx, Hg, b.n_tail_max // self.bs,
+                         C * C), pqm.jhist_dtype(self.bs))
+                   if self.core.use_jhist else None),
+            k_scale=(z(h, (L, Bx, Hg, 1, D), jnp.float32)
+                     if self.kv_int8 else None),
+            v_scale=(z(h, (L, Bx, Hg, 1, D), jnp.float32)
+                     if self.kv_int8 else None),
+            tail=z(h, (L, Bx, Hg, self.bs, 2 * self.D), self._store_dt))
+        return st
+
+    # -- host-side step helpers --------------------------------------------
+
+    def _staged_spec(self):
+        return NamedSharding(self.mesh, P("dp", "tp"))
+
+    def _classify_all(self, l: int, blk_np: np.ndarray, active: np.ndarray):
+        """blk_np [B, H_kv, kb] global selection for layer l → global
+        slots/miss [B, H_kv, kb], staged [DP, TP, Mb, H_loc, bs, 2D]
+        device array, admission (sl, ps) [DP, TP, Ab] arrays."""
+        DP, TP = self.dp, self.tp
+        B_loc, H_loc, bs = self.B_loc, self.H_loc, self.bs
+        kb = blk_np.shape[-1]
+        slots_g = np.full((self.B, self.H_kv, kb), -1, np.int32)
+        miss_g = np.full((self.B, self.H_kv, kb), -1, np.int32)
+        shard_stage: List[List[np.ndarray]] = []
+        shard_adm: List[tuple] = []
+        for g in range(DP):
+            for t in range(TP):
+                res = self.shards[g][t][l]
+                sub = blk_np[g * B_loc:(g + 1) * B_loc,
+                             t * H_loc:(t + 1) * H_loc]
+                sub = sub.reshape(B_loc * H_loc, kb)
+                cb = (self._valid[g * B_loc:(g + 1) * B_loc]
+                      // bs)
+                ok = (sub < np.repeat(cb, H_loc)[:, None]) \
+                    & np.repeat(active[g * B_loc:(g + 1) * B_loc],
+                                H_loc)[:, None]
+                base = np.repeat(np.arange(B_loc) * self._bps,
+                                 H_loc)[:, None]
+                gids = np.where(ok, sub + base, 0)
+                sl, mp, miss_ids, adm_s, adm_p = res.classify(gids, ok)
+                slots_g[g * B_loc:(g + 1) * B_loc,
+                        t * H_loc:(t + 1) * H_loc] = sl.reshape(
+                            B_loc, H_loc, kb)
+                miss_g[g * B_loc:(g + 1) * B_loc,
+                       t * H_loc:(t + 1) * H_loc] = mp.reshape(
+                           B_loc, H_loc, kb)
+                shard_stage.append([res.leaves[int(i)] for i in miss_ids])
+                shard_adm.append((adm_s, adm_p))
+        Mb = _bucket4(max(max(len(s) for s in shard_stage), 1))
+        stage_np = np.zeros((DP, TP, Mb, H_loc, bs, 2 * self.D),
+                            self._np_dt)
+        for i, leaves in enumerate(shard_stage):
+            g, t = divmod(i, TP)
+            for j, leaf in enumerate(leaves):
+                stage_np[g, t, j] = leaf
+        Ab = _bucket4(max(max(len(a[0]) for a in shard_adm), 1))
+        nc = self._n_cache
+        sl_np = np.full((DP, TP, Ab), nc, np.int32)   # nc = oob → drop
+        ps_np = np.zeros((DP, TP, Ab), np.int32)
+        for i, (a_s, a_p) in enumerate(shard_adm):
+            g, t = divmod(i, TP)
+            sl_np[g, t, : len(a_s)] = a_s
+            ps_np[g, t, : len(a_s)] = a_p
+        staged = jax.device_put(stage_np, self._staged_spec())
+        return (jnp.asarray(slots_g), jnp.asarray(miss_g), staged,
+                jax.device_put(sl_np, self._staged_spec()),
+                jax.device_put(ps_np, self._staged_spec()))
+
+    def _leaf_split(self, rows_np: np.ndarray, g: int, l: int,
+                    n_store: int, off: int, slot_loc: int) -> np.ndarray:
+        """rows_np [H_kv, P, 2D] (group g's store-ready rows of layer l) →
+        complete-block leaves into the (g, t, l) shards; returns the
+        zero-padded remainder [H_kv, bs, 2D]."""
+        bs = self.bs
+        n_full = n_store // bs
+        H_loc = self.H_loc
+        base = slot_loc * self._bps
+        for b in range(n_full):
+            leaf = np.ascontiguousarray(
+                rows_np[:, off + b * bs: off + (b + 1) * bs],
+                dtype=self._np_dt)
+            for t in range(self.tp):
+                self.shards[g][t][l].leaves[base + b] = \
+                    leaf[t * H_loc:(t + 1) * H_loc]
+        rem = np.zeros((self.H_kv, bs, 2 * self.D), self._np_dt)
+        r = n_store - n_full * bs
+        if r:
+            rem[:, :r] = rows_np[:, off + n_full * bs: off + n_store]
+        return rem
+
+    # -- public API ---------------------------------------------------------
+
+    def generate_batch(self, prompts, max_new_tokens: int,
+                       eos_ids=()) -> List[list]:
+        cfg = self.cfg
+        m = cfg.model
+        lm = self.cfg_local.model
+        if len(prompts) != self.B:
+            raise ValueError(f"need {self.B} prompts, got {len(prompts)}")
+        prompts = [np.asarray(p, np.int32) for p in prompts]
+        from pqcache_tpu.runtime.generate import bucket_length
+        Pn = bucket_length(max(int(p.shape[0]) for p in prompts),
+                           cfg.runtime.prefill_bucket)
+        Pn = min(Pn, cfg.runtime.max_seq_len)
+        b = compute_budget(cfg.budget, Pn, max_new_tokens)
+        self.budget = b
+        self.core.budget = b
+        self.core._se.budget = b
+        if b.n_tail_max % self.bs:
+            raise ValueError(f"n_tail_max {b.n_tail_max} % block "
+                             f"{self.bs} != 0")
+        self._bps = b.n_tail_max // self.bs        # blocks per slot
+        self._np_dt = np.int8 if self.kv_int8 else np.float32 \
+            if self.dtype == jnp.float32 else np.float16
+        if self.dtype == jnp.bfloat16:
+            # numpy has no bf16; shard leaves carry f32 staged down to
+            # bf16 at device_put (values round-trip exactly for rows that
+            # originated as bf16)
+            self._np_dt = np.float32
+        if self.kv_int8:
+            self._np_dt = np.int8
+        nc_tokens = cfg.cache.hbm_cache_tokens
+        self._n_cache = max(nc_tokens // self.bs, 1)
+        L = m.num_layers
+        self.shards = [[[_ShardResidency(self._n_cache,
+                                         self.B_loc * self._bps,
+                                         cfg.cache.cache_topk_blocks)
+                         for _ in range(L)]
+                        for _ in range(self.tp)]
+                       for _ in range(self.dp)]
+        self.bstate = self._zeros_state(b, self.B)
+        cache_shape = (self.dp, self.tp, L, self._n_cache, self.H_loc,
+                       self.bs, 2 * self.D)
+        self.cache = jax.device_put(
+            jnp.zeros(cache_shape, self._store_dt),
+            NamedSharding(self.mesh, P("dp", "tp")))
+        B = self.B
+        self._stored = np.zeros((B,), np.int64)
+        self._valid = np.zeros((B,), np.int64)
+        self._fill = np.zeros((B,), np.int64)
+        self._ncand = np.zeros((B,), np.int64)
+
+        # ---- prefill: B_loc waves × dp concurrent sequences -------------
+        firsts = np.zeros((B,), np.int32)
+        for w in range(self.B_loc):
+            toks = np.zeros((self.dp, Pn), np.int32)
+            pads = np.zeros((self.dp,), np.int32)
+            tlens = np.zeros((self.dp,), np.int32)
+            for g in range(self.dp):
+                ids = prompts[g * self.B_loc + w]
+                pads[g] = Pn - len(ids)
+                tlens[g] = len(ids)
+                toks[g, pads[g]:] = ids
+            pf = self._zeros_state(b, self.dp)
+            hidden = jnp.take(jnp.asarray(self.params["embed"]),
+                              jnp.asarray(toks), axis=0)
+            hidden = jax.device_put(
+                hidden, NamedSharding(self.mesh, P("dp", None, None)))
+            rems = np.zeros((self.dp, L, self.H_kv, self.bs, 2 * self.D),
+                            self._np_dt)
+            for l in range(L):
+                hidden, pf, rows = self._pf_layer(
+                    self.params, pf, jnp.asarray(l, jnp.int32), hidden,
+                    jnp.asarray(pads), jnp.asarray(tlens))
+                rows_np = np.asarray(rows)     # [dp, H_kv, P, 2D]
+                for g in range(self.dp):
+                    n_store = int(tlens[g]) - b.sink
+                    rems[g, l] = self._leaf_split(
+                        rows_np[g], g, l, n_store, int(pads[g]) + b.sink,
+                        w)
+            first = np.asarray(self._pf_logits(
+                self.params, self._params_out(), hidden))
+            self.bstate = self._insert(
+                self.bstate, pf, jnp.asarray(rems),
+                jnp.asarray(w, jnp.int32))
+            for g in range(self.dp):
+                i = g * self.B_loc + w
+                firsts[i] = first[g]
+                n_store = int(tlens[g]) - b.sink
+                n_full = n_store // self.bs
+                self._stored[i] = n_store
+                self._valid[i] = n_full * self.bs
+                self._fill[i] = n_store - n_full * self.bs
+                self._ncand[i] = max(int(tlens[g]) - b.sink - b.local, 0)
+
+        # ---- decode ------------------------------------------------------
+        outs = [[int(firsts[i])] for i in range(B)]
+        done = [outs[i][0] in eos_ids or max_new_tokens <= 1
+                for i in range(B)]
+        while any(not d for d in done):
+            active = np.asarray([not d for d in done])
+            next_toks = np.asarray(
+                [o[-1] if not d else 0 for o, d in zip(outs, done)],
+                np.int32)
+            nxt = self._decode_step(next_toks, active)
+            for i in range(B):
+                if done[i]:
+                    continue
+                t = int(nxt[i])
+                outs[i].append(t)
+                if t in eos_ids or len(outs[i]) >= max_new_tokens:
+                    done[i] = True
+        return outs
+
+    def _params_out(self):
+        return {"final_norm": self.params["final_norm"],
+                "lm_head": self.params["lm_head"]}
+
+    def _decode_step(self, next_toks: np.ndarray,
+                     active: np.ndarray) -> np.ndarray:
+        b = self.budget
+        L = self.cfg.model.num_layers
+        n_sel = np.minimum(self._ncand, self._valid)
+        n_tail = np.maximum(self._ncand - self._valid, 0)
+        do_app = (self._ncand >= self._stored) & active
+        n_sel_j = jnp.asarray(n_sel, jnp.int32)
+        n_tail_j = jnp.asarray(n_tail, jnp.int32)
+        fill_j = jnp.asarray(self._fill, jnp.int32)
+        do_app_j = jnp.asarray(do_app)
+        hidden, cos, sin, q4, k4, v4, blk3 = self._first(
+            self.params, self.bstate, jnp.asarray(next_toks, jnp.int32),
+            n_sel_j)
+        pout = self._params_out()
+        for l in range(L):
+            blk_np = np.asarray(blk3)
+            slots3, miss3, staged, sl, ps = self._classify_all(
+                l, blk_np, active)
+            li = jnp.asarray(l, jnp.int32)
+            args = (jnp.asarray(blk_np), slots3, miss3, staged, n_sel_j,
+                    n_tail_j, fill_j, do_app_j)
+            if l < L - 1:
+                (hidden, self.bstate, q4, k4, v4, blk3) = self._fused(
+                    self.params, self.bstate, self.cache, li, hidden, cos,
+                    sin, q4, k4, v4, *args)
+            else:
+                self.bstate, nxt = self._last(
+                    self.params, pout, self.bstate, self.cache, li,
+                    hidden, q4, k4, v4, *args)
+            self.cache = self._admit(self.cache, staged, li, sl, ps)
+        nxt = np.asarray(nxt)
+        self._ncand += active.astype(np.int64)
+        self._fill += do_app.astype(np.int64)
+        for i in range(self.B):
+            if self._fill[i] == self.bs:
+                g, w = divmod(i, self.B_loc)
+                ext = self._tail_of(i)          # [L, H_kv, bs, 2D]
+                gid = w * self._bps + int(self._valid[i]) // self.bs
+                for t in range(self.tp):
+                    sl_rows = np.ascontiguousarray(
+                        ext[:, t * self.H_loc:(t + 1) * self.H_loc],
+                        dtype=self._np_dt)
+                    for l in range(L):
+                        self.shards[g][t][l].leaves[gid] = sl_rows[l]
+                self._valid[i] += self.bs
+                self._fill[i] = 0
+        return nxt
+
+    def _tail_of(self, i: int) -> np.ndarray:
+        """Slot i's full tail block [L, H_kv, bs, 2D] as numpy (gathered
+        from the tp shards — each host keeps only its own slice in the
+        multi-host deployment; here one process addresses all)."""
+        g, w = divmod(i, self.B_loc)
+        t = self._tail_slot(self.bstate, jnp.asarray(w, jnp.int32))
+        return np.asarray(t)[:, g]              # [L, DP, H_kv, ...] → g's
+
+    @property
+    def hit_rate(self) -> float:
+        h = sum(s.hits for g in self.shards for t in g for s in t)
+        ms = sum(s.misses for g in self.shards for t in g for s in t)
+        return h / (h + ms) if h + ms else 0.0

@@ -63,15 +63,20 @@ def host_sharding(device=None) -> Optional[SingleDeviceSharding]:
 
 
 def _bucket(n: int) -> int:
-    """Next power of FOUR ≥ n — every variable-cardinality device program
+    """Next bucket ≥ n — every variable-cardinality device program
     (miss-stack, admission scatter, and the engine's fused layer program
     that consumes the staged stack) is compiled per BUCKET, not per exact
-    count: the ladder 1/4/16/64/256 bounds the program set at 5 variants,
-    and with synchronous admission the steady state (zero misses) always
-    uses the smallest one."""
+    count. Powers of FOUR up to 256 (1/4/16/64/256: 5 variants; with
+    synchronous admission the steady state of zero misses always uses the
+    smallest), then powers of TWO: above 256 blocks a staged stack is
+    hundreds of MB, where ×4 rounding wasted up to 3× the bytes of real
+    misses (a 540-block miss set padded to 1024 allocated ~0.5 GB of
+    dead staging per layer)."""
     b = 1
-    while b < n:
+    while b < n and b < 256:
         b *= 4
+    while b < n:
+        b *= 2
     return b
 
 

@@ -104,6 +104,10 @@ class BatchOffloadEngine:
         # one blocking pull — O(1) syncs/step instead of 2·L round trips
         self.stale = cfg.cache.stale_select
         self._blk_stale: Optional[np.ndarray] = None  # [L, B·H_kv, kb]
+        # set by parallel/offload_tp.py: the engine's traced bodies run
+        # per-shard under shard_map with this mesh axis psum-reducing the
+        # two row-parallel projections (attention out, MLP down)
+        self.tp_axis: Optional[str] = None
         self.store: Optional[HostKVStore] = None
         self.timings = {}
 
@@ -255,9 +259,15 @@ class BatchOffloadEngine:
         ])
 
         attn = out.reshape(B, m.num_heads * D)
-        hidden = hidden + attn @ lp["wo"]
+        attn_out = attn @ lp["wo"]
+        if self.tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, self.tp_axis)
+        hidden = hidden + attn_out
         h2 = llama.rms_norm(hidden, lp["ln2"], m.rms_norm_eps)
-        hidden = hidden + llama.mlp(lp, h2, chunk=m.mlp_chunk)
+        mlp_out = llama.mlp(lp, h2, chunk=m.mlp_chunk)
+        if self.tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, self.tp_axis)
+        hidden = hidden + mlp_out
 
         # ring-evict per slot: read the oldest local row, overwrite it with
         # the new token, encode the evicted key as candidate n_cand[b]
@@ -316,12 +326,7 @@ class BatchOffloadEngine:
                 jhist=pq.jhist_increment(state.jhist, jix))
         return hidden, state
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _decode_first_b(self, layers, embed, state, toks, n_sel_h):
-        # `embed` MUST be an operand, not a closure over self.params: a
-        # closed-over [V, E] table (1 GB at Llama vocab) is baked into the
-        # HLO as a constant — the serialized executable was 819 MB, remote
-        # compiles took ~20 min and killed the dev tunnel (broken pipe).
+    def _decode_first_body(self, layers, embed, state, toks, n_sel_h):
         m = self.cfg.model
         hidden = jnp.take(embed, toks, axis=0)  # [B, E]
         cos, sin = llama.rope_cos_sin(m, state.pos)
@@ -330,10 +335,17 @@ class BatchOffloadEngine:
             lp, state, jnp.asarray(0, jnp.int32), hidden, cos, sin, n_sel_h)
         return hidden, cos, sin, q, k, v, blk
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _decode_fused_b(self, layers, state, idx, hidden, cos, sin, q,
-                        k_new, v_new, blk_idx, slots, miss_pos, staged,
-                        cache, n_sel_h, n_tail_h, fill, do_append):
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode_first_b(self, layers, embed, state, toks, n_sel_h):
+        # `embed` MUST be an operand, not a closure over self.params: a
+        # closed-over [V, E] table (1 GB at Llama vocab) is baked into the
+        # HLO as a constant — the serialized executable was 819 MB, remote
+        # compiles took ~20 min and killed the dev tunnel (broken pipe).
+        return self._decode_first_body(layers, embed, state, toks, n_sel_h)
+
+    def _decode_fused_body(self, layers, state, idx, hidden, cos, sin, q,
+                           k_new, v_new, blk_idx, slots, miss_pos, staged,
+                           cache, n_sel_h, n_tail_h, fill, do_append):
         lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         lp_next = jax.tree_util.tree_map(lambda a: a[idx + 1], layers)
         hidden, state = self._attn_tail_b(
@@ -343,10 +355,19 @@ class BatchOffloadEngine:
             lp_next, state, idx + 1, hidden, cos, sin, n_sel_h)
         return hidden, state, q2, k2, v2, blk2
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-    def _decode_last_b(self, layers, params_out, state, idx, hidden, q,
-                       k_new, v_new, blk_idx, slots, miss_pos, staged,
-                       cache, n_sel_h, n_tail_h, fill, do_append, key=None):
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _decode_fused_b(self, layers, state, idx, hidden, cos, sin, q,
+                        k_new, v_new, blk_idx, slots, miss_pos, staged,
+                        cache, n_sel_h, n_tail_h, fill, do_append):
+        return self._decode_fused_body(
+            layers, state, idx, hidden, cos, sin, q, k_new, v_new, blk_idx,
+            slots, miss_pos, staged, cache, n_sel_h, n_tail_h, fill,
+            do_append)
+
+    def _decode_last_body(self, layers, params_out, state, idx, hidden, q,
+                          k_new, v_new, blk_idx, slots, miss_pos, staged,
+                          cache, n_sel_h, n_tail_h, fill, do_append,
+                          key=None):
         lp = jax.tree_util.tree_map(lambda a: a[idx], layers)
         hidden, state = self._attn_tail_b(
             lp, state, idx, hidden, q, k_new, v_new, blk_idx, slots,
@@ -364,6 +385,15 @@ class BatchOffloadEngine:
             ring_ptr=(state.ring_ptr + 1) % self.budget.local,
             pos=state.pos + 1)
         return state, nxt
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def _decode_last_b(self, layers, params_out, state, idx, hidden, q,
+                       k_new, v_new, blk_idx, slots, miss_pos, staged,
+                       cache, n_sel_h, n_tail_h, fill, do_append, key=None):
+        return self._decode_last_body(
+            layers, params_out, state, idx, hidden, q, k_new, v_new,
+            blk_idx, slots, miss_pos, staged, cache, n_sel_h, n_tail_h,
+            fill, do_append, key=key)
 
     # -- run setup / admission / retirement -----------------------------------
 
@@ -534,12 +564,15 @@ class BatchOffloadEngine:
 
         if self.stale and self._blk_stale is not None:
             from pqcache_tpu.runtime.host_offload import _pack_sel
-            t1 = time.perf_counter()
-            cls = [classify(l, self._blk_stale[l]) for l in range(L)]
-            self.timings["host_s"] += time.perf_counter() - t1
             new_blks = [blk]        # layer 0's selection for step t+1
             for l in range(L):
-                slots_, miss_, staged, cache = cls[l]
+                t1 = time.perf_counter()
+                # classify lazily per layer — an up-front pass held every
+                # layer's staged miss stack in HBM at once and OOMed at
+                # 192k (see offload_engine.stream's stale branch)
+                slots_, miss_, staged, cache = classify(
+                    l, self._blk_stale[l])
+                self.timings["host_s"] += time.perf_counter() - t1
                 li = jnp.asarray(l, jnp.int32)
                 args = (jnp.asarray(self._blk_stale[l]),
                         jnp.asarray(slots_), jnp.asarray(miss_), staged,
@@ -550,6 +583,13 @@ class BatchOffloadEngine:
                         layers, self.bstate, li, hidden, cos, sin, q,
                         k_new, v_new, *args)
                     new_blks.append(blk)
+                    if staged.shape[0] >= 256:
+                        # adaptive backpressure under heavy miss staging
+                        # (cache ≪ selection working set): drain this
+                        # layer before staging the next
+                        t0 = time.perf_counter()
+                        np.asarray(k_new)
+                        self.timings["wait_s"] += time.perf_counter() - t0
                 else:
                     if self.sampler is not None:
                         self._rng, sub = jax.random.split(self._rng)

@@ -113,6 +113,10 @@ class OffloadEngine:
         # one-step-stale block selection (config.CacheConfig.stale_select):
         # O(1) blocking syncs per decode step instead of one per layer
         self.stale = cfg.cache.stale_select
+        # set by parallel/offload_tp.py: traced bodies run per-shard under
+        # shard_map; this axis psum-reduces the row-parallel projections
+        # and offsets the kmeans++ group seeds to the global head ids
+        self.tp_axis: Optional[str] = None
 
     def _budget(self, P: int, max_new: int) -> Budget:
         return compute_budget(self.cfg.budget, P, max_new)
@@ -163,8 +167,15 @@ class OffloadEngine:
             xb, phi = pq.ip2l2_lift(xb, n_valid_tail)
         else:
             phi = jnp.zeros_like(state.phi[0])
+        # head-sharded callers seed each group by its GLOBAL id so the
+        # sharded centroids reproduce the single-device ones exactly
+        goff = 0
+        if self.tp_axis is not None:
+            goff = (jax.lax.axis_index(self.tp_axis)
+                    * cfg.num_kv_heads * self.S)
         res = pq.kmeans(xb, self.C, iters=self.cfg.pq.kmeans_iters,
-                        seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail)
+                        seed=self.cfg.pq.kmeans_seed, valid_len=n_valid_tail,
+                        group_offset=goff)
         centroids = res.centroids.reshape(
             cfg.num_kv_heads, self.S, self.C, xb.shape[-1])
         codes_src = res.codes.reshape(
@@ -209,9 +220,8 @@ class OffloadEngine:
             state = state.replace(jhist=up(state.jhist, J))
         return state
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _prefill_layer(self, layers, state, idx, hidden, cos, sin, pad_len,
-                       true_len):
+    def _prefill_layer_body(self, layers, state, idx, hidden, cos, sin,
+                            pad_len, true_len):
         # layer params sliced INSIDE the program (loop-fused reads of the
         # stacked arrays) — materializing per-layer copies on the host
         # side doubled the parameter footprint (+1.75 GB at llama31-width)
@@ -225,10 +235,22 @@ class OffloadEngine:
         state = self._tail_update(state, idx, k, v, pad_len, true_len)
 
         attn = out.transpose(1, 0, 2).reshape(P, -1)
-        hidden = hidden + attn @ lp["wo"]
+        attn_out = attn @ lp["wo"]
+        if self.tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, self.tp_axis)
+        hidden = hidden + attn_out
         h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
-        hidden = hidden + llama.mlp(lp, h2)
+        mlp_out = llama.mlp(lp, h2)
+        if self.tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, self.tp_axis)
+        hidden = hidden + mlp_out
         return hidden, state, k, v
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _prefill_layer(self, layers, state, idx, hidden, cos, sin, pad_len,
+                       true_len):
+        return self._prefill_layer_body(layers, state, idx, hidden, cos,
+                                        sin, pad_len, true_len)
 
     # -- chunked (activation-bounded) prefill -------------------------------
     #
@@ -643,13 +665,17 @@ class OffloadEngine:
                 layers, state, hidden, cos, sin, n_sel)
             kv_evs = []
             if self.stale and blk_prev is not None:
-                t1 = time.perf_counter()
-                cls = [store.classify_blocks(l, blk_prev[l])
-                       for l in range(L)]
-                self.timings["host_s"] += time.perf_counter() - t1
                 new_blks = [blk]     # layer 0's selection for step t+1
                 for l in range(L):
-                    slots, miss_pos, staged, cache = cls[l]
+                    t1 = time.perf_counter()
+                    # classify layer l right before its dispatch (NOT all
+                    # layers up front): the staged miss stacks live from
+                    # device_put until the layer program consumes them —
+                    # eagerly staging every layer held L stacks in HBM at
+                    # once (~1 GB each at 192k small-cache) and OOMed
+                    slots, miss_pos, staged, cache = store.classify_blocks(
+                        l, blk_prev[l])
+                    self.timings["host_s"] += time.perf_counter() - t1
                     li = jnp.asarray(l, jnp.int32)
                     args = (jnp.asarray(blk_prev[l]), jnp.asarray(slots),
                             jnp.asarray(miss_pos), staged, cache,
@@ -671,6 +697,15 @@ class OffloadEngine:
                                 layers, params_out, state, li, hidden, q,
                                 k_new, v_new, *args)
                     kv_evs.append(kv_ev)
+                    if staged.shape[0] >= 256 and l < L - 1:
+                        # adaptive backpressure: a heavy miss stack
+                        # (≥ ~256 MB staged) means the cache is far below
+                        # the selection working set — bound in-flight HBM
+                        # by draining this layer before staging the next
+                        # (cost: one round trip; light layers stay async)
+                        t0 = time.perf_counter()
+                        np.asarray(kv_ev)
+                        self.timings["wait_s"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 flat = np.asarray(_pack_sel(L)(nxt, *new_blks))  # ONE pull
                 self.timings["wait_s"] += time.perf_counter() - t0

@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-5 TPU measurement matrix — arms run SERIALIZED (one chip; a second
+# TPU process gets UNAVAILABLE/RESOURCE_EXHAUSTED, ROUND_NOTES).
+# Usage: bash tools_round5_measure.sh <set> [out.jsonl]
+#   set = stale | locality | serving | bench | deep
+set -u
+SET=${1:?set}
+OUT=${2:-MEASURE_r5.jsonl}
+LOG=${OUT%.jsonl}.log
+run() {
+  local name="$1"; shift
+  echo "=== $name: $* ===" | tee -a "$LOG"
+  local t0=$(date +%s)
+  local tmp=$(mktemp)
+  "$@" > "$tmp" 2>&1
+  local rc=$?
+  local dt=$(( $(date +%s) - t0 ))
+  cat "$tmp" >> "$LOG"
+  local js=$(grep -E '^\{' "$tmp" | tail -1)
+  rm -f "$tmp"
+  python -c '
+import json, sys
+out, name, rc, dt, line = sys.argv[1:6]
+row = {"arm": name, "rc": int(rc), "wall_s": int(dt)}
+try:
+    row["result"] = json.loads(line)
+except Exception:
+    row["result"] = line[-400:]
+with open(out, "a") as f:
+    f.write(json.dumps(row) + "\n")
+print(f"[{name}] rc={rc} {dt}s", flush=True)
+' "$OUT" "$name" "$rc" "$dt" "$js"
+}
+
+case "$SET" in
+stale)
+  # A/B: one-step-stale selection vs exact per-layer sync chain at 192k,
+  # and a CACHE-SIZE sweep: the per-step block selection at 192k touches
+  # ~600 unique 256-token blocks (77/head × 8 heads) — the r4 cache held
+  # 96, so hit ≈ cache fraction was structural, not an LFU failure. int8
+  # leaves (1 MB/block vs 2) fund selection-working-set-sized caches.
+  run offload_192k_int8_exact env CTX=196608 LAYERS=8 GEN=48 \
+      CACHE_TOKENS=24576 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 python -m pqcache_tpu.harness.offload_bench
+  run offload_192k_int8_stale env CTX=196608 LAYERS=8 GEN=48 \
+      CACHE_TOKENS=24576 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 STALE=1 python -m pqcache_tpu.harness.offload_bench
+  run offload_192k_int8_stale_c384 env CTX=196608 LAYERS=8 GEN=48 \
+      CACHE_TOKENS=98304 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 STALE=1 python -m pqcache_tpu.harness.offload_bench
+  run offload_192k_int8_stale_c640 env CTX=196608 LAYERS=8 GEN=48 \
+      CACHE_TOKENS=163840 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 STALE=1 python -m pqcache_tpu.harness.offload_bench
+  run offload_192k_int8_exact_c384 env CTX=196608 LAYERS=8 GEN=48 \
+      CACHE_TOKENS=98304 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 python -m pqcache_tpu.harness.offload_bench
+  run offload_batch_B4_65k_stale env CTX=65536 LAYERS=8 GEN=24 BATCH=4 \
+      CACHE_TOKENS=98304 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 STALE=1 python -m pqcache_tpu.harness.offload_bench
+  ;;
+*)
+  echo "unknown set $SET" >&2; exit 2;;
+esac
