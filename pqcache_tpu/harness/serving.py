@@ -92,8 +92,13 @@ def run(args) -> list[dict]:
             max_position_embeddings=131072)
     params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    prompts = [rng.integers(0, model.vocab_size, size=args.ctx)
-               .astype(np.int32) for _ in range(args.requests)]
+    if args.mixed_prompts:
+        lens = rng.integers(args.ctx // 4, args.ctx + 1,
+                            size=args.requests)
+    else:
+        lens = np.full((args.requests,), args.ctx)
+    prompts = [rng.integers(0, model.vocab_size, size=int(n))
+               .astype(np.int32) for n in lens]
     arrivals = {i: i * args.stagger for i in range(args.requests)}
 
     rows = []
@@ -140,7 +145,8 @@ def run(args) -> list[dict]:
         timing: dict = {}
         t0 = time.perf_counter()
         res = eng.run(list(enumerate(prompts)), chunk=args.chunk,
-                      arrivals=arrivals, timing=timing)
+                      arrivals=arrivals, timing=timing,
+                      admission=args.admission)
         wall = time.perf_counter() - t0
         assert set(res) == set(range(args.requests))
 
@@ -149,6 +155,7 @@ def run(args) -> list[dict]:
                "chunk": args.chunk, "stagger_s": args.stagger,
                "prefix_len": args.prefix_len,
                "interleave": eng.interleave,
+               "admission": args.admission,
                "wall_s": round(wall, 3), **summarize(timing, wall)}
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -167,6 +174,15 @@ def parse_args(argv=None):
                    help="decode chunk (bounds admission latency)")
     p.add_argument("--stagger", type=float, default=0.0,
                    help="seconds between request arrivals (0 = burst)")
+    p.add_argument("--admission", default="fifo", choices=["fifo", "spf"],
+                   help="queue discipline among arrived requests: fifo, "
+                        "or spf (shortest-prompt-first — mean TTFT over "
+                        "worst-case wait under mixed prompt lengths)")
+    p.add_argument("--mixed-prompts", dest="mixed_prompts",
+                   action="store_true",
+                   help="draw prompt lengths uniformly from [ctx/4, ctx] "
+                        "instead of all-equal (what makes spf vs fifo "
+                        "measurable)")
     p.add_argument("--prefix-len", dest="prefix_len", type=int, default=0,
                    help="shared system-prompt prefix length (prefilled "
                         "once, reused by every request; 0 = off)")

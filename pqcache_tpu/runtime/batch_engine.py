@@ -394,7 +394,8 @@ class BatchEngine:
     def run(self, requests: Iterable[tuple[int, np.ndarray]],
             eos_ids=(), chunk: int = 16,
             arrivals: Optional[dict] = None,
-            timing: Optional[dict] = None) -> dict[int, list]:
+            timing: Optional[dict] = None,
+            admission: str = "fifo") -> dict[int, list]:
         """Process (seq_id, prompt_ids) requests; returns seq_id → tokens.
 
         arrivals: seq_id → earliest admission time (seconds relative to the
@@ -412,9 +413,20 @@ class BatchEngine:
         admissions advance one prefill SLAB per decode chunk instead of
         running monolithically, bounding every running stream's stall to
         one slab. Per-sequence token streams are identical either way.
+
+        admission: queue discipline among ARRIVED requests —
+          * "fifo": arrival order (a not-yet-arrived head never blocks an
+            arrived request behind it);
+          * "spf": shortest-prompt-first — under a burst, short prompts
+            overtake long ones, trading worst-case wait for mean TTFT
+            (the classic SJF trade; every admitted prefill still costs
+            the pool-wide padded P, but spf orders the queue drain).
         """
         import time
 
+        if admission not in ("fifo", "spf"):
+            raise ValueError(f"admission must be fifo/spf, "
+                             f"got {admission!r}")
         ring_k = getattr(self.policy, "ring_k", 0)
         if ring_k:
             chunk = min(chunk, ring_k)   # chunks bounded by ring capacity
@@ -423,6 +435,22 @@ class BatchEngine:
         results: dict[int, list] = {}
         t0 = time.perf_counter()
         now = lambda: time.perf_counter() - t0
+
+        def next_admit():
+            """Index into `queue` of the next request to admit, or None
+            if nothing has arrived yet."""
+            t_now = now()
+            ready = [i for i, (sid, _) in enumerate(queue)
+                     if t_now >= arrivals.get(sid, 0.0)]
+            if not ready:
+                return None
+            if admission == "spf":
+                return min(ready, key=lambda i: len(queue[i][1]))
+            return ready[0]
+
+        def sleep_to_next_arrival():
+            nxt_t = min(arrivals.get(sid, 0.0) for sid, _ in queue)
+            time.sleep(max(0.0, nxt_t - now()))
 
         def rec(sid, key, val):
             if timing is not None:
@@ -461,13 +489,14 @@ class BatchEngine:
             while queue or pending is not None or any(
                     not s.done for s in self.slots):
                 if (pending is None and queue
-                        and any(s.done for s in self.slots)
-                        and now() >= arrivals.get(queue[0][0], 0.0)):
-                    sid, ids = queue.pop(0)
-                    rec(sid, "arrive", arrivals.get(sid, 0.0))
-                    rec(sid, "admit", now())
-                    pending = self._admission_start(
-                        sid, np.asarray(ids, np.int32))
+                        and any(s.done for s in self.slots)):
+                    q_i = next_admit()
+                    if q_i is not None:
+                        sid, ids = queue.pop(q_i)
+                        rec(sid, "arrive", arrivals.get(sid, 0.0))
+                        rec(sid, "admit", now())
+                        pending = self._admission_start(
+                            sid, np.asarray(ids, np.int32))
                 active = any(not s.done for s in self.slots)
                 if active:
                     decode_once()
@@ -480,17 +509,16 @@ class BatchEngine:
                                 timing[pending.seq_id]["first"]]
                         pending = None
                 elif not active and queue:
-                    # pool idle, FIFO head not arrived yet: sleep to it
-                    time.sleep(max(
-                        0.0, arrivals.get(queue[0][0], 0.0) - now()))
+                    # pool idle, nothing arrived: sleep to earliest arrival
+                    sleep_to_next_arrival()
             return results
 
         def admit_all():
             while queue and any(s.done for s in self.slots):
-                sid, ids = queue[0]
-                if now() < arrivals.get(sid, 0.0):
-                    break                 # FIFO: wait for the next arrival
-                queue.pop(0)
+                q_i = next_admit()
+                if q_i is None:
+                    break                 # nothing has arrived yet
+                sid, ids = queue.pop(q_i)
                 rec(sid, "arrive", arrivals.get(sid, 0.0))
                 rec(sid, "admit", now())
                 self._admit(sid, np.asarray(ids, np.int32))
@@ -501,9 +529,9 @@ class BatchEngine:
         admit_all()
         while queue or any(not s.done for s in self.slots):
             if not any(not s.done for s in self.slots):
-                # pool idle, requests still queued: sleep until the FIFO
-                # head arrives (admission is strictly FIFO)
-                time.sleep(max(0.0, arrivals.get(queue[0][0], 0.0) - now()))
+                # pool idle, requests still queued: sleep until the next
+                # arrival, then admit
+                sleep_to_next_arrival()
                 admit_all()
                 continue
             decode_once()

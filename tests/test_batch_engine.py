@@ -235,3 +235,32 @@ def test_interleaved_admission_matches_monolithic(setup):
     for sid, ev in timing.items():
         assert ev["arrive"] <= ev["admit"] <= ev["first"] <= ev["done"]
         assert len(ev["token_times"]) == len(out_i[sid])
+
+
+def test_spf_admission_orders_short_first(setup):
+    """admission="spf": among ARRIVED queued requests, the shortest prompt
+    admits first (burst of one long + one short behind a full pool), and
+    a not-yet-arrived FIFO head does not block an arrived request."""
+    ecfg, params = setup
+    rng = np.random.default_rng(11)
+    long_p = rng.integers(0, ecfg.model.vocab_size, size=256).astype(np.int32)
+    short_p = rng.integers(0, ecfg.model.vocab_size, size=64).astype(np.int32)
+    be = BatchEngine(ecfg, params, batch_size=1, prefill_len=256,
+                     max_new_tokens=6, dtype=jnp.float32)
+    # queue order: filler, long, short — all arrive at t=0; pool of 1
+    timing = {}
+    out = be.run([(0, long_p), (1, long_p), (2, short_p)], chunk=3,
+                 timing=timing, admission="spf")
+    assert set(out) == {0, 1, 2}
+    # after the filler, the SHORT request must admit before the long one
+    assert timing[2]["admit"] < timing[1]["admit"]
+
+    # fifo + late head: head arrives last, others at 0 — arrived requests
+    # admit first (no head-of-line block on a future arrival)
+    timing = {}
+    out = be.run([(0, long_p), (1, short_p), (2, short_p)], chunk=3,
+                 arrivals={0: 1.5, 1: 0.0, 2: 0.0},
+                 timing=timing, admission="fifo")
+    assert set(out) == {0, 1, 2}
+    assert timing[1]["admit"] < timing[0]["admit"]
+    assert timing[2]["admit"] < timing[0]["admit"]
