@@ -113,6 +113,13 @@ def main():
         mlp_chunk=int(os.environ.get("BENCH_MLP_CHUNK", "16384")))
 
     params = llama.init_params(model, jax.random.PRNGKey(0))
+    # BENCH_W_INT8=1: weight-only int8 (core/quant.quantize_weight_tree) —
+    # halves the weight-streaming bytes that dominate the decode step
+    # (trace r5: MLP 3.76 + proj 0.87 + lm_head 1.39 of 14.19 ms at B=16)
+    w_int8 = os.environ.get("BENCH_W_INT8", "0") == "1"
+    if w_int8:
+        from pqcache_tpu.core import quant
+        params = quant.quantize_weight_tree(params)
     rng = np.random.default_rng(0)
     ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
 
@@ -274,6 +281,7 @@ def main():
                                else None),
             "ctx": ctx, "layers": layers, "batch": B,
             "select_block": sel_block, "pq_kv_dtype": kv_dtype,
+            "w_int8": w_int8,
         },
     }))
 

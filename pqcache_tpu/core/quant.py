@@ -88,3 +88,50 @@ def dequant_kv(kv: jax.Array, k_scale: jax.Array, v_scale: jax.Array,
     k = kv[..., :D].astype(jnp.float32) * k_scale
     v = kv[..., D:].astype(jnp.float32) * v_scale
     return k.astype(dtype), v.astype(dtype)
+
+
+# -- weight-only int8 (W8A16) -------------------------------------------------
+#
+# Decode is weight-streaming-bound (B=16 @ 32k: the MLP/projection/lm_head
+# reads are ~6 ms of the 14 ms step); per-OUT-COLUMN int8 weights halve
+# those HBM bytes. The scale factors out of the matmul exactly —
+#     x @ (W8 ⊙ s_col) = (x @ W8) ⊙ s_col
+# — so the compute path converts W8 to bf16 inside the dot (XLA keeps the
+# int8 operand in HBM; measured 1.38× on the 8×[gate+down] probe,
+# tools_w8_probe.py) and applies the [1, out] scale to the small output.
+# The reference has no weight quantization at all.
+
+_W_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def quantize_weight_mat(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., in, out] float → (int8 weights, per-out-column scales
+    [..., 1, out] of the input dtype)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(w.dtype)
+
+
+def quantize_weight_tree(params: dict, *, embed: bool = True) -> dict:
+    """int8-quantize the stacked layer matrices (+ lm_head, and the
+    embedding with per-ROW scales when `embed`). Returns a NEW params
+    pytree with the same keys plus '<name>_s' scale siblings; the model
+    stack (models/llama.py _mm / embed_lookup / lm_head_logits) consumes
+    either layout transparently."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _W_KEYS:
+        layers[k], layers[k + "_s"] = quantize_weight_mat(layers[k])
+    out["layers"] = layers
+    lm, lm_s = quantize_weight_mat(params["lm_head"])
+    out["lm_head"], out["lm_head_s"] = lm, lm_s
+    if embed:
+        e = params["embed"].astype(jnp.float32)          # [V, E]
+        s = jnp.maximum(jnp.max(jnp.abs(e), axis=1, keepdims=True) / 127.0,
+                        1e-12)
+        out["embed"] = jnp.clip(jnp.round(e / s), -127, 127
+                                ).astype(jnp.int8)
+        out["embed_s"] = s.astype(params["embed"].dtype)
+    return out

@@ -168,7 +168,11 @@ def main():
         }))
         return
     off = OffloadEngine(cfg, params)
-    off.generate(ids, max_new_tokens=4)                # compile
+    # warm-up MUST use the measured max_new_tokens: the budget's
+    # n_tail_max rounds to 256-multiples, so a smaller warm-up GEN can
+    # give different program shapes and the timed run recompiles
+    # everything inside the timed region (same fix as the batch arms, r4)
+    off.generate(ids, max_new_tokens=GEN)              # compile
     t0 = time.perf_counter()
     toks = off.generate(ids, max_new_tokens=GEN)
     dt = time.perf_counter() - t0

@@ -66,6 +66,36 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
 # ---------------------------------------------------------------------------
 # Primitive blocks
 
+def _mm(x: jax.Array, lp: dict, name: str) -> jax.Array:
+    """x @ lp[name], transparently handling weight-only int8
+    (core/quant.quantize_weight_tree): the int8 operand streams from HBM
+    at half the bytes, converts inside the dot, and the per-out-column
+    scale applies to the SMALL output — x @ (W8 ⊙ s) == (x @ W8) ⊙ s."""
+    w = lp[name]
+    if w.dtype == jnp.int8:
+        return (x @ w.astype(x.dtype)) * lp[name + "_s"].astype(x.dtype)
+    return x @ w
+
+
+def embed_lookup(params: dict, tokens: jax.Array) -> jax.Array:
+    """Embedding rows for `tokens` (int8 tables carry per-row scales)."""
+    e = params["embed"]
+    h = jnp.take(e, tokens, axis=0)
+    if e.dtype == jnp.int8:
+        s = jnp.take(params["embed_s"], tokens, axis=0)
+        h = h.astype(s.dtype) * s
+    return h
+
+
+def lm_head_logits(params: dict, last: jax.Array) -> jax.Array:
+    """last [., E] @ lm_head → f32 logits (int8 head post-scales)."""
+    w = params["lm_head"]
+    if w.dtype == jnp.int8:
+        return ((last @ w.astype(last.dtype)).astype(jnp.float32)
+                * params["lm_head_s"].astype(jnp.float32))
+    return (last @ w).astype(jnp.float32)
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -117,8 +147,8 @@ def mlp(lp: dict, x: jax.Array, chunk: int = 16384) -> jax.Array:
     T = x.shape[0]
 
     def one(xc):
-        g = jax.nn.silu(xc @ lp["gate"])
-        return (g * (xc @ lp["up"])) @ lp["down"]
+        g = jax.nn.silu(_mm(xc, lp, "gate"))
+        return _mm(g * _mm(xc, lp, "up"), lp, "down")
 
     if chunk <= 0 or T <= chunk or T % chunk != 0:
         return one(x)
@@ -139,15 +169,15 @@ def mlp(lp: dict, x: jax.Array, chunk: int = 16384) -> jax.Array:
 def _q_proj(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
     T = h_norm.shape[0]
     H, D = cfg.num_heads, cfg.head_dim
-    q = (h_norm @ lp["wq"]).reshape(T, H, D).transpose(1, 0, 2)
+    q = _mm(h_norm, lp, "wq").reshape(T, H, D).transpose(1, 0, 2)
     return apply_rope(q, cos, sin)
 
 
 def _kv_proj(cfg: ModelConfig, lp: dict, h_norm: jax.Array, cos, sin):
     T = h_norm.shape[0]
     Hkv, D = cfg.num_kv_heads, cfg.head_dim
-    k = (h_norm @ lp["wk"]).reshape(T, Hkv, D).transpose(1, 0, 2)
-    v = (h_norm @ lp["wv"]).reshape(T, Hkv, D).transpose(1, 0, 2)
+    k = _mm(h_norm, lp, "wk").reshape(T, Hkv, D).transpose(1, 0, 2)
+    v = _mm(h_norm, lp, "wv").reshape(T, Hkv, D).transpose(1, 0, 2)
     return apply_rope(k, cos, sin), v
 
 
@@ -167,7 +197,7 @@ def _finish_layer(cfg: ModelConfig, lp: dict, hidden: jax.Array,
     row-parallel projections (attention output, MLP down) are psum-reduced
     — the Megatron pattern, expressed manually so Pallas kernels upstream
     run per-shard."""
-    attn_out = att @ lp["wo"]
+    attn_out = _mm(att, lp, "wo")
     if axis_name is not None:
         attn_out = jax.lax.psum(attn_out, axis_name)
     hidden = hidden + attn_out
@@ -200,7 +230,7 @@ def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
     pad_len = jnp.asarray(pad_len, jnp.int32)
     true_len = jnp.asarray(true_len, jnp.int32)
 
-    hidden = jnp.take(params["embed"], tokens, axis=0)
+    hidden = embed_lookup(params, tokens)
     positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_len, 0)
     cos, sin = rope_cos_sin(cfg, positions)
 
@@ -218,7 +248,7 @@ def prefill(cfg: ModelConfig, params: dict, policy, state: Any,
         (params["layers"], jnp.arange(L, dtype=jnp.int32)))
 
     last = rms_norm(hidden[P - 1:P], params["final_norm"], cfg.rms_norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = lm_head_logits(params, last)[0]
     return logits, new_state
 
 
@@ -293,7 +323,7 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
     use_pallas = getattr(policy, "use_pallas", None)
     interpret = getattr(policy, "interpret", False)
 
-    hidden = jnp.take(params["embed"], tokens, axis=0)
+    hidden = embed_lookup(params, tokens)
     positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_len, 0)
     cos, sin = rope_cos_sin(cfg, positions)
 
@@ -336,7 +366,7 @@ def prefill_chunked(cfg: ModelConfig, params: dict, policy, state: Any,
         (params["layers"], jnp.arange(L, dtype=jnp.int32)))
 
     last = rms_norm(hidden[P - 1:P], params["final_norm"], cfg.rms_norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = lm_head_logits(params, last)[0]
     return logits, new_state
 
 
@@ -412,7 +442,7 @@ def prefill_finish_tail(cfg: ModelConfig, params: dict, policy, state: Any,
     state, _ = jax.lax.scan(
         body, state, (kbuf, vbuf, jnp.arange(L, dtype=jnp.int32)))
     last = rms_norm(h_last[-1:], params["final_norm"], cfg.rms_norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = lm_head_logits(params, last)[0]
     return logits, state
 
 
@@ -432,7 +462,7 @@ def prefill_capture_kv(cfg: ModelConfig, params: dict, tokens: jax.Array,
 
     P = tokens.shape[0]
     L = cfg.num_layers
-    hidden = jnp.take(params["embed"], tokens, axis=0)
+    hidden = embed_lookup(params, tokens)
     cos, sin = rope_cos_sin(cfg, jnp.arange(P, dtype=jnp.int32))
 
     def body(hidden, lp):
@@ -472,7 +502,7 @@ def prefill_with_prefix(cfg: ModelConfig, params: dict, policy, state: Any,
     use_pallas = getattr(policy, "use_pallas", None)
     interpret = getattr(policy, "interpret", False)
 
-    hidden = jnp.take(params["embed"], tokens, axis=0)
+    hidden = embed_lookup(params, tokens)
     positions = T_pre + jnp.arange(P_suf, dtype=jnp.int32)
     cos, sin = rope_cos_sin(cfg, positions)
 
@@ -499,7 +529,7 @@ def prefill_with_prefix(cfg: ModelConfig, params: dict, policy, state: Any,
         hidden, (true_suf - 1, jnp.asarray(0, jnp.int32)),
         (1, cfg.hidden_size))
     last = rms_norm(last_row, params["final_norm"], cfg.rms_norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = lm_head_logits(params, last)[0]
     return logits, new_state
 
 
@@ -509,7 +539,7 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
     """One greedy-decode step. token i32 scalar; pos = absolute position.
     Returns (logits [V], updated state)."""
     L = cfg.num_layers
-    hidden = jnp.take(params["embed"], token[None], axis=0)  # [1, E]
+    hidden = embed_lookup(params, token[None])  # [1, E]
     cos, sin = rope_cos_sin(cfg, pos[None].astype(jnp.int32))
 
     shared = policy.shared_pre(state)
@@ -538,7 +568,7 @@ def decode_step(cfg: ModelConfig, params: dict, policy, state: Any,
     new_state = policy.shared_post(new_state, shared)
 
     last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = lm_head_logits(params, last)[0]
     return logits, new_state
 
 
@@ -573,7 +603,7 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
     L = cfg.num_layers
     B = tokens.shape[0]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    hidden = jnp.take(params["embed"], tokens, axis=0)        # [B, E]
+    hidden = embed_lookup(params, tokens)        # [B, E]
     cos, sin = rope_cos_sin(cfg, pos.astype(jnp.int32))       # [B, D/2]
 
     shared = policy.shared_pre_batched(state)
@@ -584,10 +614,10 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
         lp, idx = xs
         h_norm = rms_norm(hidden, lp["ln1"], cfg.rms_norm_eps)
         q = _apply_rope_batched(
-            (h_norm @ lp["wq"]).reshape(B, H, D), cos, sin)
+            _mm(h_norm, lp, "wq").reshape(B, H, D), cos, sin)
         k = _apply_rope_batched(
-            (h_norm @ lp["wk"]).reshape(B, Hkv, D), cos, sin)
-        v = (h_norm @ lp["wv"]).reshape(B, Hkv, D)
+            _mm(h_norm, lp, "wk").reshape(B, Hkv, D), cos, sin)
+        v = _mm(h_norm, lp, "wv").reshape(B, Hkv, D)
         attn, ls_out = policy.decode_attn_batched(state, idx, q, k, v,
                                                   shared)
         hidden = _finish_layer(cfg, lp, hidden, attn.reshape(B, H * D),
@@ -605,7 +635,7 @@ def decode_step_batched(cfg: ModelConfig, params: dict, policy, state: Any,
     new_state = policy.shared_post_batched(new_state, shared)
 
     last = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(params, last)
     return logits, new_state
 
 

@@ -117,6 +117,10 @@ class OffloadEngine:
         # shard_map; this axis psum-reduces the row-parallel projections
         # and offsets the kmeans++ group seeds to the global head ids
         self.tp_axis: Optional[str] = None
+        # diagnostics: set to [] before generate() to record each decode
+        # step's per-layer block selections (exact mode only) — used by
+        # synth_quality --offload-locality to measure selection overlap
+        self.selection_log: Optional[list] = None
 
     def _budget(self, P: int, max_new: int) -> Budget:
         return compute_budget(self.cfg.budget, P, max_new)
@@ -745,6 +749,8 @@ class OffloadEngine:
                                 k_new, v_new, *args)
                     kv_evs.append(kv_ev)
                 blk_prev = rec if self.stale else None
+                if self.selection_log is not None:
+                    self.selection_log.append([b.copy() for b in rec])
             # evicted tokens beyond the prefilled region extend the store
             # (prefill already stored positions < true_len - sink; the
             # first `local` evictions re-evict stored prompt tokens)

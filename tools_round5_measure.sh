@@ -58,6 +58,37 @@ stale)
       CACHE_TOKENS=98304 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
       KV_INT8=1 STALE=1 python -m pqcache_tpu.harness.offload_bench
   ;;
+serving)
+  # Operating curve: offered load (stagger) sweep at pool 8/16 — where is
+  # the knee where ttft_p95 departs from service time? Plus the admission
+  # disciplines under mixed prompt lengths (spf vs fifo).
+  for S in 0 0.5 1 2; do
+    run serving_pool16_s${S} python -m pqcache_tpu.harness.serving \
+        --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
+        --stagger $S --policies pq_search
+  done
+  run serving_pool8_s0 python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 8 --requests 24 --gen 64 --kv-dtype int8 \
+      --stagger 0 --policies pq_search
+  run serving_pool8_s1 python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 8 --requests 24 --gen 64 --kv-dtype int8 \
+      --stagger 1 --policies pq_search
+  run serving_mixed_fifo python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 8 --requests 24 --gen 64 --kv-dtype int8 \
+      --stagger 0.5 --mixed-prompts --policies pq_search
+  run serving_mixed_spf python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 8 --requests 24 --gen 64 --kv-dtype int8 \
+      --stagger 0.5 --mixed-prompts --admission spf --policies pq_search
+  ;;
+redo)
+  # clean re-runs of arms that ran concurrently with another TPU process
+  run offload_192k_int8_stale_c384r env CTX=196608 LAYERS=8 GEN=48 \
+      CACHE_TOKENS=98304 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 STALE=1 python -m pqcache_tpu.harness.offload_bench
+  run offload_192k_int8_exact_c640 env CTX=196608 LAYERS=8 GEN=48 \
+      CACHE_TOKENS=163840 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 python -m pqcache_tpu.harness.offload_bench
+  ;;
 *)
   echo "unknown set $SET" >&2; exit 2;;
 esac
