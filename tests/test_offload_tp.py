@@ -93,3 +93,22 @@ def test_sharded_offload_long_run_tail_flush(setup):
     # generated tokens must have flushed at least one tail block
     assert any(eng._valid[i] > valid0[i] for i in range(2)), \
         (list(eng._valid), valid0)
+
+
+def test_generate_ring_matches_single_device_offload(setup):
+    """Ring-prefill → sharded-offload handoff: sequence-sharded prefill +
+    all_to_all reshard + per-shard _tail_update must decode the same
+    tokens as the single-device OffloadEngine prefilled from tokens
+    (same kmeans seeds via global group ids; ring attention at f32)."""
+    from pqcache_tpu.runtime.offload_engine import OffloadEngine
+    ecfg, params, prompts = setup
+    devs = np.array(jax.devices()[:2]).reshape(1, 2)
+    mesh = Mesh(devs, ("dp", "tp"))
+    eng = ShardedOffloadEngine(ecfg, params, mesh, batch_size=1,
+                               dtype=jnp.float32)
+    ring_toks = eng.generate_ring(prompts[0], max_new_tokens=10)
+    ref = OffloadEngine(ecfg, params, dtype=jnp.float32).generate(
+        prompts[0], max_new_tokens=10)
+    agree = sum(a == b for a, b in zip(ring_toks, ref))
+    assert agree >= 9, (ring_toks, ref)
+    assert eng.hit_rate > 0.0

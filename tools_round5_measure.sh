@@ -89,6 +89,23 @@ redo)
       CACHE_TOKENS=163840 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
       KV_INT8=1 python -m pqcache_tpu.harness.offload_bench
   ;;
+bench)
+  # headline arms with weight-only int8 (BENCH_W_INT8) + the full-depth
+  # 32L shape that int8 weights make fit (bf16 params alone are 16.05 GB)
+  run bench_B8_w8 env BENCH_BATCH=8 BENCH_W_INT8=1 python bench.py
+  run bench_B16 env BENCH_BATCH=16 BENCH_SKIP_BASE=1 python bench.py
+  run bench_B16_w8 env BENCH_BATCH=16 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      python bench.py
+  run bench_B20_w8 env BENCH_BATCH=20 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      python bench.py
+  run bench_32L_B2_16k_w8 env BENCH_LAYERS=32 BENCH_BATCH=2 \
+      BENCH_CTX=16384 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 python bench.py
+  run bench_32L_B4_16k_w8 env BENCH_LAYERS=32 BENCH_BATCH=4 \
+      BENCH_CTX=16384 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 python bench.py
+  run serving_pool16_s2_retry python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
+      --stagger 2 --policies pq_search
+  ;;
 *)
   echo "unknown set $SET" >&2; exit 2;;
 esac
