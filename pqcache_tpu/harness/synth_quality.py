@@ -292,6 +292,9 @@ def run_offload_locality(args) -> None:
     params = train(cfg, n, args.steps, batch=args.batch,
                    log_every=max(args.steps // 6, 1))
     train_s = time.perf_counter() - t0
+    if getattr(args, "weight_int8", False):
+        from pqcache_tpu.core import quant
+        params = quant.quantize_weight_tree(params)
     rng = np.random.default_rng(321)
     toks = gen_copy(rng, n, 2)
     k_prefix = 4
@@ -384,6 +387,9 @@ def run_recall(args) -> None:
     params = train(cfg, n, args.steps, batch=args.batch,
                    log_every=max(args.steps // 6, 1), varlen=True)
     train_s = time.perf_counter() - t0
+    if getattr(args, "weight_int8", False):
+        from pqcache_tpu.core import quant
+        params = quant.quantize_weight_tree(params)
     if args.budget_grid:
         grid = {}
         for comp in (0.05, 0.1, 0.2):
@@ -456,6 +462,12 @@ def main(argv=None):
     ap.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
                     choices=["bf16", "int8"],
                     help="pq_search HBM-tail dtype (int8 quality check)")
+    ap.add_argument("--weight-int8", dest="weight_int8",
+                    action="store_true",
+                    help="quantize the trained weights to int8 (W8A16, "
+                         "core/quant.quantize_weight_tree) before the "
+                         "engine evals — the quality gate for the "
+                         "BENCH_W_INT8 serving configuration")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tiny models train/eval "
                          "fine on CPU and this avoids touching a TPU that "
@@ -483,6 +495,9 @@ def main(argv=None):
     params = train(cfg, args.n, args.steps, batch=args.batch,
                    log_every=max(args.steps // 6, 1))
     train_s = time.perf_counter() - t0
+    if getattr(args, "weight_int8", False):
+        from pqcache_tpu.core import quant
+        params = quant.quantize_weight_tree(params)
     if args.budget_grid:
         grid = {}
         for comp in (0.05, 0.1, 0.2):

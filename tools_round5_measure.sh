@@ -106,6 +106,23 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
+bench2)
+  ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
 esac
+# appended sets run via: bash tools_round5_measure.sh <set>
+if [ "$SET" = bench2 ]; then
+  run bench_32L_B2_8k_w8 env BENCH_LAYERS=32 BENCH_BATCH=2 \
+      BENCH_CTX=8192 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      BENCH_MLP_CHUNK=8192 python bench.py
+  run bench_32L_B1_16k_w8 env BENCH_LAYERS=32 BENCH_BATCH=1 \
+      BENCH_CTX=16384 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      BENCH_PREFILL_CHUNK=8192 BENCH_MLP_CHUNK=8192 python bench.py
+  run bench_B16_w8_fp32par env BENCH_BATCH=16 BENCH_W_INT8=1 \
+      BENCH_SKIP_BASE=1 BENCH_FETCH_PAR=32 python bench.py
+  run bench_B16_w8_fp8 env BENCH_BATCH=16 BENCH_W_INT8=1 \
+      BENCH_SKIP_BASE=1 BENCH_FETCH_PAR=8 python bench.py
+  run bench_B24_w8 env BENCH_BATCH=24 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      python bench.py
+fi
