@@ -112,14 +112,21 @@ def main():
         # prefill-MLP chunk A/B (0 = unchunked); see ModelConfig.mlp_chunk
         mlp_chunk=int(os.environ.get("BENCH_MLP_CHUNK", "16384")))
 
-    params = llama.init_params(model, jax.random.PRNGKey(0))
     # BENCH_W_INT8=1: weight-only int8 (core/quant.quantize_weight_tree) —
     # halves the weight-streaming bytes that dominate the decode step
-    # (trace r5: MLP 3.76 + proj 0.87 + lm_head 1.39 of 14.19 ms at B=16)
+    # (trace r5: MLP 3.76 + proj 0.87 + lm_head 1.39 of 14.19 ms at B=16).
+    # Init + quantize on the HOST: materializing the bf16 params on device
+    # first OOMs exactly the full-depth shapes W8 exists to enable (32L
+    # llama31-width bf16 = 16.05 GB > the whole chip).
     w_int8 = os.environ.get("BENCH_W_INT8", "0") == "1"
     if w_int8:
         from pqcache_tpu.core import quant
-        params = quant.quantize_weight_tree(params)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = llama.init_params(model, jax.random.PRNGKey(0))
+            params = quant.quantize_weight_tree(params)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
 

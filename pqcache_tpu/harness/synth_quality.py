@@ -93,30 +93,42 @@ def gen_copy_varlen(rng: np.random.Generator, n: int, batch: int
 # regime — the copy objective forms the same circuit reliably.)
 # Reference protocol: test_nah.py:17-92 (needle at controlled depths).
 
-KEY_LO, KEY_HI = 2, 258          # key alphabet
-VAL_LO, VAL_HI = 258, VOCAB      # value alphabet
+KEY_LO, KEY_HI = 2, 172          # key alphabet
+V1_LO, V1_HI = 172, 342          # first-value alphabet
+V2_LO, V2_HI = 342, VOCAB        # second-value alphabet
 
 
 def gen_kv(rng: np.random.Generator, m: int, batch: int,
            depth: float | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """[B, 2m+2] sequences ``k1 v1 ... km vm kq a`` with UNIQUE keys
-    (a = the queried pair's value). depth: queried pair's position as a
-    fraction (0 = oldest), None = uniform. Returns (tokens, answer_pos)."""
-    assert m <= KEY_HI - KEY_LO
+    """[B, 3m+3] sequences ``k1 v11 v12 ... km vm1 vm2 kq a1 a2`` with
+    UNIQUE keys and UNIQUE first-values (TRIPLET pairs: the value is two
+    tokens). The split matters for what the eval can measure: a1 comes
+    from the PREFILL logits (budget-independent — every policy prefills
+    dense), but a2 is generated at a DECODE step whose induction lookup
+    (previous occurrence of a1 → following token) targets the queried
+    triplet's position deep in the evicted middle — a budgeted policy
+    scores a2 only if its decode-time retrieval finds that pair's block.
+    depth: queried pair's position as a fraction (0 = oldest), None =
+    uniform. Returns (tokens, a1_pos = 3m+1)."""
+    assert m <= KEY_HI - KEY_LO and m <= V1_HI - V1_LO
     keys = np.stack([rng.permutation(np.arange(KEY_LO, KEY_HI))[:m]
                      for _ in range(batch)])
-    vals = rng.integers(VAL_LO, VAL_HI, size=(batch, m))
+    v1 = np.stack([rng.permutation(np.arange(V1_LO, V1_HI))[:m]
+                   for _ in range(batch)])
+    v2 = rng.integers(V2_LO, V2_HI, size=(batch, m))
     if depth is None:
         qi = rng.integers(0, m, size=batch)
     else:
         qi = np.full((batch,), min(int(m * depth), m - 1))
-    seq = np.empty((batch, 2 * m + 2), np.int32)
-    seq[:, 0:2 * m:2] = keys
-    seq[:, 1:2 * m + 1:2] = vals
+    seq = np.empty((batch, 3 * m + 3), np.int32)
+    seq[:, 0:3 * m:3] = keys
+    seq[:, 1:3 * m + 1:3] = v1
+    seq[:, 2:3 * m + 2:3] = v2
     ar = np.arange(batch)
-    seq[:, 2 * m] = keys[ar, qi]
-    seq[:, 2 * m + 1] = vals[ar, qi]
-    return seq, 2 * m + 1
+    seq[:, 3 * m] = keys[ar, qi]
+    seq[:, 3 * m + 1] = v1[ar, qi]
+    seq[:, 3 * m + 2] = v2[ar, qi]
+    return seq, 3 * m + 1
 
 
 def evaluate_kv(cfg: ModelConfig, params: dict, policies, m: int,
@@ -130,7 +142,7 @@ def evaluate_kv(cfg: ModelConfig, params: dict, policies, m: int,
     rng = np.random.default_rng(seed)
     toks, apos = gen_kv(rng, m, eval_n, depth=depth)
     prompt = toks[:, :apos]
-    target = toks[:, apos]
+    t1, t2 = toks[:, apos], toks[:, apos + 1]
     T = prompt.shape[1]
     out = {}
     for name in policies:
@@ -147,11 +159,15 @@ def evaluate_kv(cfg: ModelConfig, params: dict, policies, m: int,
                                   max_seq_len=2 * (T + 8),
                                   kernels="xla"))
         eng = Engine(ecfg, params, dtype=jnp.float32)
-        correct = 0
+        c1 = c2 = 0
         for i in range(eval_n):
-            res = eng.generate(prompt[i], max_new_tokens=1)
-            correct += int(res.tokens[0] == target[i])
-        out[name] = round(correct / eval_n, 4)
+            res = eng.generate(prompt[i], max_new_tokens=2)
+            c1 += int(res.tokens[0] == t1[i])
+            # a2 is the DECODE-retrieval measurement: scored only when a1
+            # was right (a wrong a1 makes a2's lookup target undefined)
+            c2 += int(res.tokens[0] == t1[i] and res.tokens[1] == t2[i])
+        out[name] = {"a1_prefill": round(c1 / eval_n, 4),
+                     "a2_decode_retrieval": round(c2 / max(c1, 1), 4)}
     return out
 
 
@@ -379,9 +395,9 @@ def run_offload_locality(args) -> None:
 def run_recall(args) -> None:
     # train the COPY objective (forms the induction circuit reliably);
     # evaluate zero-shot associative recall through the engine. n chosen
-    # so the recall prompt (2m+2) sits inside the trained length (2n).
+    # so the recall prompt (3m+2) sits inside the trained length (2n).
     m = args.pairs
-    n = max(m + 2, args.n)
+    n = max((3 * m + 4) // 2, args.n)
     cfg = model_config(n)
     t0 = time.perf_counter()
     params = train(cfg, n, args.steps, batch=args.batch,

@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2)
+bench2|bench3)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -125,4 +125,12 @@ if [ "$SET" = bench2 ]; then
       BENCH_SKIP_BASE=1 BENCH_FETCH_PAR=8 python bench.py
   run bench_B24_w8 env BENCH_BATCH=24 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
       python bench.py
+fi
+if [ "$SET" = bench3 ]; then
+  run bench_32L_B2_8k_w8r env BENCH_LAYERS=32 BENCH_BATCH=2 \
+      BENCH_CTX=8192 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      BENCH_MLP_CHUNK=8192 python bench.py
+  run bench_32L_B2_16k_w8r env BENCH_LAYERS=32 BENCH_BATCH=2 \
+      BENCH_CTX=16384 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      BENCH_PREFILL_CHUNK=8192 BENCH_MLP_CHUNK=8192 python bench.py
 fi
