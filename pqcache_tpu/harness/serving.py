@@ -90,7 +90,16 @@ def run(args) -> list[dict]:
             num_layers=args.layers, num_heads=32, num_kv_heads=8,
             head_dim=128, rope_theta=500000.0, rope_scaling_factor=8.0,
             max_position_embeddings=131072)
-    params = llama.init_params(model, jax.random.PRNGKey(0))
+    if args.weight_int8:
+        # init + quantize on the host; ship int8 (a bf16-first init of
+        # deep models OOMs the chip the quantization exists to fit)
+        from pqcache_tpu.core import quant
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = llama.init_params(model, jax.random.PRNGKey(0))
+            params = quant.quantize_weight_tree(params)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     if args.mixed_prompts:
         lens = rng.integers(args.ctx // 4, args.ctx + 1,
@@ -156,6 +165,7 @@ def run(args) -> list[dict]:
                "prefix_len": args.prefix_len,
                "interleave": eng.interleave,
                "admission": args.admission,
+               "weight_int8": args.weight_int8,
                "wall_s": round(wall, 3), **summarize(timing, wall)}
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -211,6 +221,11 @@ def parse_args(argv=None):
     p.add_argument("--fetch-par", type=int, default=16)
     p.add_argument("--policies", nargs="*",
                    default=["pq_search", "original"])
+    p.add_argument("--weight-int8", dest="weight_int8",
+                   action="store_true",
+                   help="weight-only int8 (quantize_weight_tree): halves "
+                        "weight-streaming bytes — the decode-chunk tbt "
+                        "floor — and frees ~2.6 GiB of pool headroom")
     p.add_argument("--tiny", action="store_true",
                    help="toy model widths (CPU smoke test of the harness)")
     return p.parse_args(argv)

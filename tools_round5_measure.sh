@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3)
+bench2|bench3|final)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -133,4 +133,19 @@ if [ "$SET" = bench3 ]; then
   run bench_32L_B2_16k_w8r env BENCH_LAYERS=32 BENCH_BATCH=2 \
       BENCH_CTX=16384 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
       BENCH_PREFILL_CHUNK=8192 BENCH_MLP_CHUNK=8192 python bench.py
+fi
+if [ "$SET" = final ]; then
+  # steady-state offload (hundreds of decode steps; LFU past cold start)
+  run offload_192k_stale_c640_gen200 env CTX=196608 LAYERS=8 GEN=200 \
+      CACHE_TOKENS=163840 BLOCK=256 PREFILL_CHUNK=32768 SKIP_HBM=1 \
+      KV_INT8=1 STALE=1 python -m pqcache_tpu.harness.offload_bench
+  # serving with weight-int8: pool 16 + the pool headroom it frees
+  run serving_pool16_w8 python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
+      --weight-int8 --stagger 1 --policies pq_search
+  run serving_pool24_w8 python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 24 --requests 32 --gen 64 --kv-dtype int8 \
+      --weight-int8 --stagger 1 --policies pq_search
+  # headline defaults re-run (the driver's end-of-round command)
+  run bench_headline python bench.py
 fi
