@@ -236,7 +236,7 @@ class BatchTPEngine:
         pol = self.policy
 
         def f(p, kbuf, vbuf, toks_c, pad):
-            hidden_c = jnp.take(p["embed"], toks_c[0], axis=0)
+            hidden_c = llama.embed_lookup(p, toks_c[0])
             kb, vb, h = llama.prefill_chunk_step(
                 local_m, p, kbuf[0], vbuf[0], hidden_c, pad[0], c0,
                 use_pallas=getattr(pol, "use_pallas", None),

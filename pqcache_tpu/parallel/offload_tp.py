@@ -332,7 +332,7 @@ class ShardedOffloadEngine:
             h0 = hidden[0]
             last = llama.rms_norm(h0[-1:], pout["final_norm"],
                                   lm.rms_norm_eps)
-            logits = (last @ pout["lm_head"]).astype(jnp.float32)[0]
+            logits = llama.lm_head_logits(pout, last)[0]
             return jnp.argmax(logits).astype(jnp.int32)[None]
 
         self._pf_logits = jax.jit(shard_map(
@@ -582,8 +582,7 @@ class ShardedOffloadEngine:
                 tlens[g] = len(ids)
                 toks[g, pads[g]:] = ids
             pf = self._zeros_state(b, self.dp)
-            hidden = jnp.take(jnp.asarray(self.params["embed"]),
-                              jnp.asarray(toks), axis=0)
+            hidden = llama.embed_lookup(self.params, jnp.asarray(toks))
             hidden = jax.device_put(
                 hidden, NamedSharding(self.mesh, P("dp", None, None)))
             rems = np.zeros((self.dp, L, self.H_kv, self.bs, 2 * self.D),

@@ -145,7 +145,7 @@ def ring_forward(model_cfg, params: dict, tokens_local: jax.Array,
     r = jax.lax.axis_index(axis_name)
     g0 = r * C  # global index of this shard's first token
 
-    hidden = jnp.take(params["embed"], tokens_local, axis=0)
+    hidden = llama.embed_lookup(params, tokens_local)
     gpos = g0 + jnp.arange(C, dtype=jnp.int32)
     rpos = jnp.maximum(gpos - pad_len, 0)     # rope positions
     cos, sin = llama.rope_cos_sin(m, rpos)
@@ -158,7 +158,7 @@ def ring_forward(model_cfg, params: dict, tokens_local: jax.Array,
         out = ring_attention(q, k, v, gpos, gpos, valid, axis_name,
                              inner=inner)
         attn = out.transpose(1, 0, 2).reshape(C, -1)
-        hidden = hidden + attn @ lp["wo"]
+        hidden = hidden + llama._mm(attn, lp, "wo")
         h2 = llama.rms_norm(hidden, lp["ln2"], m.rms_norm_eps)
         hidden = hidden + llama.mlp(lp, h2)
         kv = jnp.concatenate([k, v], axis=-1)  # [H_kv, C, 2D]
@@ -176,7 +176,7 @@ def ring_forward(model_cfg, params: dict, tokens_local: jax.Array,
     h_last = jnp.where(own, h_last, 0.0)
     h_last = jax.lax.psum(h_last, axis_name)
     last = llama.rms_norm(h_last, params["final_norm"], m.rms_norm_eps)
-    logits = (last @ params["lm_head"]).astype(jnp.float32)[0]
+    logits = llama.lm_head_logits(params, last)[0]
     return logits, kv_layers
 
 

@@ -296,7 +296,7 @@ class BatchEngine:
         pol = self.policy
 
         def f(params, kbuf, vbuf, toks_c, pad):
-            hidden_c = jnp.take(params["embed"], toks_c, axis=0)
+            hidden_c = llama.embed_lookup(params, toks_c)
             return llama.prefill_chunk_step(
                 m, params, kbuf, vbuf, hidden_c, pad, c0,
                 use_pallas=getattr(pol, "use_pallas", None),

@@ -186,10 +186,10 @@ class BatchOffloadEngine:
         H, Hk, D = m.num_heads, m.num_kv_heads, m.head_dim
         h_norm = llama.rms_norm(hidden, lp["ln1"], m.rms_norm_eps)
         q = _apply_rope_batched(
-            (h_norm @ lp["wq"]).reshape(B, H, D), cos, sin)
+            llama._mm(h_norm, lp, "wq").reshape(B, H, D), cos, sin)
         k_new = _apply_rope_batched(
-            (h_norm @ lp["wk"]).reshape(B, Hk, D), cos, sin)
-        v_new = (h_norm @ lp["wv"]).reshape(B, Hk, D)
+            llama._mm(h_norm, lp, "wk").reshape(B, Hk, D), cos, sin)
+        v_new = llama._mm(h_norm, lp, "wv").reshape(B, Hk, D)
         qf = q.reshape(B * H, D)
         q_sub = qf.reshape(B * H, self.S, D // self.S)
         centroids = state.centroids[idx]
@@ -259,7 +259,7 @@ class BatchOffloadEngine:
         ])
 
         attn = out.reshape(B, m.num_heads * D)
-        attn_out = attn @ lp["wo"]
+        attn_out = llama._mm(attn, lp, "wo")
         if self.tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, self.tp_axis)
         hidden = hidden + attn_out
@@ -328,7 +328,7 @@ class BatchOffloadEngine:
 
     def _decode_first_body(self, layers, embed, state, toks, n_sel_h):
         m = self.cfg.model
-        hidden = jnp.take(embed, toks, axis=0)  # [B, E]
+        hidden = jnp.take(embed, toks, axis=0)  # [B, E] (bf16 table)
         cos, sin = llama.rope_cos_sin(m, state.pos)
         lp = jax.tree_util.tree_map(lambda a: a[0], layers)
         q, k, v, blk = self._score_topk_b(
@@ -375,7 +375,7 @@ class BatchOffloadEngine:
         m = self.cfg.model
         last = llama.rms_norm(hidden, params_out["final_norm"],
                               m.rms_norm_eps)
-        logits = (last @ params_out["lm_head"]).astype(jnp.float32)
+        logits = llama.lm_head_logits(params_out, last)
         if self.sampler is None:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:

@@ -239,7 +239,7 @@ class OffloadEngine:
         state = self._tail_update(state, idx, k, v, pad_len, true_len)
 
         attn = out.transpose(1, 0, 2).reshape(P, -1)
-        attn_out = attn @ lp["wo"]
+        attn_out = llama._mm(attn, lp, "wo")
         if self.tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, self.tp_axis)
         hidden = hidden + attn_out
@@ -394,7 +394,7 @@ class OffloadEngine:
         ])
 
         attn = out.transpose(1, 0, 2).reshape(1, -1)
-        hidden = hidden + attn @ lp["wo"]
+        hidden = hidden + llama._mm(attn, lp, "wo")
         h2 = llama.rms_norm(hidden, lp["ln2"], cfg.rms_norm_eps)
         hidden = hidden + llama.mlp(lp, h2)
 
@@ -470,7 +470,7 @@ class OffloadEngine:
         cfg = self.cfg.model
         last = llama.rms_norm(hidden, params_out["final_norm"],
                               cfg.rms_norm_eps)
-        logits = (last @ params_out["lm_head"]).astype(jnp.float32)[0]
+        logits = llama.lm_head_logits(params_out, last)[0]
         if self.sampler is None:
             nxt = jnp.argmax(logits).astype(jnp.int32)
         else:
@@ -522,7 +522,7 @@ class OffloadEngine:
         tl_j = jnp.asarray(true_len, jnp.int32)
         layers = self.params["layers"]
 
-        hidden = jnp.take(self.params["embed"], jnp.asarray(tokens), axis=0)
+        hidden = llama.embed_lookup(self.params, jnp.asarray(tokens))
         positions = jnp.maximum(jnp.arange(P, dtype=jnp.int32) - pad_j, 0)
         cos, sin = llama.rope_cos_sin(m, positions)
         for l in range(m.num_layers):
@@ -552,7 +552,7 @@ class OffloadEngine:
             yield
         last = llama.rms_norm(hidden[P - 1:P], self.params["final_norm"],
                               m.rms_norm_eps)
-        logits = (last @ self.params["lm_head"]).astype(jnp.float32)[0]
+        logits = llama.lm_head_logits(self.params, last)[0]
         return logits, state
 
     def _prefill_pass(self, state, ids, P: int, pad: int, true_len: int,
@@ -656,8 +656,8 @@ class OffloadEngine:
             if next_tok in eos_ids:
                 break
             t_step = time.perf_counter()
-            hidden = jnp.take(self.params["embed"],
-                              jnp.asarray([next_tok], jnp.int32), axis=0)
+            hidden = llama.embed_lookup(
+                self.params, jnp.asarray([next_tok], jnp.int32))
             cos, sin = llama.rope_cos_sin(m, jnp.asarray([pos], jnp.int32))
             # retrievable candidates: scored region ∩ complete pinned blocks
             valid = int(store.valid[0])     # identical across layers

@@ -50,3 +50,33 @@ def test_weight_int8_scale_factorization_exact():
     # dequantized weight is within one scale step of the original
     np.testing.assert_allclose(np.asarray(q.astype(jnp.float32) * s),
                                np.asarray(w), atol=float(s.max()) + 1e-7)
+
+
+def test_weight_int8_offload_engine_matches_float():
+    """W8 through the OFFLOAD tier (the pool16_w8 serving arm caught a
+    direct embed take that produced int8 hidden states)."""
+    import dataclasses
+    from pqcache_tpu.config import CacheConfig
+    from pqcache_tpu.runtime.offload_engine import OffloadEngine
+    cfg = tiny_model_config(num_layers=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                               dtype=jnp.float32)
+    p8 = quant.quantize_weight_tree(params)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=200).astype(np.int32)
+    ecfg = EngineConfig(
+        model=cfg,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=6,
+                    select_block=16),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        cache=CacheConfig(offload=True, block_size=16, hbm_cache_tokens=96,
+                          cache_topk_blocks=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=12, max_seq_len=1024))
+    a = OffloadEngine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=10)
+    b = OffloadEngine(ecfg, p8, dtype=jnp.float32).generate(
+        ids, max_new_tokens=10)
+    agree = sum(x == y for x, y in zip(a, b))
+    assert agree >= 9, (a, b)
