@@ -96,6 +96,15 @@ def lm_head_logits(params: dict, last: jax.Array) -> jax.Array:
     return (last @ w).astype(jnp.float32)
 
 
+def lm_head_params(params: dict) -> dict:
+    """The final-norm + lm-head subset an engine passes to its last-layer
+    program (includes the int8 head's scale row when present)."""
+    out = {"final_norm": params["final_norm"], "lm_head": params["lm_head"]}
+    if "lm_head_s" in params:
+        out["lm_head_s"] = params["lm_head_s"]
+    return out
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)

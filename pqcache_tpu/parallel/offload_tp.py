@@ -725,8 +725,7 @@ class ShardedOffloadEngine:
                                        eos_ids)[0]
 
     def _params_out(self):
-        return {"final_norm": self.params["final_norm"],
-                "lm_head": self.params["lm_head"]}
+        return llama.lm_head_params(self.params)
 
     def _decode_step(self, next_toks: np.ndarray,
                      active: np.ndarray) -> np.ndarray:

@@ -547,8 +547,7 @@ class BatchOffloadEngine:
         fill_j = jnp.asarray(self._fill, jnp.int32)
         do_app_j = jnp.asarray(do_app)
         layers = self.params["layers"]
-        params_out = {"final_norm": self.params["final_norm"],
-                      "lm_head": self.params["lm_head"]}
+        params_out = llama.lm_head_params(self.params)
         hidden, cos, sin, q, k_new, v_new, blk = self._decode_first_b(
             layers, self.params["embed"], self.bstate,
             jnp.asarray(next_toks, jnp.int32), n_sel_h)

@@ -639,8 +639,7 @@ class OffloadEngine:
             next_tok = int(self.sampler(sub, logits))
         yield next_tok
 
-        params_out = {"final_norm": self.params["final_norm"],
-                      "lm_head": self.params["lm_head"]}
+        params_out = llama.lm_head_params(self.params)
         layers = self.params["layers"]
         L = m.num_layers
         pos = true_len
