@@ -112,13 +112,17 @@ def main():
         # prefill-MLP chunk A/B (0 = unchunked); see ModelConfig.mlp_chunk
         mlp_chunk=int(os.environ.get("BENCH_MLP_CHUNK", "16384")))
 
-    # BENCH_W_INT8=1: weight-only int8 (core/quant.quantize_weight_tree) —
+    # Weight-only int8 is the DEFAULT pq arm (BENCH_W_INT8=0 reverts):
     # halves the weight-streaming bytes that dominate the decode step
-    # (trace r5: MLP 3.76 + proj 0.87 + lm_head 1.39 of 14.19 ms at B=16).
+    # (trace r5: MLP 3.76 + proj 0.87 + lm_head 1.39 of 14.19 ms at B=16;
+    # B=8: 768 → 1067 tok/s, B=16: 1243 → 1715). Quality gate: the
+    # trained-copy battery holds the full-attention ceiling with W8
+    # (synth_quality --weight-int8: original 1.0 / pq_search 1.0). The
+    # dense BASELINE always stays bf16 weights.
     # Init + quantize on the HOST: materializing the bf16 params on device
     # first OOMs exactly the full-depth shapes W8 exists to enable (32L
     # llama31-width bf16 = 16.05 GB > the whole chip).
-    w_int8 = os.environ.get("BENCH_W_INT8", "0") == "1"
+    w_int8 = os.environ.get("BENCH_W_INT8", "1") == "1"
     if w_int8:
         from pqcache_tpu.core import quant
         with jax.default_device(jax.devices("cpu")[0]):

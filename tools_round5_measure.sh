@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3|final)
+bench2|bench3|final|final2)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -148,4 +148,15 @@ if [ "$SET" = final ]; then
       --weight-int8 --stagger 1 --policies pq_search
   # headline defaults re-run (the driver's end-of-round command)
   run bench_headline python bench.py
+fi
+if [ "$SET" = final2 ]; then
+  run serving_pool16_w8r python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
+      --weight-int8 --stagger 1 --policies pq_search
+  run serving_pool24_w8r python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 24 --requests 32 --gen 64 --kv-dtype int8 \
+      --weight-int8 --stagger 1 --policies pq_search
+  run bench_headline_w8 python bench.py
+  run bench_B8_w8_fp32 env BENCH_FETCH_PAR=32 BENCH_SKIP_BASE=1 \
+      python bench.py
 fi
