@@ -20,7 +20,8 @@ BENCH_PQ_BLOCK (256; 1 = per-token parity selection — 256 is the
 measured-fastest DMA granularity; when key-importance locality is finer
 than the block it costs recall vs 128, see
 tests/test_recall.py::test_block_granularity_128_vs_256_at_32k),
-BENCH_FETCH_PAR (16).
+BENCH_FETCH_PAR (32), BENCH_W_INT8 (1; the dense baseline always runs
+bf16 weights regardless).
 """
 
 import json
@@ -85,7 +86,9 @@ def main():
     # path (fused block-retrieval kernel; recall-oracle-gated), 1 = the
     # reference's per-token parity mode
     sel_block = int(os.environ.get("BENCH_PQ_BLOCK", "256"))
-    fetch_par = int(os.environ.get("BENCH_FETCH_PAR", "16"))
+    # 32 concurrent block-DMA streams saturate the fetch kernel (measured
+    # B=8: 16→32→64 = 1127→1172→1175 tok/s; B=16: 1715→1839)
+    fetch_par = int(os.environ.get("BENCH_FETCH_PAR", "32"))
     # chunked (activation-bounded) prefill: default ON past 96k, where
     # full-length prefill activations OOM a single chip before the KV does
     pf_chunk = int(os.environ.get(
@@ -123,14 +126,15 @@ def main():
     # first OOMs exactly the full-depth shapes W8 exists to enable (32L
     # llama31-width bf16 = 16.05 GB > the whole chip).
     w_int8 = os.environ.get("BENCH_W_INT8", "1") == "1"
-    if w_int8:
-        from pqcache_tpu.core import quant
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = llama.init_params(model, jax.random.PRNGKey(0))
-            params = quant.quantize_weight_tree(params)
-        params = jax.device_put(params, jax.devices()[0])
-    else:
-        params = llama.init_params(model, jax.random.PRNGKey(0))
+
+    def make_params(quantized: bool):
+        if quantized:
+            from pqcache_tpu.core import quant
+            with jax.default_device(jax.devices("cpu")[0]):
+                p = llama.init_params(model, jax.random.PRNGKey(0))
+                p = quant.quantize_weight_tree(p)
+            return jax.device_put(p, jax.devices()[0])
+        return llama.init_params(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
 
@@ -158,6 +162,10 @@ def main():
     results = {}
     for policy_name in (("pq_search",) if skip_base
                         else ("pq_search", "original")):
+        # W8 applies to the pq arm ONLY — the dense baseline keeps bf16
+        # weights (its quality contract; quantized baseline weights also
+        # inflate its tok/s, understating/overstating vs_baseline)
+        params = make_params(w_int8 and policy_name == "pq_search")
         cfg = EngineConfig(
             model=model,
             pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
@@ -268,7 +276,7 @@ def main():
             "per_step_ms": dt / steps * 1e3,
             "prefill_s": prefill_s,
         }
-        del state, policy
+        del state, policy, params
 
     pq_tok_s = results["pq_search"]["tok_s"]
     base = results.get("original")
