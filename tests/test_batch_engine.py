@@ -264,3 +264,36 @@ def test_spf_admission_orders_short_first(setup):
     assert set(out) == {0, 1, 2}
     assert timing[1]["admit"] < timing[0]["admit"]
     assert timing[2]["admit"] < timing[0]["admit"]
+
+
+def test_weight_int8_interleaved_admission(setup):
+    """W8 params through the INTERLEAVED slab admission (_slab_fn →
+    prefill_chunk_step): the int8 embedding table must dequantize before
+    entering the scan carry (the serving --weight-int8 arm failed with an
+    int8 hidden carry when a slab program took embedding rows directly).
+    Accuracy twin: the same quantized params through the monolithic path
+    must produce identical tokens."""
+    import dataclasses
+    from pqcache_tpu.core import quant
+    ecfg, params = setup
+    p8 = quant.quantize_weight_tree(params)
+    assert p8["embed"].dtype == jnp.int8
+    rng = np.random.default_rng(17)
+    P = 256
+    prompts = [rng.integers(0, ecfg.model.vocab_size, size=P - 11 * i)
+               .astype(np.int32) for i in range(3)]
+    ecfg_c = dataclasses.replace(
+        ecfg, runtime=dataclasses.replace(ecfg.runtime, prefill_chunk=64))
+
+    be_i = BatchEngine(ecfg_c, p8, batch_size=2, prefill_len=P,
+                       max_new_tokens=6, dtype=jnp.float32)
+    assert be_i.interleave
+    out_i = be_i.run([(i, p) for i, p in enumerate(prompts)], chunk=3)
+
+    be_m = BatchEngine(ecfg_c, p8, batch_size=2, prefill_len=P,
+                       max_new_tokens=6, dtype=jnp.float32,
+                       interleave="off")
+    out_m = be_m.run([(i, p) for i, p in enumerate(prompts)], chunk=3)
+    assert set(out_i) == set(out_m) == {0, 1, 2}
+    for i in range(3):
+        assert out_i[i] == out_m[i], (i, out_i[i], out_m[i])

@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3|final|final2)
+bench2|bench3|final|final2|final3)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -159,4 +159,19 @@ if [ "$SET" = final2 ]; then
   run bench_headline_w8 python bench.py
   run bench_B8_w8_fp32 env BENCH_FETCH_PAR=32 BENCH_SKIP_BASE=1 \
       python bench.py
+fi
+if [ "$SET" = final3 ]; then
+  # post-fix serving W8 arms (pool24 RESOURCE_EXHAUSTED: bstate scales
+  # ~0.55 GiB/slot; pool 20 matches the bench-measured B=20 W8 ceiling)
+  run serving_pool16_w8 python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
+      --weight-int8 --stagger 1 --policies pq_search
+  run serving_pool20_w8 python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 20 --requests 28 --gen 64 --kv-dtype int8 \
+      --weight-int8 --stagger 1 --policies pq_search
+  # peak single-chip number: B=20 W8 at the saturating fetch_par
+  run bench_B20_w8_fp32 env BENCH_BATCH=20 BENCH_SKIP_BASE=1 \
+      python bench.py
+  # the driver's end-of-round command, post baseline-bf16 fix
+  run bench_headline_final python bench.py
 fi
