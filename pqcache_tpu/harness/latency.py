@@ -30,24 +30,43 @@ def run(args) -> list[dict]:
         num_layers=args.layers, num_heads=32, num_kv_heads=8, head_dim=128,
         rope_theta=500000.0, rope_scaling_factor=8.0,
         max_position_embeddings=131072)
-    params = llama.init_params(model, jax.random.PRNGKey(0))
+    if args.weight_int8:
+        # quantize on the host; the pq arm streams int8 weights (the
+        # binding cost of single-stream decode) — the dense baseline
+        # keeps bf16 weights, as everywhere (bench.py contract)
+        from pqcache_tpu.core import quant
+        with jax.default_device(jax.devices("cpu")[0]):
+            p_host = llama.init_params(model, jax.random.PRNGKey(0))
+            p8_host = quant.quantize_weight_tree(p_host)
+        params = jax.device_put(p_host, jax.devices()[0])
+        params_w8 = jax.device_put(p8_host, jax.devices()[0])
+        del p_host, p8_host
+    else:
+        params = llama.init_params(model, jax.random.PRNGKey(0))
+        params_w8 = None
     rng = np.random.default_rng(0)
 
     rows = []
     for policy in args.policies:
+        arm_params = (params_w8 if args.weight_int8
+                      and policy != "original" else params)
         for ctx in args.ctx:
+            from pqcache_tpu.config import CacheConfig
             cfg = EngineConfig(
                 model=model,
                 pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
                             select_block=args.select_block),
                 budget=BudgetConfig(compress_ratio=args.compress,
                                     recent_ratio=0.5, sink_size=32),
+                cache=CacheConfig(
+                    kv_dtype=(args.kv_dtype if policy != "original"
+                              else "bf16")),
                 runtime=RuntimeConfig(policy=policy, prefill_bucket=1024,
                                       max_new_tokens=32,
                                       max_seq_len=max(args.ctx) + 2048,
                                       prefill_chunk=args.prefill_chunk),
             )
-            eng = Engine(cfg, params)
+            eng = Engine(cfg, arm_params)
             ids = rng.integers(0, model.vocab_size, size=ctx).astype(np.int32)
 
             # warm-up compiles prefill + both decode-chunk programs
@@ -62,7 +81,10 @@ def run(args) -> list[dict]:
             row = {"policy": policy, "ctx": ctx, "ttft_s": round(ttft, 4),
                    "tt2t_s": round(tt2t, 4),
                    "per_token_ms": round(per_token * 1e3, 3),
-                   "decode_tok_s": round(1.0 / per_token, 2)}
+                   "decode_tok_s": round(1.0 / per_token, 2),
+                   "kv_dtype": cfg.cache.kv_dtype,
+                   "weight_int8": bool(args.weight_int8
+                                       and policy != "original")}
             rows.append(row)
             print(json.dumps(row), flush=True)
             del eng
@@ -82,6 +104,13 @@ def parse_args(argv=None):
     p.add_argument("--prefill-chunk", type=int, default=0,
                    help="chunked (activation-bounded) prefill slab; "
                         "0 = full-length (needed past ~96k on one chip)")
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"],
+                   help="pq KV-tail dtype (baseline stays bf16)")
+    p.add_argument("--weight-int8", dest="weight_int8",
+                   action="store_true",
+                   help="weight-only int8 for the pq arm "
+                        "(core/quant.quantize_weight_tree); the dense "
+                        "baseline keeps bf16 weights")
     return p.parse_args(argv)
 
 

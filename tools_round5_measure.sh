@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3|final|final2|final3)
+bench2|bench3|final|final2|final3|final4)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -174,4 +174,15 @@ if [ "$SET" = final3 ]; then
       python bench.py
   # the driver's end-of-round command, post baseline-bf16 fix
   run bench_headline_final python bench.py
+fi
+if [ "$SET" = final4 ]; then
+  # the reference's own regime: ONE stream. Single-stream decode is
+  # weight-bandwidth-bound — W8 is the arm that moves it.
+  run bench_B1_32k_w8 env BENCH_BATCH=1 python bench.py
+  run bench_B1_128k_w8 env BENCH_BATCH=1 BENCH_CTX=131072 \
+      BENCH_SKIP_BASE=1 python bench.py
+  # TTFT/TT2T/per-token protocol (test_latency.py:74-141) with W8+int8
+  run latency_w8 python -m pqcache_tpu.harness.latency \
+      --ctx 4096 16384 32768 --select-block 256 \
+      --kv-dtype int8 --weight-int8
 fi
