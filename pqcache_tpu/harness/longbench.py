@@ -162,6 +162,11 @@ def predict(args) -> None:
 
     max_length = model2maxlen.get(args.model, args.max_seq_len)
     model_cfg, params, tokenizer = load_model(args)
+    if getattr(args, "weight_int8", False):
+        # weight-only int8 quality arm (core/quant.quantize_weight_tree);
+        # the standing real-checkpoint order includes this arm
+        from pqcache_tpu.core import quant
+        params = quant.quantize_weight_tree(params)
     cfg = make_engine_config(args, model_cfg)
     engine = Engine(cfg, params)
     eos_ids = tuple(tokenizer.eos_token_id
@@ -169,6 +174,8 @@ def predict(args) -> None:
                     else [tokenizer.eos_token_id])
 
     config_str = "_".join(cfg.config_str_list())
+    if getattr(args, "weight_int8", False):
+        config_str += "_w8"   # distinguish the W8 arm's output files
     datasets = args.datasets or PAPER_DATASETS
     for dataset in datasets:
         data_path = os.path.join(args.data_dir, f"{dataset}.jsonl")
@@ -310,6 +317,10 @@ def parse_args(argv=None):
     pp.add_argument("--top-k", dest="top_k", type=int, default=0)
     pp.add_argument("--top-p", dest="top_p", type=float, default=1.0)
     pp.add_argument("--sample-seed", dest="sample_seed", type=int, default=0)
+    pp.add_argument("--weight-int8", dest="weight_int8",
+                    action="store_true",
+                    help="weight-only int8 "
+                         "(core/quant.quantize_weight_tree)")
     pp.add_argument("--kv-dtype", dest="kv_dtype", default="bf16",
                     choices=["bf16", "int8"],
                     help="HBM KV-tail storage dtype; int8 halves the "
