@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3|final|final2|final3|final4)
+bench2|bench3|final|final2|final3|final4|final5)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -185,4 +185,13 @@ if [ "$SET" = final4 ]; then
   run latency_w8 python -m pqcache_tpu.harness.latency \
       --ctx 4096 16384 32768 --select-block 256 \
       --kv-dtype int8 --weight-int8
+fi
+if [ "$SET" = final5 ]; then
+  # W8 freed enough HBM that interleave=auto picks the interleaved path
+  # at pool 16 (tbt p50 28 ms: admission slabs ride the decode chunks);
+  # the monolithic arm is the throughput-mode twin of the r4/r5 pool16
+  # rows (tbt ~14 ms)
+  run serving_pool16_w8_mono python -m pqcache_tpu.harness.serving \
+      --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
+      --weight-int8 --stagger 1 --interleave off --policies pq_search
 fi
