@@ -52,7 +52,14 @@ cfg = EngineConfig(
 budget = compute_budget(cfg.budget, CTX, MAXNEW)
 policy = get_policy(cfg, budget)
 
-params = llama.init_params(model, jax.random.PRNGKey(0))
+if os.environ.get("W_INT8", "0") == "1":
+    from pqcache_tpu.core import quant
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = quant.quantize_weight_tree(
+            llama.init_params(model, jax.random.PRNGKey(0)))
+    params = jax.device_put(params, jax.devices()[0])
+else:
+    params = llama.init_params(model, jax.random.PRNGKey(0))
 
 
 def _warm(st, shape=()):
