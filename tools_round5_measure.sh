@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3|final|final2|final3|final4|final5)
+bench2|bench3|final|final2|final3|final4|final5|final6)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -194,4 +194,12 @@ if [ "$SET" = final5 ]; then
   run serving_pool16_w8_mono python -m pqcache_tpu.harness.serving \
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --weight-int8 --stagger 1 --interleave off --policies pq_search
+fi
+if [ "$SET" = final6 ]; then
+  # full-depth SINGLE-STREAM (the reference's exact regime at real depth);
+  # the earlier rc=1 predated host-side init+quantize (it materialized
+  # 16.05 GB bf16 params on device before quantizing)
+  run bench_32L_B1_16k_w8r env BENCH_LAYERS=32 BENCH_BATCH=1 \
+      BENCH_CTX=16384 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
+      BENCH_PREFILL_CHUNK=8192 BENCH_MLP_CHUNK=8192 python bench.py
 fi
