@@ -80,7 +80,12 @@ def main():
     from pqcache_tpu.policies.base import get_policy
 
     ctx = int(os.environ.get("BENCH_CTX", "32768"))
-    gen = int(os.environ.get("BENCH_GEN", "32"))
+    # 128-token generations in 128-step fused decode chunks (BENCH_RING):
+    # one dispatch per chunk amortizes the per-dispatch host latency
+    # (~28 ms through the dev tunnel = 0.9 ms/step at 32-step chunks;
+    # measured knee: ring 32/64/128/256 = 1172/1251/1288/1239 tok/s at
+    # B=8 W8). The dense baseline equally decodes gen steps per dispatch.
+    gen = int(os.environ.get("BENCH_GEN", "128"))
     layers = int(os.environ.get("BENCH_LAYERS", "8"))
     # retrieval granularity (PQConfig.select_block): 128 = the TPU fast
     # path (fused block-retrieval kernel; recall-oracle-gated), 1 = the
@@ -170,7 +175,8 @@ def main():
             model=model,
             pq=PQConfig(n_subvec_per_head=2, n_subbits=6, kmeans_iters=6,
                         select_block=sel_block, fetch_par=fetch_par,
-                        fetch_pair=fetch_pair),
+                        fetch_pair=fetch_pair,
+                        ring_cap=int(os.environ.get("BENCH_RING", "128"))),
             budget=BudgetConfig(compress_ratio=0.2, recent_ratio=0.5,
                                 sink_size=32),
             cache=CacheConfig(

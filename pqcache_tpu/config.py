@@ -134,6 +134,14 @@ class PQConfig:
     # eager matmul, which can flip exact-tie block rankings only).
     # "on"/"off" force it (tests pin the correction math with "on").
     jhist_defer: str = "auto"
+    # Write-combining ring capacity cap (policies/pq_search.py ring_k =
+    # min(ring_cap, budget.local)): a decode chunk of up to ring_k steps
+    # runs as ONE dispatch, so a higher cap amortizes per-dispatch host
+    # latency over more steps — at the price of a longer per-step
+    # pending-mass correction while jhist joins are deferred. 32 is the
+    # measured sweet spot on local hardware; raise it when dispatch
+    # latency dominates (e.g. a remote/tunnelled device).
+    ring_cap: int = 32
 
     def __post_init__(self):
         if self.scorer not in ("auto", "kernel"):
@@ -152,6 +160,8 @@ class PQConfig:
             raise ValueError(f"unknown fetch_mode {self.fetch_mode}")
         if self.gather_mode not in ("xla", "pallas"):
             raise ValueError(f"unknown gather_mode {self.gather_mode}")
+        if self.ring_cap < 1:
+            raise ValueError("ring_cap must be >= 1")
 
     @property
     def n_centroids(self) -> int:

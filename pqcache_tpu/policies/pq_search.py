@@ -127,7 +127,8 @@ class PQSearchPolicy:
         # Capped at budget.local: the ring-resident tokens must all still
         # be inside the local window (the lmask/candidate arithmetic in
         # decode_attn_batched assumes steps-since-flush ≤ local).
-        self.ring_k = (min(32, budget.local) if self.deferred_appends
+        self.ring_k = (min(cfg.pq.ring_cap, budget.local)
+                       if self.deferred_appends
                        and budget.local >= 1 else 0)
 
     # -- helpers ----------------------------------------------------------

@@ -141,3 +141,41 @@ def test_ring_attention_matches_tail_resident():
         st2, jnp.asarray(0), q, k_new, v_new, {"n_cand": st2.n_cand})
     np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_tail),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_ring_cap_config():
+    """PQConfig.ring_cap bounds the write-combining ring, and generation
+    is insensitive to the cap (different chunk/flush boundaries reorder
+    only fp summation in the deferred-join correction)."""
+    import dataclasses
+    from pqcache_tpu.runtime.generate import Engine
+    from pqcache_tpu.models import llama
+
+    cfg_m = tiny_model_config(num_layers=2)
+    ecfg = EngineConfig(
+        model=cfg_m,
+        pq=PQConfig(n_subvec_per_head=2, n_subbits=4, kmeans_iters=4,
+                    approx_topk=False, select_block=16),
+        budget=BudgetConfig(compress_ratio=0.3, recent_ratio=0.5,
+                            sink_size=4),
+        runtime=RuntimeConfig(policy="pq_search", prefill_bucket=64,
+                              max_new_tokens=16, max_seq_len=512),
+    )
+    budget = compute_budget(ecfg.budget, 256, 16)
+    pol32 = get_policy(ecfg, budget)
+    ecfg8 = dataclasses.replace(ecfg, pq=dataclasses.replace(
+        ecfg.pq, ring_cap=8))
+    pol8 = get_policy(ecfg8, budget)
+    assert pol8.ring_k == min(8, budget.local)
+    assert pol32.ring_k == min(32, budget.local)
+
+    params = llama.init_params(cfg_m, jax.random.PRNGKey(3),
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, cfg_m.vocab_size, size=200).astype(np.int32)
+    a = Engine(ecfg, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=12).tokens
+    b = Engine(ecfg8, params, dtype=jnp.float32).generate(
+        ids, max_new_tokens=12).tokens
+    agree = sum(x == y for x, y in zip(a, b))
+    assert agree >= 11, (a, b)
