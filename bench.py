@@ -14,7 +14,8 @@ block-retrieval Pallas kernel.
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": R, ...}
 
-Env knobs: BENCH_CTX (32768), BENCH_GEN (32), BENCH_LAYERS (8),
+Env knobs: BENCH_CTX (32768), BENCH_GEN (128), BENCH_RING (128),
+BENCH_LAYERS (8),
 BENCH_BATCH (8; 1 = the reference's single-stream protocol),
 BENCH_PQ_BLOCK (256; 1 = per-token parity selection — 256 is the
 measured-fastest DMA granularity; when key-importance locality is finer

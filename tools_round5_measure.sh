@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3|final|final2|final3|final4|final5|final6)
+bench2|bench3|final|final2|final3|final4|final5|final6|final7)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -202,4 +202,13 @@ if [ "$SET" = final6 ]; then
   run bench_32L_B1_16k_w8r env BENCH_LAYERS=32 BENCH_BATCH=1 \
       BENCH_CTX=16384 BENCH_W_INT8=1 BENCH_SKIP_BASE=1 \
       BENCH_PREFILL_CHUNK=8192 BENCH_MLP_CHUNK=8192 python bench.py
+fi
+if [ "$SET" = final7 ]; then
+  # ring-128 decode chunks at the larger pools (the B=8 knee measured
+  # 1172/1251/1288/1239 for ring 32/64/128/256)
+  run bench_B16_w8_r128 env BENCH_BATCH=16 BENCH_SKIP_BASE=1 \
+      python bench.py
+  run bench_B20_w8_r128 env BENCH_BATCH=20 BENCH_SKIP_BASE=1 \
+      python bench.py
+  run bench_headline_r128 python bench.py
 fi
