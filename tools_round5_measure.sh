@@ -106,7 +106,7 @@ bench)
       --ctx 32768 --pool 16 --requests 24 --gen 64 --kv-dtype int8 \
       --stagger 2 --policies pq_search
   ;;
-bench2|bench3|final|final2|final3|final4|final5|final6|final7)
+bench2|bench3|final|final2|final3|final4|final5|final6|final7|final8)
   ;;     # handled below
 *)
   echo "unknown set $SET" >&2; exit 2;;
@@ -211,4 +211,10 @@ if [ "$SET" = final7 ]; then
   run bench_B20_w8_r128 env BENCH_BATCH=20 BENCH_SKIP_BASE=1 \
       python bench.py
   run bench_headline_r128 python bench.py
+fi
+if [ "$SET" = final8 ]; then
+  run bench_B16_w8_r64 env BENCH_BATCH=16 BENCH_RING=64 BENCH_GEN=64 \
+      BENCH_SKIP_BASE=1 python bench.py
+  run bench_B20_w8_r64 env BENCH_BATCH=20 BENCH_RING=64 BENCH_GEN=64 \
+      BENCH_SKIP_BASE=1 python bench.py
 fi
